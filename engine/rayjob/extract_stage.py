@@ -1,0 +1,80 @@
+"""Actor-pool extraction stage (the north star's stateful map_batches).
+
+``ExtractTurns`` is a callable CLASS for ``Dataset.map_batches``: the
+corpus-invariant font state (AFM metrics, encoding maps — SURVEY.md
+S3/F10/F11) is built ONCE per actor in ``__init__``; ``__call__`` runs the
+pure per-row extraction kernel over a zero-copy Arrow batch.
+
+Scale notes (100 TB design): per-row payloads are independent — no
+cross-row state beyond the read-only shared tables, so the stage shards
+arbitrarily; ``batch_size`` bounds actor heap (payloads decompress in-row,
+nothing accumulates); output columns are plain Arrow arrays built once per
+batch.
+"""
+
+import zlib
+
+import pyarrow as pa
+
+from engine.pdfcore.extract import SharedFontState, extract_turn
+
+__all__ = ['ExtractTurns', 'assign_bucket', 'make_done_filter']
+
+
+class ExtractTurns(object):
+    def __init__(self):
+        self.shared = SharedFontState()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        shared = self.shared
+        texts = batch.column('text').to_pylist()
+        out_text = []
+        n_spans = []
+        n_pages = []
+        decode_ok = []
+        error = []
+        for payload in texts:
+            r = extract_turn(payload, shared)
+            out_text.append(r['text'])
+            n_spans.append(r['n_spans'])
+            n_pages.append(r['n_pages'])
+            decode_ok.append(r['decode_ok'])
+            error.append(r['error'])
+        cols = {
+            'conv_id': batch.column('conv_id'),
+            'turn_idx': batch.column('turn_idx'),
+            'text': pa.array(out_text, pa.string()),
+            'n_spans': pa.array(n_spans, pa.int32()),
+            'n_pages': pa.array(n_pages, pa.int32()),
+            'decode_ok': pa.array(decode_ok, pa.bool_()),
+            'error': pa.array(error, pa.string()),
+        }
+        if 'bucket' in batch.column_names:
+            cols['bucket'] = batch.column('bucket')
+        return pa.table(cols)
+
+
+def assign_bucket(num_buckets):
+    """Cheap stateless stage: bucket = crc32(conv_id) % num_buckets.
+
+    Deterministic across processes/runs (unlike Python's salted hash()), so
+    resume can skip finished buckets before the expensive extraction stage.
+    """
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column('conv_id').to_pylist()
+        buckets = pa.array([zlib.crc32(s.encode('utf-8')) % num_buckets for s in ids],
+                           pa.int32())
+        return batch.append_column('bucket', buckets)
+    return fn
+
+
+def make_done_filter(done_buckets):
+    """Drop rows whose bucket already has a manifest row (resume path)."""
+    done = frozenset(done_buckets)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.invert(pc.is_in(batch.column('bucket'),
+                                  value_set=pa.array(sorted(done), pa.int32())))
+        return batch.filter(mask)
+    return fn
