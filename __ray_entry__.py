@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship per-turn PDF-extraction pipeline on a
+deterministic transcripts corpus (BASELINE.json input_hint shape) derived
+from sf0.001.  ``queries()`` exposes every pipeline/operator family;
+``oracle_sql()`` gives DuckDB equivalents for the SQL-expressible ones.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Value-equality engineering (driver hashes values): both sides use
+identical integer arithmetic and the shared half-up rounding formula
+``floor(x*10^d + 0.5)/10^d`` (see engine/ops/common.py) — never the
+engines' differing native ``round``.
+
+Ray is initialised by the driver before import; nothing here calls
+ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +19,226 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_Q1_CUTOFF = "TIMESTAMP '1998-09-02 00:00:00'"
+
+
+def _transcripts_dir(sf_dir: str) -> str:
+    from engine.ops.common import sf_from_dir
+    from engine.rayjob.transcripts import ensure_corpus
+    return ensure_corpus(sf_from_dir(sf_dir))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: transcripts(sf0.001) → per-turn PDF text extraction."""
+    from engine.rayjob.pipeline import build_extract_dataset
+    return build_extract_dataset(_transcripts_dir('/root/testdata/sf0.001'))
+
+
+def _extract_fulltext(sf_dir: str) -> Any:
+    from engine.rayjob.pipeline import build_extract_dataset
+    return build_extract_dataset(_transcripts_dir(sf_dir))
+
+
+def _extract_metrics(sf_dir: str) -> Any:
+    import pandas as pd
+    from engine.rayjob.pipeline import build_extract_dataset
+    ds = build_extract_dataset(_transcripts_dir(sf_dir))
+    agg = ds.sum(['n_spans', 'n_pages'])
+    n_turns = ds.count()
+    failures = ds.filter(expr='decode_ok == False').count()
+    return pd.DataFrame([{
+        'n_turns': n_turns,
+        'decode_failures': failures,
+        'total_spans': agg['sum(n_spans)'],
+        'total_pages': agg['sum(n_pages)'],
+    }])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from engine.ops import dedup, relational, similarity, textstats, multimodal
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship extraction (non-SQL: PDF interpretation) — rows-only check
+        'extract_fulltext': _extract_fulltext,
+        'extract_metrics': _extract_metrics,
+        # text analysis (oracle-checked)
+        'doc_token_stats': textstats.doc_token_stats,
+        'doc_quality': textstats.doc_quality,
+        'lang_id': textstats.lang_id,
+        'fingerprint_md5': textstats.fingerprint_md5,
+        'fingerprint_winnow': textstats.fingerprint_winnow,   # rows-only
+        # dedup
+        'dedup_exact': dedup.dedup_exact,
+        'ngram_jaccard_pairs': dedup.ngram_jaccard_pairs,
+        'minhash_near_dup': dedup.minhash_near_dup,           # rows-only
+        'simhash_near_dup': dedup.simhash_near_dup,           # rows-only
+        # similarity search
+        'embedding_dup_pairs': similarity.embedding_dup_pairs,
+        'ann_topk': similarity.ann_topk,
+        'ann_topk_lsh': similarity.ann_topk_lsh,              # rows-only
+        # relational / plan-op layer
+        'q1_pricing': relational.q1_pricing,
+        'top_orders_revenue': relational.top_orders_revenue,
+        'customers_per_region': relational.customers_per_region,
+        'supplier_balance_by_nation': relational.supplier_balance_by_nation,
+        'events_by_type': relational.events_by_type,
+        'events_sessionize': relational.events_sessionize,
+        'top_parts': relational.top_parts,
+        # multimodal plumbing (stub codecs) — rows-only
+        'multimodal_features': multimodal.decode_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        'doc_token_stats': r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars_calc,
+       CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+            THEN floor(len(regexp_extract_all(text, '\S'))::DOUBLE
+                       / len(regexp_extract_all(text, '\S+')) * 10000 + 0.5) / 10000
+            ELSE 0.0 END AS avg_token_len
+FROM documents
+""",
+        'doc_quality': r"""
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+         len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is|it|that|for|on|as|with|by)\b'))::BIGINT AS n_stopwords,
+         len(regexp_extract_all(text, '[.,;:!?]'))::BIGINT AS n_punct,
+         len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits
+  FROM documents
+), r AS (
+  SELECT *, CASE WHEN n_tokens > 0
+                 THEN floor(n_stopwords::DOUBLE / n_tokens * 1000000 + 0.5) / 1000000
+                 ELSE 0.0 END AS stopword_ratio
+  FROM c
+)
+SELECT doc_id, n_tokens, n_stopwords, n_punct, n_digits, stopword_ratio,
+       (n_tokens >= 5 AND n_tokens <= 2000 AND stopword_ratio > 0.01) AS is_quality
+FROM r
+""",
+        'lang_id': r"""
+WITH s AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '\b(the|a|and|of|to)\b')) AS s_en,
+         len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS s_de,
+         len(regexp_extract_all(text, '\b(le|la|les|et|est)\b')) AS s_fr,
+         len(regexp_extract_all(text, '\b(el|los|las|y|es)\b')) AS s_es,
+         len(regexp_extract_all(text, '[一-鿿]')) AS s_zh
+  FROM documents
+), p AS (
+  SELECT doc_id, lang,
+         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+              WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+              WHEN s_es >= s_zh THEN 'es'
+              ELSE 'zh' END AS pred_lang
+  FROM s
+)
+SELECT doc_id, pred_lang, lang, (pred_lang = lang) AS is_match FROM p
+""",
+        'fingerprint_md5': "SELECT doc_id, md5(text) AS fp FROM documents",
+        'dedup_exact': """
+SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+        'ngram_jaccard_pairs': r"""
+WITH toks AS (
+  SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS tk FROM documents
+), g AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+                                      i -> array_to_string(tk[i:i+2], ' '))) AS s
+  FROM toks
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       floor(len(list_intersect(a.s, b.s))::DOUBLE
+             / len(list_distinct(list_concat(a.s, b.s))) * 1000000 + 0.5) / 1000000 AS jac
+FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(a.s) > 0 AND len(b.s) > 0
+  AND len(list_intersect(a.s, b.s))::DOUBLE
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+""",
+        'embedding_dup_pairs': """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             * 10000 + 0.5) / 10000 AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.42
+""",
+        'ann_topk': """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 16
+), s AS (
+  SELECT q.qid, e.vec_id AS nid,
+         list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sc
+  FROM q, embeddings e WHERE e.vec_id <> q.qid
+), r AS (
+  SELECT qid, nid, sc,
+         row_number() OVER (PARTITION BY qid ORDER BY sc DESC, nid ASC)::BIGINT AS rank
+  FROM s
+)
+SELECT qid AS query_id, nid AS neighbor_id,
+       floor(sc * 10000 + 0.5) / 10000 AS score, rank
+FROM r WHERE rank <= 5
+""",
+        'q1_pricing': """
+SELECT l_returnflag, l_linestatus,
+       floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+       floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base_price,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS sum_disc_price,
+       floor(sum(l_quantity) / count(*) * 1000000 + 0.5) / 1000000 AS avg_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= %s
+GROUP BY l_returnflag, l_linestatus
+""" % _Q1_CUTOFF,
+        'top_orders_revenue': """
+SELECT l.l_orderkey AS o_orderkey,
+       floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 100 AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY l.l_orderkey
+ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, l.l_orderkey ASC
+LIMIT 10
+""",
+        'customers_per_region': """
+SELECT r.r_name, count(*)::BIGINT AS n_customers
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name
+""",
+        'supplier_balance_by_nation': """
+SELECT n.n_name,
+       floor(sum(s.s_acctbal) * 100 + 0.5) / 100 AS total_acctbal,
+       count(*)::BIGINT AS n_suppliers
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name
+""",
+        'events_by_type': """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       floor(sum(value) * 100 + 0.5) / 100 AS sum_value,
+       floor(sum(value) / count(*) * 1000000 + 0.5) / 1000000 AS avg_value,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type
+""",
+        'events_sessionize': """
+WITH d AS (
+  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+  FROM events
+)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       (1 + sum(CASE WHEN pts IS NOT NULL
+                      AND epoch_us(ts) - epoch_us(pts) > 1800000000
+                     THEN 1 ELSE 0 END))::BIGINT AS n_sessions
+FROM d GROUP BY user_id
+""",
+        'top_parts': """
+SELECT p_partkey, p_name, p_retailprice FROM part
+ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10
+""",
+    }

@@ -1,0 +1,64 @@
+"""Shared helpers for the ops layer.
+
+Rounding: the driver hash-compares values between the Ray pipelines and
+their DuckDB oracles.  Python's ``round`` is banker's rounding while
+DuckDB's ``round`` is half-away-from-zero, so both sides instead use the
+same explicit half-up formula ``floor(x*10^d + 0.5) / 10^d`` — identical
+IEEE ops on both sides give identical doubles even at boundaries.
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ['round_half_up', 'sql_round', 'sf_from_dir', 'table_path',
+           'read_small_table', 'BroadcastLookup']
+
+
+def round_half_up(x, digits):
+    """Vectorized half-up rounding; mirrors :func:`sql_round` exactly."""
+    scale = 10.0 ** digits
+    return np.floor(np.asarray(x, dtype=np.float64) * scale + 0.5) / scale
+
+
+def sql_round(expr, digits):
+    """DuckDB expression computing the same half-up rounding as
+    :func:`round_half_up` (do NOT use DuckDB's ``round``)."""
+    scale = 10 ** digits
+    return 'floor((%s) * %d + 0.5) / %d' % (expr, scale, scale)
+
+
+def sf_from_dir(sf_dir):
+    """'/root/testdata/sf0.01' → '0.01' (used to key synthesized corpora)."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base[2:] if base.startswith('sf') else base
+
+
+def table_path(sf_dir, name):
+    return os.path.join(sf_dir, name + '.parquet')
+
+
+def read_small_table(sf_dir, name, columns=None):
+    """Driver-side read of a dimension table (region/nation/etc.) that is
+    small by schema design — the broadcast side of a broadcast join."""
+    import pyarrow.parquet as pq
+    return pq.read_table(table_path(sf_dir, name), columns=columns)
+
+
+class BroadcastLookup:
+    """map_batches actor base: resolves a ``ray.put`` object ref ONCE per
+    actor in ``__init__`` (not per batch).  At cluster scale the payload
+    ships to each node's object store once and is shared zero-copy by all
+    actors on that node.
+
+    Subclasses set ``self.state = ...`` from the fetched value and
+    implement ``__call__(batch) -> pa.Table``.
+    """
+
+    def __init__(self, state_ref):
+        import ray
+        self.state = ray.get(state_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # pragma: no cover
+        raise NotImplementedError

@@ -1,0 +1,158 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata.
+
+The container has no image/audio codecs, so the *decode* kernels are
+stubbed — either a clearly-marked ``NotImplementedError`` (real-codec mode)
+or a deterministic fake decoder — while everything Ray-side is real and
+tested: the binary-column schema, actor-pool ``map_batches`` stage shape,
+small-batch sizing for large payloads, and the output layout.
+
+Payload convention (deterministic synthetic "images" derived from the
+documents table): 16-byte header ``MMV1 | width:u32 | height:u32 | ch:u32``
+followed by ``width*height*ch`` content bytes.
+"""
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from .common import round_half_up, table_path
+
+__all__ = ['synthesize_media', 'DecodeMedia', 'decode_media_features',
+           'MEDIA_SCHEMA', 'FEATURES_SCHEMA']
+
+_MAGIC = b'MMV1'
+
+MEDIA_SCHEMA = pa.schema([
+    ('media_id', pa.int64()),
+    ('kind', pa.string()),            # 'image' | 'audio' | 'video'
+    ('payload', pa.large_binary()),   # opaque encoded bytes
+    ('meta_width', pa.int32()),
+    ('meta_height', pa.int32()),
+    ('meta_channels', pa.int32()),
+])
+
+FEATURES_SCHEMA = pa.schema([
+    ('media_id', pa.int64()),
+    ('kind', pa.string()),
+    ('byte_len', pa.int64()),
+    ('width', pa.int32()),
+    ('height', pa.int32()),
+    ('channels', pa.int32()),
+    ('mean_value', pa.float64()),
+    ('crc32', pa.int64()),
+    ('decode_ok', pa.bool_()),
+])
+
+
+def _fake_payload(doc_id, text):
+    """Deterministic fake 'image': dims derived from doc_id, content bytes
+    from the text (latin-1 round-trip), tiled to fill width*height*ch."""
+    w = 8 + (doc_id % 24)
+    h = 8 + ((doc_id // 7) % 16)
+    ch = 1 + (doc_id % 3)
+    need = w * h * ch
+    src = text.encode('utf-8', 'replace') or b'\x00'
+    body = (src * (need // len(src) + 1))[:need]
+    head = _MAGIC + np.array([w, h, ch], dtype='<u4').tobytes()
+    return head + body, w, h, ch
+
+
+def synthesize_media(sf_dir):
+    """Dataset in MEDIA_SCHEMA synthesized from the documents table
+    (stand-in for a real multimodal corpus; deterministic per doc_id)."""
+    kinds = ('image', 'audio', 'video')
+
+    def make(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_pylist()
+        texts = batch.column('text').to_pylist()
+        payloads, ws, hs, cs, kind = [], [], [], [], []
+        for did, text in zip(ids, texts):
+            p, w, h, ch = _fake_payload(did, text)
+            payloads.append(p)
+            ws.append(w)
+            hs.append(h)
+            cs.append(ch)
+            kind.append(kinds[did % 3])
+        return pa.table({
+            'media_id': pa.array(ids, pa.int64()),
+            'kind': pa.array(kind, pa.string()),
+            'payload': pa.array(payloads, pa.large_binary()),
+            'meta_width': pa.array(ws, pa.int32()),
+            'meta_height': pa.array(hs, pa.int32()),
+            'meta_channels': pa.array(cs, pa.int32()),
+        })
+
+    ds = ray.data.read_parquet(table_path(sf_dir, 'documents'),
+                               columns=['doc_id', 'text'])
+    return ds.map_batches(make, batch_format='pyarrow', zero_copy_batch=True)
+
+
+class DecodeMedia:
+    """Actor-pool decode stage.
+
+    ``fake=True`` (default here; the only mode runnable in this container)
+    parses the MMV1 header and computes cheap numpy features.  ``fake=False``
+    is the real-codec seam and raises ``NotImplementedError`` — swap in
+    PIL/ffmpeg there when the runtime has them.  Use a SMALL ``batch_size``
+    (payload bytes × batch_size × concurrency must fit worker heap).
+    """
+
+    def __init__(self, fake=True):
+        self.fake = fake
+
+    def _decode(self, payload):
+        if not self.fake:
+            raise NotImplementedError(
+                'real codecs (PIL/libsndfile/ffmpeg) are not available in '
+                'this container; run with fake=True')
+        if payload[:4] != _MAGIC or len(payload) < 16:
+            return None
+        w, h, ch = np.frombuffer(payload[4:16], dtype='<u4')
+        body = np.frombuffer(payload[16:16 + w * h * ch], dtype=np.uint8)
+        if body.size != w * h * ch:
+            return None
+        return int(w), int(h), int(ch), float(body.mean())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column('media_id')
+        kinds = batch.column('kind')
+        out = {'byte_len': [], 'width': [], 'height': [], 'channels': [],
+               'mean_value': [], 'crc32': [], 'decode_ok': []}
+        for payload in batch.column('payload').to_pylist():
+            out['byte_len'].append(len(payload))
+            out['crc32'].append(zlib.crc32(payload))
+            d = self._decode(payload)
+            if d is None:
+                out['width'].append(0)
+                out['height'].append(0)
+                out['channels'].append(0)
+                out['mean_value'].append(0.0)
+                out['decode_ok'].append(False)
+            else:
+                w, h, ch, mean = d
+                out['width'].append(w)
+                out['height'].append(h)
+                out['channels'].append(ch)
+                out['mean_value'].append(float(round_half_up([mean], 4)[0]))
+                out['decode_ok'].append(True)
+        return pa.table({
+            'media_id': ids,
+            'kind': kinds,
+            'byte_len': pa.array(out['byte_len'], pa.int64()),
+            'width': pa.array(out['width'], pa.int32()),
+            'height': pa.array(out['height'], pa.int32()),
+            'channels': pa.array(out['channels'], pa.int32()),
+            'mean_value': pa.array(out['mean_value'], pa.float64()),
+            'crc32': pa.array(out['crc32'], pa.int64()),
+            'decode_ok': pa.array(out['decode_ok'], pa.bool_()),
+        })
+
+
+def decode_media_features(sf_dir, batch_size=64):
+    """synthesize → actor-pool decode; returns FEATURES_SCHEMA dataset."""
+    return synthesize_media(sf_dir).map_batches(
+        DecodeMedia, batch_format='pyarrow', batch_size=batch_size,
+        concurrency=(1, 8), zero_copy_batch=True)

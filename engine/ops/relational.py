@@ -1,0 +1,272 @@
+"""Relational pipelines over the TPC-H-ish tables — the §2.9 plan-op layer.
+
+Patterns demonstrated (each is the 100 TB-shape of the operation):
+
+- *Pre-aggregated groupby*: every aggregate does a PARTIAL Arrow
+  ``Table.group_by`` inside map_batches first, so the all-to-all groupby
+  shuffle moves one combiner row per (key, block), never raw rows.
+- *Broadcast join*: dimension tables (region/nation/customer) are read
+  driver-side, turned into flat lookup dicts, ``ray.put`` ONCE, and fetched
+  once per actor — no shuffle join for small sides.
+- *Predicate/column pruning at the read*: ``columns=`` + parquet ``filter=``
+  so only needed row groups leave storage.
+- *Sessionize*: per-key ordered window logic via ``groupby.map_groups``.
+- *Top-k*: partial per-block top-k before the tiny global sort.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .common import round_half_up, table_path, read_small_table
+
+__all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
+           'supplier_balance_by_nation', 'events_by_type', 'events_sessionize',
+           'top_parts']
+
+Q1_CUTOFF = '1998-09-02'
+
+
+def q1_pricing(sf_dir):
+    """TPC-H Q1-shaped pricing summary over lineitem (filter → partial
+    group_by combiner → global groupby → finalize with shared rounding)."""
+    cutoff = pa.scalar(np.datetime64(Q1_CUTOFF + 'T00:00:00', 'us'),
+                       pa.timestamp('us'))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch.column('l_shipdate'), cutoff))
+        disc_price = pc.multiply(batch.column('l_extendedprice'),
+                                 pc.subtract(pa.scalar(1.0), batch.column('l_discount')))
+        t = pa.table({
+            'l_returnflag': batch.column('l_returnflag'),
+            'l_linestatus': batch.column('l_linestatus'),
+            'qty': batch.column('l_quantity'),
+            'base': batch.column('l_extendedprice'),
+            'disc': disc_price,
+        })
+        g = t.group_by(['l_returnflag', 'l_linestatus']).aggregate(
+            [('qty', 'sum'), ('base', 'sum'), ('disc', 'sum'), ('qty', 'count')])
+        return g.rename_columns(['l_returnflag', 'l_linestatus',
+                                 'qty_sum', 'base_sum', 'disc_sum', 'cnt'])
+
+    def final(group: pa.Table) -> pa.Table:
+        qty = pc.sum(group.column('qty_sum')).as_py() or 0.0
+        base = pc.sum(group.column('base_sum')).as_py() or 0.0
+        disc = pc.sum(group.column('disc_sum')).as_py() or 0.0
+        cnt = pc.sum(group.column('cnt')).as_py() or 0
+        return pa.table({
+            'l_returnflag': group.column('l_returnflag').slice(0, 1),
+            'l_linestatus': group.column('l_linestatus').slice(0, 1),
+            'sum_qty': pa.array(round_half_up([qty], 2), pa.float64()),
+            'sum_base_price': pa.array(round_half_up([base], 2), pa.float64()),
+            'sum_disc_price': pa.array(round_half_up([disc], 2), pa.float64()),
+            'avg_qty': pa.array(round_half_up([qty / cnt if cnt else 0.0], 6),
+                                pa.float64()),
+            'count_order': pa.array([cnt], pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, 'lineitem'),
+        columns=['l_returnflag', 'l_linestatus', 'l_quantity',
+                 'l_extendedprice', 'l_discount', 'l_shipdate'])
+    return (ds.map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
+              .groupby(['l_returnflag', 'l_linestatus'])
+              .map_groups(final, batch_format='pyarrow'))
+
+
+class _FilterByKeySet:
+    """Broadcast semi-join: keep rows whose key column hits a broadcast set."""
+
+    def __init__(self, ref, col):
+        self.keys = pa.array(sorted(ray.get(ref)), pa.int64())
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column(self.col), value_set=self.keys))
+
+
+def top_orders_revenue(sf_dir, segment='BUILDING', topk=10):
+    """Revenue of the top-k orders from one customer segment: broadcast
+    semi-join (customer→orders), partial per-block revenue sums, global
+    groupby(o_orderkey), then a tiny sort+limit."""
+    cust = read_small_table(sf_dir, 'customer', ['c_custkey', 'c_mktsegment'])
+    cust = cust.filter(pc.equal(cust.column('c_mktsegment'), segment))
+    custkeys = set(cust.column('c_custkey').to_pylist())
+    orders = read_small_table(sf_dir, 'orders', ['o_orderkey', 'o_custkey'])
+    orders = orders.filter(pc.is_in(orders.column('o_custkey'),
+                                    value_set=pa.array(sorted(custkeys), pa.int64())))
+    okeys_ref = ray.put(set(orders.column('o_orderkey').to_pylist()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column('l_extendedprice'),
+                          pc.subtract(pa.scalar(1.0), batch.column('l_discount')))
+        t = pa.table({'o_orderkey': batch.column('l_orderkey'), 'rev': rev})
+        g = t.group_by('o_orderkey').aggregate([('rev', 'sum')])
+        return g.rename_columns(['o_orderkey', 'rev_sum'])
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table({
+            'o_orderkey': group.column('o_orderkey').slice(0, 1),
+            'rev_raw': pa.array([pc.sum(group.column('rev_sum')).as_py() or 0.0],
+                                pa.float64()),
+        })
+
+    li = ray.data.read_parquet(table_path(sf_dir, 'lineitem'),
+                               columns=['l_orderkey', 'l_extendedprice', 'l_discount'])
+    per_order = (li.map_batches(_FilterByKeySet, fn_constructor_args=(okeys_ref, 'l_orderkey'),
+                                batch_format='pyarrow', concurrency=(1, 8),
+                                zero_copy_batch=True)
+                   .map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
+                   .groupby('o_orderkey').map_groups(final, batch_format='pyarrow'))
+    top = per_order.sort(['rev_raw', 'o_orderkey'],
+                         descending=[True, False]).limit(topk)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'o_orderkey': batch.column('o_orderkey'),
+            'revenue': pa.array(round_half_up(
+                batch.column('rev_raw').to_numpy(zero_copy_only=False), 2),
+                pa.float64()),
+        })
+    return top.map_batches(finish, batch_format='pyarrow')
+
+
+class _MapThroughDims:
+    """Broadcast hash join: nationkey → region name lookup inside the batch."""
+
+    def __init__(self, ref):
+        self.nat_to_region = ray.get(ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lut = self.nat_to_region
+        names = [lut[k] for k in batch.column('c_nationkey').to_pylist()]
+        t = pa.table({'r_name': pa.array(names, pa.string())})
+        g = t.group_by('r_name').aggregate([([], 'count_all')])
+        return g.rename_columns(['r_name', 'cnt'])
+
+
+def customers_per_region(sf_dir):
+    """customer ⋈ nation ⋈ region rollup via one composed broadcast dict."""
+    nation = read_small_table(sf_dir, 'nation', ['n_nationkey', 'n_regionkey'])
+    region = read_small_table(sf_dir, 'region', ['r_regionkey', 'r_name'])
+    rmap = dict(zip(region.column('r_regionkey').to_pylist(),
+                    region.column('r_name').to_pylist()))
+    nmap = {n: rmap[r] for n, r in zip(nation.column('n_nationkey').to_pylist(),
+                                       nation.column('n_regionkey').to_pylist())}
+    ref = ray.put(nmap)
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table({
+            'r_name': group.column('r_name').slice(0, 1),
+            'n_customers': pa.array([pc.sum(group.column('cnt')).as_py() or 0],
+                                    pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(table_path(sf_dir, 'customer'),
+                               columns=['c_nationkey'])
+    return (ds.map_batches(_MapThroughDims, fn_constructor_args=(ref,),
+                           batch_format='pyarrow', concurrency=(1, 4),
+                           zero_copy_batch=True)
+              .groupby('r_name').map_groups(final, batch_format='pyarrow'))
+
+
+class _NationName:
+    def __init__(self, ref):
+        self.nmap = ray.get(ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names = [self.nmap[k] for k in batch.column('s_nationkey').to_pylist()]
+        t = pa.table({'n_name': pa.array(names, pa.string()),
+                      'bal': batch.column('s_acctbal')})
+        g = t.group_by('n_name').aggregate([('bal', 'sum'), ('bal', 'count')])
+        return g.rename_columns(['n_name', 'bal_sum', 'cnt'])
+
+
+def supplier_balance_by_nation(sf_dir):
+    """supplier ⋈ nation: account-balance rollup per nation name."""
+    nation = read_small_table(sf_dir, 'nation', ['n_nationkey', 'n_name'])
+    nmap = dict(zip(nation.column('n_nationkey').to_pylist(),
+                    nation.column('n_name').to_pylist()))
+    ref = ray.put(nmap)
+
+    def final(group: pa.Table) -> pa.Table:
+        bal = pc.sum(group.column('bal_sum')).as_py() or 0.0
+        cnt = pc.sum(group.column('cnt')).as_py() or 0
+        return pa.table({
+            'n_name': group.column('n_name').slice(0, 1),
+            'total_acctbal': pa.array(round_half_up([bal], 2), pa.float64()),
+            'n_suppliers': pa.array([cnt], pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(table_path(sf_dir, 'supplier'),
+                               columns=['s_nationkey', 's_acctbal'])
+    return (ds.map_batches(_NationName, fn_constructor_args=(ref,),
+                           batch_format='pyarrow', concurrency=(1, 4),
+                           zero_copy_batch=True)
+              .groupby('n_name').map_groups(final, batch_format='pyarrow'))
+
+
+def events_by_type(sf_dir):
+    """events rollup: count / value sum / distinct users per event type."""
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({'event_type': batch.column('event_type'),
+                      'value': batch.column('value'),
+                      'user_id': batch.column('user_id')})
+        g = t.group_by(['event_type', 'user_id']).aggregate(
+            [('value', 'sum'), ('value', 'count')])
+        return g.rename_columns(['event_type', 'user_id', 'v_sum', 'cnt'])
+
+    def final(group: pa.Table) -> pa.Table:
+        v = pc.sum(group.column('v_sum')).as_py() or 0.0
+        n = pc.sum(group.column('cnt')).as_py() or 0
+        users = pc.count_distinct(group.column('user_id')).as_py()
+        return pa.table({
+            'event_type': group.column('event_type').slice(0, 1),
+            'n_events': pa.array([n], pa.int64()),
+            'sum_value': pa.array(round_half_up([v], 2), pa.float64()),
+            'avg_value': pa.array(round_half_up([v / n if n else 0.0], 6),
+                                  pa.float64()),
+            'n_users': pa.array([users], pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(table_path(sf_dir, 'events'),
+                               columns=['event_type', 'value', 'user_id'])
+    return (ds.map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
+              .groupby('event_type').map_groups(final, batch_format='pyarrow'))
+
+
+def events_sessionize(sf_dir, gap_s=1800):
+    """Per-user sessionization: sort by ts within user, session break when
+    the gap exceeds ``gap_s`` — per-key ordered window via map_groups."""
+    gap_us = gap_s * 1_000_000
+
+    def sessions(group: pa.Table) -> pa.Table:
+        ordered = group.sort_by([('ts', 'ascending')])
+        ts = ordered.column('ts').cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        n_sessions = 1 + int((np.diff(ts) > gap_us).sum()) if n else 0
+        return pa.table({
+            'user_id': ordered.column('user_id').slice(0, 1),
+            'n_events': pa.array([n], pa.int64()),
+            'n_sessions': pa.array([n_sessions], pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(table_path(sf_dir, 'events'),
+                               columns=['user_id', 'ts'])
+    return ds.groupby('user_id').map_groups(sessions, batch_format='pyarrow')
+
+
+def top_parts(sf_dir, topk=10):
+    """Top-k parts by retail price: per-block partial top-k, global tiny sort."""
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.sort_by([('p_retailprice', 'descending'),
+                              ('p_partkey', 'ascending')]).slice(0, topk)
+
+    ds = ray.data.read_parquet(table_path(sf_dir, 'part'),
+                               columns=['p_partkey', 'p_name', 'p_retailprice'])
+    return (ds.map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
+              .sort(['p_retailprice', 'p_partkey'], descending=[True, False])
+              .limit(topk))

@@ -1,0 +1,207 @@
+"""Embedding similarity over the ``embeddings`` table
+(vec_id:int64, embedding:list<float>[64], label:int32).
+
+- ``embedding_dup_pairs`` — cosine near-dup pairs: each batch does ONE
+  float64 matmul against a broadcast (ray.put once) corpus matrix.  The
+  broadcast side is the documented scale assumption: a 10^9×64-float32
+  matrix is 256 GB — beyond that, swap for the IVF variant below.
+- ``ann_topk``            — brute-force cosine top-k: per-batch partial
+  top-k (numpy argpartition) → per-query groupby merges partials.  This is
+  the exact baseline the approximate variants are judged against.
+- ``ann_topk_lsh``        — random-hyperplane LSH bucketing: queries probe
+  only their own bucket(s) — the scale path (approximate; rows-only check).
+
+All distances are computed in float64 from float32 inputs; emitted scores
+use the shared half-up rounding so the DuckDB oracle hashes identically.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .common import round_half_up, table_path
+
+__all__ = ['embedding_dup_pairs', 'ann_topk', 'ann_topk_lsh']
+
+
+def _read_embeddings(sf_dir):
+    return ray.data.read_parquet(table_path(sf_dir, 'embeddings'),
+                                 columns=['vec_id', 'embedding'])
+
+
+def _batch_matrix(batch):
+    """(ids:int64[n], unit vectors float64 (n,d)) from an Arrow batch."""
+    ids = batch.column('vec_id').to_numpy(zero_copy_only=False)
+    emb = batch.column('embedding')
+    if emb.num_chunks == 1:
+        arr = emb.chunk(0)
+    else:
+        arr = emb.combine_chunks()
+    mat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = mat.reshape(len(ids), -1)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms[:, None]
+
+
+def _corpus_matrix(sf_dir):
+    """Driver-side load of the (small-side) corpus matrix for broadcast."""
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(table_path(sf_dir, 'embeddings'),
+                        columns=['vec_id', 'embedding'])
+    return _batch_matrix(tbl)
+
+
+class _DupPairs:
+    def __init__(self, ref, threshold):
+        self.ids, self.mat = ray.get(ref)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bids, bmat = _batch_matrix(batch)
+        sims = bmat @ self.mat.T                      # (nb, N) one matmul
+        rows, cols = np.nonzero(sims >= self.threshold)
+        a = bids[rows]
+        b = self.ids[cols]
+        keep = a < b                                  # each pair once, a < b
+        a, b = a[keep], b[keep]
+        cos = sims[rows[keep], cols[keep]]
+        return pa.table({
+            'vec_id_a': pa.array(a, pa.int64()),
+            'vec_id_b': pa.array(b, pa.int64()),
+            'cos': pa.array(round_half_up(cos, 4), pa.float64()),
+        })
+
+
+def embedding_dup_pairs(sf_dir, threshold=0.42):
+    """All embedding pairs with cosine ≥ threshold (exact, oracle-checked)."""
+    ref = ray.put(_corpus_matrix(sf_dir))
+    return _read_embeddings(sf_dir).map_batches(
+        _DupPairs, fn_constructor_args=(ref, threshold),
+        batch_format='pyarrow', concurrency=(1, 8), zero_copy_batch=True)
+
+
+class _PartialTopK:
+    """Per-batch candidates: for each query, the batch's k best corpus rows
+    — the combiner that keeps the per-query groupby shuffle tiny."""
+
+    def __init__(self, ref, k):
+        self.qids, self.qmat = ray.get(ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bids, bmat = _batch_matrix(batch)
+        sims = self.qmat @ bmat.T                     # (Q, nb)
+        # take k+1 so dropping a self-match can never evict a true top-k row
+        k = min(self.k + 1, sims.shape[1])
+        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            cand = idx[qi]
+            mask = bids[cand] != self.qids[qi]        # exclude self-match
+            out_q.extend([self.qids[qi]] * int(mask.sum()))
+            out_n.extend(bids[cand][mask].tolist())
+            out_s.extend(sims[qi, cand][mask].tolist())
+        return pa.table({
+            'query_id': pa.array(out_q, pa.int64()),
+            'neighbor_id': pa.array(out_n, pa.int64()),
+            'score_raw': pa.array(out_s, pa.float64()),
+        })
+
+
+def _final_topk(k):
+    def fin(group: pa.Table) -> pa.Table:
+        ordered = group.sort_by([('score_raw', 'descending'),
+                                 ('neighbor_id', 'ascending')]).slice(0, k)
+        n = ordered.num_rows
+        return pa.table({
+            'query_id': ordered.column('query_id'),
+            'neighbor_id': ordered.column('neighbor_id'),
+            'score': pa.array(round_half_up(
+                ordered.column('score_raw').to_numpy(zero_copy_only=False), 4),
+                pa.float64()),
+            'rank': pa.array(np.arange(1, n + 1), pa.int64()),
+        })
+    return fin
+
+
+def _query_matrix(sf_dir, n_queries):
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    tbl = pq.read_table(table_path(sf_dir, 'embeddings'),
+                        columns=['vec_id', 'embedding'])
+    tbl = tbl.filter(pc.less(tbl.column('vec_id'), n_queries))
+    return _batch_matrix(tbl)
+
+
+def ann_topk(sf_dir, n_queries=16, k=5):
+    """Exact cosine top-k of queries (vec_id < n_queries) over the corpus."""
+    ref = ray.put(_query_matrix(sf_dir, n_queries))
+    partial = _read_embeddings(sf_dir).map_batches(
+        _PartialTopK, fn_constructor_args=(ref, k),
+        batch_format='pyarrow', concurrency=(1, 8), zero_copy_batch=True)
+    return partial.groupby('query_id').map_groups(_final_topk(k),
+                                                  batch_format='pyarrow')
+
+
+_LSH_PLANES = 4  # 2^4 buckets; multi-probe widens recall
+
+
+def _lsh_planes(dim):
+    rng = np.random.RandomState(777)
+    return rng.standard_normal((dim, _LSH_PLANES))
+
+
+def _bucket_of(mat, planes):
+    bits = (mat @ planes) > 0
+    return (bits.astype(np.int64) * (1 << np.arange(_LSH_PLANES))).sum(axis=1)
+
+
+class _LshPartial:
+    """Approximate partial top-k: only corpus rows in a query's LSH
+    bucket(s) compete.  Multi-probe (own bucket + all 1-bit flips) trades a
+    constant factor of extra candidates for much better recall — the probe
+    set covers (1+planes)/2^planes of the corpus instead of 1/2^planes."""
+
+    def __init__(self, ref, k):
+        self.qids, self.qmat = ray.get(ref)
+        self.k = k
+        self.planes = _lsh_planes(self.qmat.shape[1])
+        qb = _bucket_of(self.qmat, self.planes)
+        self.qprobes = [
+            {int(b)} | {int(b) ^ (1 << p) for p in range(_LSH_PLANES)}
+            for b in qb]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bids, bmat = _batch_matrix(batch)
+        bbuckets = _bucket_of(bmat, self.planes)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(self.qids)):
+            mask = np.isin(bbuckets, list(self.qprobes[qi])) & (bids != self.qids[qi])
+            if not mask.any():
+                continue
+            cids = bids[mask]
+            sims = bmat[mask] @ self.qmat[qi]
+            k = min(self.k, len(cids))
+            top = np.argpartition(-sims, kth=k - 1)[:k]
+            out_q.extend([self.qids[qi]] * k)
+            out_n.extend(cids[top].tolist())
+            out_s.extend(sims[top].tolist())
+        return pa.table({
+            'query_id': pa.array(out_q, pa.int64()),
+            'neighbor_id': pa.array(out_n, pa.int64()),
+            'score_raw': pa.array(out_s, pa.float64()),
+        })
+
+
+def ann_topk_lsh(sf_dir, n_queries=16, k=5):
+    """LSH-bucketed approximate top-k (scale path; rows-only check)."""
+    ref = ray.put(_query_matrix(sf_dir, n_queries))
+    partial = _read_embeddings(sf_dir).map_batches(
+        _LshPartial, fn_constructor_args=(ref, k),
+        batch_format='pyarrow', concurrency=(1, 8), zero_copy_batch=True)
+    return partial.groupby('query_id').map_groups(_final_topk(k),
+                                                  batch_format='pyarrow')

@@ -1,0 +1,168 @@
+"""Text analysis over the ``documents`` table: token counting, quality
+scoring, language-ID, document fingerprinting.
+
+All hot paths are vectorized pyarrow.compute regex/string kernels over
+zero-copy Arrow batches (``batch_format="pyarrow"``); nothing iterates
+Python rows except the md5/winnowing hash loops (hashlib/zlib are C).
+Each stage is stateless → plain task-based ``map_batches`` (no actor pool
+needed, no shuffle at all: embarrassingly parallel per block at 100 TB).
+"""
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .common import round_half_up, table_path
+
+__all__ = ['doc_token_stats', 'doc_quality', 'lang_id', 'fingerprint_md5',
+           'fingerprint_winnow', 'TOKEN_RE', 'STOPWORD_RE', 'PUNCT_RE',
+           'DIGIT_RE', 'LANG_MARKERS']
+
+# Regexes shared verbatim with the DuckDB oracles (both engines are RE2).
+TOKEN_RE = r'\S+'
+NONSPACE_RE = r'\S'
+STOPWORD_RE = r'\b(the|a|of|to|and|in|is|it|that|for|on|as|with|by)\b'
+PUNCT_RE = r'[.,;:!?]'
+DIGIT_RE = r'[0-9]'
+
+# Language marker profiles (n-gram-heuristic language ID).  Tiebreak =
+# first-listed wins; the oracle SQL reproduces this with a CASE ladder in
+# the same order.
+LANG_MARKERS = [
+    ('en', r'\b(the|a|and|of|to)\b'),
+    ('de', r'\b(der|die|das|und|ist)\b'),
+    ('fr', r'\b(le|la|les|et|est)\b'),
+    ('es', r'\b(el|los|las|y|es)\b'),
+    ('zh', '[一-鿿]'),
+]
+
+
+def _read_docs(sf_dir, columns):
+    return ray.data.read_parquet(table_path(sf_dir, 'documents'), columns=columns)
+
+
+def _count_re(col, pattern):
+    return pc.cast(pc.count_substring_regex(col, pattern=pattern), pa.int64())
+
+
+def doc_token_stats(sf_dir):
+    """Per-doc token count, char count, avg token length (half-up r4)."""
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch.column('text')
+        n_tokens = _count_re(text, TOKEN_RE)
+        n_nonspace = _count_re(text, NONSPACE_RE)
+        nt = n_tokens.to_numpy(zero_copy_only=False).astype(np.float64)
+        ns = n_nonspace.to_numpy(zero_copy_only=False).astype(np.float64)
+        avg = np.where(nt > 0, round_half_up(np.divide(ns, np.maximum(nt, 1.0)), 4), 0.0)
+        return pa.table({
+            'doc_id': batch.column('doc_id'),
+            'n_tokens': n_tokens,
+            'n_chars_calc': pc.cast(pc.utf8_length(text), pa.int64()),
+            'avg_token_len': pa.array(avg, pa.float64()),
+        })
+    return _read_docs(sf_dir, ['doc_id', 'text']).map_batches(
+        stats, batch_format='pyarrow', zero_copy_batch=True)
+
+
+def doc_quality(sf_dir):
+    """Quality scoring: stopword/punct/digit counts, stopword ratio (r6),
+    boolean keep-gate — the standard corpus-hygiene signals."""
+    def quality(batch: pa.Table) -> pa.Table:
+        text = batch.column('text')
+        n_tokens = _count_re(text, TOKEN_RE)
+        n_stop = _count_re(text, STOPWORD_RE)
+        n_punct = _count_re(text, PUNCT_RE)
+        n_digit = _count_re(text, DIGIT_RE)
+        nt = n_tokens.to_numpy(zero_copy_only=False).astype(np.float64)
+        st = n_stop.to_numpy(zero_copy_only=False).astype(np.float64)
+        ratio = np.where(nt > 0, round_half_up(st / np.maximum(nt, 1.0), 6), 0.0)
+        is_quality = (n_tokens.to_numpy(zero_copy_only=False) >= 5) \
+            & (n_tokens.to_numpy(zero_copy_only=False) <= 2000) & (ratio > 0.01)
+        return pa.table({
+            'doc_id': batch.column('doc_id'),
+            'n_tokens': n_tokens,
+            'n_stopwords': n_stop,
+            'n_punct': n_punct,
+            'n_digits': n_digit,
+            'stopword_ratio': pa.array(ratio, pa.float64()),
+            'is_quality': pa.array(is_quality, pa.bool_()),
+        })
+    return _read_docs(sf_dir, ['doc_id', 'text']).map_batches(
+        quality, batch_format='pyarrow', zero_copy_batch=True)
+
+
+def lang_id(sf_dir):
+    """Marker-word language ID: argmax of per-language marker counts,
+    first-listed language wins ties; compared against the ``lang`` label."""
+    def ident(batch: pa.Table) -> pa.Table:
+        text = batch.column('text')
+        scores = np.stack([
+            _count_re(text, pat).to_numpy(zero_copy_only=False)
+            for _, pat in LANG_MARKERS])           # (L, n)
+        pred_idx = np.argmax(scores, axis=0)       # first max wins (= CASE order)
+        langs = np.array([l for l, _ in LANG_MARKERS])
+        pred = langs[pred_idx]
+        label = batch.column('lang').to_numpy(zero_copy_only=False)
+        return pa.table({
+            'doc_id': batch.column('doc_id'),
+            'pred_lang': pa.array(pred, pa.string()),
+            'lang': batch.column('lang'),
+            'is_match': pa.array(pred == label, pa.bool_()),
+        })
+    return _read_docs(sf_dir, ['doc_id', 'text', 'lang']).map_batches(
+        ident, batch_format='pyarrow', zero_copy_batch=True)
+
+
+def fingerprint_md5(sf_dir):
+    """Exact-dup fingerprint: md5 hex of the utf-8 text (C-speed loop)."""
+    def fp(batch: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(t.encode('utf-8')).hexdigest()
+               for t in batch.column('text').to_pylist()]
+        return pa.table({
+            'doc_id': batch.column('doc_id'),
+            'fp': pa.array(fps, pa.string()),
+        })
+    return _read_docs(sf_dir, ['doc_id', 'text']).map_batches(
+        fp, batch_format='pyarrow', zero_copy_batch=True)
+
+
+def winnow_fingerprints(text, k=5, w=4):
+    """Winnowing (Schleimer et al., SIGMOD'03): rolling k-gram crc32
+    hashes, per-window minimum selection.  Returns the selected hash set."""
+    data = text.encode('utf-8', 'replace')
+    n = len(data) - k + 1
+    if n <= 0:
+        return set()
+    hashes = np.empty(n, dtype=np.uint64)
+    for i in range(n):
+        hashes[i] = zlib.crc32(data[i:i + k])
+    if n <= w:
+        return {int(hashes.min())}
+    # sliding-window min via stride trick
+    from numpy.lib.stride_tricks import sliding_window_view
+    wins = sliding_window_view(hashes, w)
+    return set(int(v) for v in wins.min(axis=1))
+
+
+def fingerprint_winnow(sf_dir, k=5, w=4):
+    """Per-doc winnowing summary: #fingerprints, min, max (rows-only)."""
+    def fp(batch: pa.Table) -> pa.Table:
+        ns, mins, maxs = [], [], []
+        for t in batch.column('text').to_pylist():
+            s = winnow_fingerprints(t, k, w)
+            ns.append(len(s))
+            mins.append(min(s) if s else 0)
+            maxs.append(max(s) if s else 0)
+        return pa.table({
+            'doc_id': batch.column('doc_id'),
+            'n_fingerprints': pa.array(ns, pa.int64()),
+            'min_fp': pa.array(mins, pa.int64()),
+            'max_fp': pa.array(maxs, pa.int64()),
+        })
+    return _read_docs(sf_dir, ['doc_id', 'text']).map_batches(
+        fp, batch_format='pyarrow', zero_copy_batch=True)
