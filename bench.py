@@ -1,0 +1,144 @@
+"""Benchmark entry point (driver contract).
+
+Default mode: one JSON line with the headline extraction pipeline's
+wall-clock over the transcripts corpus derived from ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) plus per-query timings, at
+``ray.init(address='local', num_cpus=$RAY_GRAFT_CPUS)`` (default 32).
+
+``--scaling``: runs the headline pipeline in TWO FRESH PROCESSES at
+num_cpus=8 and num_cpus=32 on the same input (sandbox stand-in for N vs
+4N nodes per BASELINE.json north_rule) and reports both throughputs plus
+scaling efficiency = (T_32 / T_8) / 4.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get('GRAFT_SF_DIR', '/root/testdata/sf0.1')
+NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32') or '32')
+
+# Queries timed alongside the headline (representative of each op family).
+BENCH_QUERIES = ['q1_pricing', 'events_by_type', 'dedup_exact',
+                 'doc_token_stats', 'minhash_near_dup', 'embedding_dup_pairs',
+                 'ann_topk', 'events_sessionize']
+
+
+def _init_ray(num_cpus):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address='local', num_cpus=num_cpus, include_dashboard=False,
+                 logging_level='ERROR')
+
+
+def run_headline(num_cpus, sf_dir=SF_DIR, sf_mult=1):
+    """Flagship extraction: transcripts → extract → ordered bucketed write.
+
+    ``sf_mult`` scales the synthesized corpus relative to the sf_dir hint —
+    the scaling benchmark uses 4× so the job carries ≥60 s of work at
+    num_cpus=8 and fixed pipeline startup (~5 s) stops dominating.
+    """
+    from engine.ops.common import sf_from_dir
+    from engine.rayjob.transcripts import ensure_corpus
+    from engine.rayjob.pipeline import run_extraction
+
+    sf = float(sf_from_dir(sf_dir)) * sf_mult
+    corpus = ensure_corpus('%g' % sf)             # built before the clock
+    _init_ray(num_cpus)
+    out_dir = '/tmp/graft_bench_out/cpus%d' % num_cpus
+    t0 = time.perf_counter()
+    summary = run_extraction(corpus, out_dir, resume=False)
+    wall = time.perf_counter() - t0
+    return {'wall_s': wall, 'rows': summary['rows_out'],
+            'turns_per_sec': summary['rows_out'] / wall,
+            'decode_failures': summary['decode_failures'],
+            'span_count': summary['span_count']}
+
+
+def run_queries(sf_dir=SF_DIR):
+    import __ray_entry__ as entrymod
+    qs = entrymod.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        try:
+            import ray.data
+            if isinstance(res, ray.data.Dataset):
+                res.count()  # consume the stream
+        except Exception:
+            pass
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main_default():
+    _init_ray(NUM_CPUS)
+    head = run_headline(NUM_CPUS)
+    queries = run_queries()
+    sf = os.path.basename(os.path.normpath(SF_DIR)).lstrip('sf')
+    print(json.dumps({
+        'metric': 'extraction_wall_s',
+        'value': round(head['wall_s'], 3),
+        'unit': 'sec',
+        'turns_per_sec': round(head['turns_per_sec'], 1),
+        'rows': head['rows'],
+        'decode_failures': head['decode_failures'],
+        'span_count': head['span_count'],
+        'queries': queries,
+        'sf': sf,
+        'num_cpus': NUM_CPUS,
+    }))
+    import ray
+    ray.shutdown()
+
+
+SCALING_SF_MULT = int(os.environ.get('GRAFT_SCALING_SF_MULT', '4'))
+
+
+def main_child(num_cpus):
+    head = run_headline(num_cpus, sf_mult=SCALING_SF_MULT)
+    print('CHILD_RESULT ' + json.dumps({'num_cpus': num_cpus, **head}))
+    import ray
+    ray.shutdown()
+
+
+def main_scaling():
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), '--child', str(cpus)],
+            capture_output=True, text=True, timeout=3600,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [l for l in proc.stdout.splitlines()
+                if l.startswith('CHILD_RESULT ')]
+        if not line:
+            sys.stderr.write(proc.stdout + proc.stderr)
+            raise RuntimeError('child run at %d cpus produced no result' % cpus)
+        results[cpus] = json.loads(line[-1][len('CHILD_RESULT '):])
+    t8 = results[8]['turns_per_sec']
+    t32 = results[32]['turns_per_sec']
+    sf = os.path.basename(os.path.normpath(SF_DIR)).lstrip('sf')
+    print(json.dumps({
+        'metric': 'scaling_efficiency',
+        'value': round((t32 / t8) / 4.0, 4),
+        'unit': 'ratio',
+        'turns_per_sec_8': round(t8, 1),
+        'turns_per_sec_32': round(t32, 1),
+        'wall_s_8': round(results[8]['wall_s'], 3),
+        'wall_s_32': round(results[32]['wall_s'], 3),
+        'rows': results[8]['rows'],
+        'sf': sf,
+        'num_cpus': [8, 32],
+    }))
+
+
+if __name__ == '__main__':
+    if '--scaling' in sys.argv:
+        main_scaling()
+    elif '--child' in sys.argv:
+        main_child(int(sys.argv[sys.argv.index('--child') + 1]))
+    else:
+        main_default()

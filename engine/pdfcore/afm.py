@@ -24,16 +24,21 @@ _TOKEN_SPLIT = re.compile(r'\s*;\s*')
 class FontMetrics(object):
     """Parsed metrics for one font: ``char_metrics[name] = {'C':…, 'W':(wx,0)}``."""
 
-    __slots__ = ('font_name', 'char_metrics')
+    __slots__ = ('font_name', 'char_metrics', '_widths')
 
     def __init__(self, font_name, char_metrics):
         self.font_name = font_name
         self.char_metrics = char_metrics
+        self._widths = None
 
     def get_widths(self):
         """name → (wx, 0) for every (kept) character (reference
-        FontMetricsData.GetWidths)."""
-        return {k: v['W'] for k, v in self.char_metrics.items()}
+        FontMetricsData.GetWidths).  Memoized: FontMetrics instances are
+        corpus-invariant actor state, and the reference rebuilds this dict
+        per call only because it never amortizes anything."""
+        if self._widths is None:
+            self._widths = {k: v['W'] for k, v in self.char_metrics.items()}
+        return self._widths
 
     def get_character(self, name):
         """Metrics dict for a glyph name, or None (reference GetCharacter

@@ -225,6 +225,25 @@ class Mat(object):
     def identity():
         return Mat(1, 0, 0, 1, 0, 0)
 
+    def translate_mul(b, tx, ty):
+        """``Mat(1,0,0,1,tx,ty) * b`` without the two allocations + nine
+        float() calls of the generic path.  Per-term expression order of
+        the kept terms matches ``__mul__`` exactly; dropped terms are
+        ``1*x`` (exact) and ``+0*y`` (value-exact; can only flip the sign
+        of a zero result, which no consumer distinguishes — comparisons
+        use ``==`` and the assembler never renders coordinates)."""
+        m = Mat.__new__(Mat)
+        m.A = b.A
+        m.B = b.B
+        m.C = b.C
+        m.D = b.D
+        m.E = tx * b.A + ty * b.C + b.E
+        m.F = tx * b.B + ty * b.D + b.F
+        m.G = b.G
+        m.H = b.H
+        m.I = tx * b.G + ty * b.H + b.I
+        return m
+
     def __repr__(self):
         return "[%.2f %.2f; %.2f %.2f; %.2f %.2f]" % (self.A, self.B, self.C, self.D, self.E, self.F)
 
@@ -295,7 +314,7 @@ class TextState(object):
         self._Tlm = None
 
     def do_Td(self, x, y):
-        self.Tm = self.Tlm = Mat(1, 0, 0, 1, x, y) * self.Tlm
+        self.Tm = self.Tlm = self._Tlm.translate_mul(float(x), float(y))
 
     def do_TD(self, x, y):
         self.set_TL(-y)
@@ -310,10 +329,9 @@ class TextState(object):
         expression order from reference state.py:391-412."""
         if w is not None:
             tx = ((0.0 - w) / 1000.0 * self.Tfs) * (self.Tz / 100.0)
-            self.Tm = Mat(1, 0, 0, 1, tx, 0) * self.Tm
         else:
             tx = ((glyph.width - 0.0) / 1000.0 * self.Tfs + self.Tc + self.Tw) * (self.Tz / 100.0)
-            self.Tm = Mat(1, 0, 0, 1, tx, 0) * self.Tm
+        self.Tm = self._Tm.translate_mul(tx, 0.0)
 
     def copy(self):
         t = TextState.__new__(TextState)

@@ -57,6 +57,10 @@ class SharedFontState(object):
         self.std_fonts = _afm.load_afm_zip(afm_zip_path)
         # Force-load the JSON tables now (not lazily per batch)
         _enc.encoding_map('Std')
+        # Cross-turn cache of (avg, min, max) width stats for fonts whose
+        # widths are AFM-synthesized — those depend only on BaseFont, and
+        # transcripts repeat fonts heavily (SURVEY.md §3.5 actor-state LRU).
+        self.afm_width_stats = {}
 
     def std_font(self, name):
         if name not in self.std_fonts:
@@ -344,9 +348,21 @@ class Renderer(object):
                         for t in txt:
                             g = self.get_glyph(s.T.Tf, ord(t))
                             # position BEFORE advancing Tm; NB Tr-as-rise
-                            # cloned from reference __init__.py:521
-                            m = Mat(s.T.Tfs * s.T.Tz, 0, 0, s.T.Tfs, 0, s.T.Tr) * s.T.Tm * s.S.cm
-                            callback(s, 'glyph draw', page, (m.E, m.F), g)
+                            # cloned from reference __init__.py:521.  Only
+                            # (E, F) of Mat(Tfs*Tz,0,0,Tfs,0,Tr)*Tm*cm are
+                            # consumed — computed scalar-only below with the
+                            # reference multiply's exact per-term order
+                            # (bit-identical, no Mat allocations per glyph).
+                            T = s.T
+                            Tm = T._Tm
+                            cm = s.S.cm
+                            trf = float(T.Tr)
+                            m1e = 0.0 * Tm.A + trf * Tm.C + 1.0 * Tm.E
+                            m1f = 0.0 * Tm.B + trf * Tm.D + 1.0 * Tm.F
+                            m1i = 0.0 * Tm.G + trf * Tm.H + 1.0 * Tm.I
+                            x = m1e * cm.A + m1f * cm.C + m1i * cm.E
+                            y = m1e * cm.B + m1f * cm.D + m1i * cm.F
+                            callback(s, 'glyph draw', page, (x, y), g)
                             s.T.do_Tj(None, g)
                 callback(s, 'text end', page)
 
@@ -450,6 +466,7 @@ def get_full_text(doc, shared, collect_spans=False):
     page_errors = []
     spans = [] if collect_spans else None
     page_no = [0]
+    stats_by_font = {}   # per-turn: font oid key -> width-stats dict
 
     def cb(s, action, page, *args):
         if action == 'page exception':
@@ -458,15 +475,33 @@ def get_full_text(doc, shared, collect_spans=False):
         elif action == 'change font':
             Tf = args[0]
             f = rend.get_font(Tf)
+            okey = f.oid.key()
+            cached = stats_by_font.get(okey)
+            if cached is not None:
+                state['widths'] = cached
+                return
+            # AFM-synthesized widths depend only on BaseFont → shared cache
+            synth = (f.Widths is None and f.Subtype in ('TrueType', 'Type1'))
+            if synth:
+                cached = shared.afm_width_stats.get(f.BaseFont)
+                if cached is not None:
+                    get_font_widths(shared, f)   # still synthesize f.Widths
+                    stats_by_font[okey] = cached
+                    state['widths'] = cached
+                    return
             w = get_font_widths(shared, f)
             if type(w) == dict:
                 w = [v[0] for v in list(w.values()) if v[0] != 0]
-                state['widths'] = {'avg': sum(w) / float(len(w)), 'min': min(w), 'max': max(w)}
+                st = {'avg': sum(w) / float(len(w)), 'min': min(w), 'max': max(w)}
             elif type(w) == list:
                 w = [v for v in w if v != 0]
-                state['widths'] = {'avg': sum(w) / float(len(w)), 'min': min(w), 'max': max(w)}
+                st = {'avg': sum(w) / float(len(w)), 'min': min(w), 'max': max(w)}
             else:
                 raise PdfError("Unrecognized widths object type: '%s'" % str(w))
+            stats_by_font[okey] = st
+            if synth:
+                shared.afm_width_stats[f.BaseFont] = st
+            state['widths'] = st
         elif action == 'glyph draw':
             x, y = args[0]
             g = args[1]

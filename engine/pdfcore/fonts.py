@@ -84,6 +84,22 @@ def get_font_widths(shared, f):
     PDF.GetFontWidths, __init__.py:160-230; F9).  Mutates ``f``."""
     if f.Subtype in ('TrueType', 'Type1'):
         if f.Widths is None:
+            # Pure function of BaseFont → cross-turn cache on the shared
+            # actor state (fonts repeat heavily across transcript turns)
+            cache = getattr(shared, 'afm_widths_synth', None)
+            if cache is None:
+                cache = shared.afm_widths_synth = {}
+            # Synthesis depends on pre-set FirstChar/LastChar — only the
+            # fully-AFM-derived case (both None) is turn-invariant.
+            pure = f.FirstChar is None and f.LastChar is None
+            if pure:
+                hit = cache.get(f.BaseFont)
+                if hit is not None:
+                    wl, first, last = hit
+                    f.FirstChar = first
+                    f.LastChar = last
+                    f.Widths = list(wl)
+                    return f.Widths
             fm = shared.std_font(f.BaseFont)
             wids = fm.get_widths()
 
@@ -121,6 +137,8 @@ def get_font_widths(shared, f):
                     by_cid[i] = 0
 
             f.Widths = [by_cid[cid] for cid in sorted(by_cid)]
+            if pure:
+                cache[f.BaseFont] = (tuple(f.Widths), f.FirstChar, f.LastChar)
         return f.Widths
 
     elif f.Subtype == 'Type0':

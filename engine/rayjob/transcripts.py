@@ -102,12 +102,23 @@ def ensure_corpus(sf, base='/tmp/graft_transcripts', seed=42):
 
     n_convs scales linearly: sf 0.001 → 50 convs (~380 turns),
     sf 0.01 → 500, sf 0.1 → 5000 (~38k turns).
+
+    Generation runs in a SUBPROCESS so the hundreds of MB of intermediate
+    Python lists never pollute the caller's heap (the driver process goes
+    on to schedule the benchmark — GC pressure there skews timings).
     """
+    import subprocess
+    import sys
     n_convs = max(20, int(float(sf) * 50000))
     out_dir = corpus_dir_for_sf(sf, base)
     marker = os.path.join(out_dir, '_COMPLETE')
     if not os.path.exists(marker):
-        generate_transcripts(out_dir, n_convs, seed=seed)
+        repo_root = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        code = ('from engine.rayjob.transcripts import generate_transcripts; '
+                'generate_transcripts(%r, %d, seed=%d)' % (out_dir, n_convs, seed))
+        subprocess.run([sys.executable, '-c', code], cwd=repo_root, check=True,
+                       timeout=1800)
         with open(marker, 'w') as f:
             f.write('%d\n' % n_convs)
     return out_dir
