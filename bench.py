@@ -95,7 +95,10 @@ def main_default():
     ray.shutdown()
 
 
-SCALING_SF_MULT = int(os.environ.get('GRAFT_SCALING_SF_MULT', '4'))
+# The scaling corpus must carry enough work that fixed pipeline startup
+# (~5-8 s: actor-pool spawn + first-exec worker imports) stays <10% of the
+# 32-cpu wall — at sf0.1 that means ~48× the default corpus (~1.8M turns).
+SCALING_SF_MULT = int(os.environ.get('GRAFT_SCALING_SF_MULT', '48'))
 
 
 def main_child(num_cpus):

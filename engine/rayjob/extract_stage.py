@@ -54,6 +54,44 @@ class ExtractTurns(object):
         return pa.table(cols)
 
 
+class ExtractAndSpill(ExtractTurns):
+    """Extract + external-shuffle spill in one actor stage.
+
+    Instead of a Ray all-to-all (sort/groupby) after extraction, each
+    actor writes its output block straight to shared storage, sorted by
+    ``bucket`` with per-bucket-sized row groups so the per-bucket
+    compaction stage can prune row groups via parquet min/max stats.
+    Returns one tiny stat row per block — the object store never carries
+    the shuffled payload, and there is no global barrier operator.
+    """
+
+    def __init__(self, spill_dir, num_buckets):
+        super().__init__()
+        self.spill_dir = spill_dir
+        self.num_buckets = num_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
+        import uuid
+        import pyarrow.parquet as pq
+        out = super().__call__(batch)
+        ordered = out.sort_by([('bucket', 'ascending'),
+                               ('conv_id', 'ascending'),
+                               ('turn_idx', 'ascending')])
+        rg = max(32, ordered.num_rows // max(1, self.num_buckets))
+        fname = os.path.join(self.spill_dir, 'spill-%s.parquet' % uuid.uuid4().hex)
+        tmp = fname + '.tmp'
+        pq.write_table(ordered, tmp, row_group_size=rg)
+        os.replace(tmp, fname)
+        import pyarrow.compute as pc
+        failures = pc.sum(pc.cast(pc.invert(ordered.column('decode_ok')),
+                                  pa.int64())).as_py() or 0
+        return pa.table({
+            'rows': pa.array([ordered.num_rows], pa.int64()),
+            'decode_failures': pa.array([failures], pa.int64()),
+        })
+
+
 def assign_bucket(num_buckets):
     """Cheap stateless stage: bucket = crc32(conv_id) % num_buckets.
 

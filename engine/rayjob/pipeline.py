@@ -3,20 +3,30 @@ resumable, partitioned output (north star / north rule).
 
 Dataflow (all Ray Data, streaming executor, no driver-side row loops):
 
-  read_parquet(columns=conv_id,turn_idx,text)      # prune at the read
-    → map_batches(assign_bucket)                   # cheap crc32 bucketing
-    → [resume filter: drop finished buckets]       # BEFORE the heavy stage
-    → map_batches(ExtractTurns, actor pool)        # stateful, zero-copy
-    → groupby(bucket).map_groups(write_bucket)     # THE ordering shuffle:
-         sort by (conv_id, turn_idx) in-bucket, tmp+rename parquet,
-         emit one lineage row per bucket
+  Stage A (map-only, streaming):
+    read_parquet(columns=conv_id,turn_idx,text)    # prune at the read
+      → map_batches(assign_bucket)                 # cheap crc32 bucketing
+      → [resume filter: drop finished buckets]     # BEFORE the heavy stage
+      → map_batches(ExtractAndSpill, actor pool)   # stateful, zero-copy;
+           each block is extracted, sorted by bucket, and SPILLED to
+           shared storage with per-bucket row groups; only tiny stat
+           rows flow downstream
+  Stage B (map-only, one task per bucket):
+    from_items(buckets) → map_batches(compact)     # parquet predicate
+           read of one bucket across all spill files (row-group pruning
+           via bucket min/max stats) → in-bucket (conv_id, turn_idx)
+           sort → atomic tmp+rename part file → one lineage row
 
-Shuffle accounting: exactly ONE all-to-all exchange (the bucket groupby),
-keyed on a uniform crc32 hash — a single skewed conversation cannot skew a
-partition beyond its own size, and ``num_buckets`` scales the shuffle
-fan-out independently of input file layout.  At 100 TB: pick num_buckets so
-each bucket ≈ a few hundred MB; everything upstream is embarrassingly
-parallel per block.
+Shuffle accounting: the all-to-all exchange is EXTERNAL — through the
+shared filesystem, like Spark's shuffle files — so no Ray AllToAll
+barrier operator sits between extraction and write, the object store
+never holds the shuffled payload, and both stages are embarrassingly
+parallel (Stage A per block, Stage B per bucket).  Bucket keys are
+uniform crc32 hashes: a single skewed conversation cannot skew a
+partition beyond its own size.  At 100 TB: pick num_buckets so each
+bucket ≈ a few hundred MB and Stage B parallelism ≥ cluster cores;
+spill locality is whatever the cluster's shared store gives (the same
+trade Spark/MapReduce external shuffles make).
 """
 
 import os
@@ -28,21 +38,22 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from .extract_stage import ExtractTurns, assign_bucket, make_done_filter
+from .extract_stage import (ExtractTurns, ExtractAndSpill, assign_bucket,
+                            make_done_filter)
 from . import checkpoint
 
 __all__ = ['build_extract_dataset', 'run_extraction', 'default_concurrency']
 
 
 def default_concurrency():
-    """Actor-pool size: leave headroom so the read and shuffle stages are
-    never starved by the (long-lived) extraction actors — an actor pool
-    sized to ALL CPUs deadlocks the downstream AllToAll sort."""
+    """Actor-pool size: 7/8 of the cluster's CPUs, proportionally at every
+    cluster size (a fixed ``cpus - k`` skews small-vs-large scaling runs),
+    leaving headroom for the read tasks feeding the pool."""
     try:
         cpus = int(ray.cluster_resources().get('CPU', 4))
     except Exception:
         cpus = 4
-    return max(1, cpus - 2)
+    return max(1, cpus * 7 // 8)
 
 
 def build_extract_dataset(input_path, batch_size=64, concurrency=None,
@@ -60,57 +71,93 @@ def build_extract_dataset(input_path, batch_size=64, concurrency=None,
     return ds
 
 
-def _make_bucket_writer(out_dir):
-    def write_bucket(group: pa.Table) -> pa.Table:
-        t0 = time.perf_counter()
-        bucket = group.column('bucket')[0].as_py()
-        ordered = group.sort_by([('conv_id', 'ascending'), ('turn_idx', 'ascending')])
-        ordered = ordered.drop_columns(['bucket'])
-        fname = 'part-%05d.parquet' % bucket
-        tmp = os.path.join(out_dir, '_tmp-%s' % fname)
-        final = os.path.join(out_dir, fname)
-        pq.write_table(ordered, tmp)
-        os.replace(tmp, final)  # atomic publish
+def _make_bucket_compactor(spill_dir, out_dir):
+    """Stage B UDF: compact one bucket from the spill files — predicate
+    read with row-group pruning, in-bucket sort, atomic publish."""
+    def compact(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        failures = pc.sum(pc.cast(pc.invert(ordered.column('decode_ok')),
-                                  pa.int64())).as_py() or 0
-        spans = pc.sum(ordered.column('n_spans')).as_py() or 0
+        import pyarrow.dataset as pads
+        out = {'bucket': [], 'rows': [], 'decode_failures': [],
+               'span_count': [], 'wall_s': [], 'file': []}
+        dset = pads.dataset(spill_dir, format='parquet')
+        for bucket in batch.column('bucket').to_pylist():
+            t0 = time.perf_counter()
+            tbl = dset.to_table(filter=pads.field('bucket') == bucket)
+            ordered = tbl.sort_by([('conv_id', 'ascending'),
+                                   ('turn_idx', 'ascending')])
+            ordered = ordered.drop_columns(['bucket'])
+            fname = ''
+            if ordered.num_rows:
+                fname = 'part-%05d.parquet' % bucket
+                tmp = os.path.join(out_dir, '_tmp-%s' % fname)
+                pq.write_table(ordered, tmp)
+                os.replace(tmp, os.path.join(out_dir, fname))  # atomic publish
+            failures = pc.sum(pc.cast(pc.invert(ordered.column('decode_ok')),
+                                      pa.int64())).as_py() or 0
+            spans = pc.sum(ordered.column('n_spans')).as_py() or 0
+            out['bucket'].append(bucket)
+            out['rows'].append(ordered.num_rows)
+            out['decode_failures'].append(failures)
+            out['span_count'].append(spans)
+            out['wall_s'].append(time.perf_counter() - t0)
+            out['file'].append(fname)
         return pa.table({
-            'bucket': pa.array([bucket], pa.int32()),
-            'rows': pa.array([ordered.num_rows], pa.int64()),
-            'decode_failures': pa.array([failures], pa.int64()),
-            'span_count': pa.array([spans], pa.int64()),
-            'wall_s': pa.array([time.perf_counter() - t0], pa.float64()),
-            'file': pa.array([fname], pa.string()),
+            'bucket': pa.array(out['bucket'], pa.int32()),
+            'rows': pa.array(out['rows'], pa.int64()),
+            'decode_failures': pa.array(out['decode_failures'], pa.int64()),
+            'span_count': pa.array(out['span_count'], pa.int64()),
+            'wall_s': pa.array(out['wall_s'], pa.float64()),
+            'file': pa.array(out['file'], pa.string()),
         })
-    return write_bucket
+    return compact
 
 
-def run_extraction(input_path, out_dir, num_buckets=64, batch_size=64,
+def run_extraction(input_path, out_dir, num_buckets=64, batch_size=None,
                    concurrency=None, resume=True):
     """Run the full pipeline; returns a summary dict (job metrics)."""
+    import glob
+    import shutil
+    import uuid
+
     os.makedirs(out_dir, exist_ok=True)
     if not resume:
         checkpoint.reset_output(out_dir)
+    # stale spill dirs from crashed runs hold no lineage — drop them
+    for stale in glob.glob(os.path.join(out_dir, '_spill-*')):
+        shutil.rmtree(stale, ignore_errors=True)
     done = checkpoint.load_done_buckets(out_dir) if resume else {}
 
     t0 = time.perf_counter()
     if concurrency is None:
         concurrency = default_concurrency()
+    spill_dir = os.path.join(out_dir, '_spill-%s' % uuid.uuid4().hex)
+    os.makedirs(spill_dir)
 
+    # Stage A: map-only extract + external-shuffle spill
     ds = ray.data.read_parquet(input_path, columns=['conv_id', 'turn_idx', 'text'])
     ds = ds.map_batches(assign_bucket(num_buckets), batch_format='pyarrow',
                         zero_copy_batch=True)
     if done:
         ds = ds.map_batches(make_done_filter(done.keys()), batch_format='pyarrow',
                             zero_copy_batch=True)
-    ds = ds.map_batches(ExtractTurns, batch_format='pyarrow',
-                        batch_size=batch_size, concurrency=concurrency,
-                        zero_copy_batch=True)
-    manifest_ds = ds.groupby('bucket').map_groups(
-        _make_bucket_writer(out_dir), batch_format='pyarrow')
-    new_rows = manifest_ds.take_all()  # tiny: one row per bucket
+    stats = ds.map_batches(ExtractAndSpill,
+                           fn_constructor_args=(spill_dir, num_buckets),
+                           batch_format='pyarrow', batch_size=batch_size,
+                           concurrency=concurrency, zero_copy_batch=True)
+    extracted = sum(r['rows'] for r in stats.take_all())   # tiny stat rows
 
+    # Stage B: one compaction task per (not-yet-done) bucket
+    new_rows = []
+    if extracted:
+        todo = [b for b in range(num_buckets) if b not in done]
+        items = ray.data.from_items([{'bucket': b} for b in todo],
+                                    override_num_blocks=len(todo))
+        manifest_ds = items.map_batches(
+            _make_bucket_compactor(spill_dir, out_dir),
+            batch_format='pyarrow', batch_size=None)
+        new_rows = manifest_ds.take_all()      # one row per bucket
+
+    shutil.rmtree(spill_dir, ignore_errors=True)
     checkpoint.append_manifest_rows(out_dir, new_rows)
     wall = time.perf_counter() - t0
 

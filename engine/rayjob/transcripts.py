@@ -36,11 +36,13 @@ def _payloads():
     return good, bad
 
 
-def generate_transcripts(out_dir, n_convs, seed=42, rows_per_file=1000,
+def generate_transcripts(out_dir, n_convs, seed=42, rows_per_file=None,
                          corrupt_frac=0.02, long_conv_frac=0.02):
     """Write a deterministic transcripts corpus to ``out_dir``.
 
-    Returns (n_rows, n_files).
+    ``rows_per_file=None`` auto-sizes to ~256 files (big corpora must not
+    explode into thousands of tiny parquet files — read-task count tracks
+    file count).  Returns (n_rows, n_files).
     """
     rng = random.Random(seed)
     good, bad = _payloads()
@@ -72,6 +74,10 @@ def generate_transcripts(out_dir, n_convs, seed=42, rows_per_file=1000,
             tss.append(_TS_BASE_US + i * 60_000_000 + t * 1_000_000)
 
     n = len(conv_ids)
+    if rows_per_file is None:
+        # ~512 files: enough read→extract task granularity that the actor
+        # pool's tail stays balanced, without exploding into tiny files
+        rows_per_file = max(1000, -(-n // 512))
     order = list(range(n))
     rng.shuffle(order)  # shuffled row order within the corpus
 
