@@ -39,6 +39,11 @@ def _extract_fulltext(sf_dir: str) -> Any:
     return build_extract_dataset(_transcripts_dir(sf_dir))
 
 
+def _extract_spans(sf_dir: str) -> Any:
+    from engine.rayjob.pipeline import build_spans_dataset
+    return build_spans_dataset(_transcripts_dir(sf_dir))
+
+
 def _extract_metrics(sf_dir: str) -> Any:
     import pandas as pd
     from engine.rayjob.pipeline import build_extract_dataset
@@ -60,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship extraction (non-SQL: PDF interpretation) — rows-only check
         'extract_fulltext': _extract_fulltext,
+        'extract_spans': _extract_spans,
         'extract_metrics': _extract_metrics,
         # text analysis (oracle-checked)
         'doc_token_stats': textstats.doc_token_stats,

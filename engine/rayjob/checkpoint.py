@@ -37,6 +37,9 @@ def load_done_buckets(out_dir):
             if not line:
                 continue
             row = json.loads(line)
+            if row['rows'] == 0 and not row['file']:
+                done[row['bucket']] = row       # empty bucket: done by fiat
+                continue
             fpath = os.path.join(out_dir, row['file'])
             if os.path.exists(fpath):
                 done[row['bucket']] = row

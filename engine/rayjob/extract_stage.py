@@ -54,6 +54,42 @@ class ExtractTurns(object):
         return pa.table(cols)
 
 
+class ExtractSpans(object):
+    """Actor stage emitting ONE ROW PER POSITIONED SPAN (the reference's
+    ``glyph draw`` callback surface, U1) instead of per-turn text —
+    the exploded detail table for layout-aware downstream consumers."""
+
+    def __init__(self):
+        self.shared = SharedFontState()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        shared = self.shared
+        conv, turn, page, xs, ys, uni, cid, width = [], [], [], [], [], [], [], []
+        conv_ids = batch.column('conv_id').to_pylist()
+        turn_idxs = batch.column('turn_idx').to_pylist()
+        for c, t, payload in zip(conv_ids, turn_idxs, batch.column('text').to_pylist()):
+            r = extract_turn(payload, shared, collect_spans=True)
+            for (pg, x, y, u, g_cid, g_w) in (r['spans'] or ()):
+                conv.append(c)
+                turn.append(t)
+                page.append(pg)
+                xs.append(x)
+                ys.append(y)
+                uni.append(u)
+                cid.append(g_cid)
+                width.append(g_w)
+        return pa.table({
+            'conv_id': pa.array(conv, pa.string()),
+            'turn_idx': pa.array(turn, pa.int32()),
+            'page': pa.array(page, pa.int32()),
+            'x': pa.array(xs, pa.float64()),
+            'y': pa.array(ys, pa.float64()),
+            'unicode': pa.array(uni, pa.string()),
+            'cid': pa.array(cid, pa.int32()),
+            'width': pa.array(width, pa.float64()),
+        })
+
+
 class ExtractAndSpill(ExtractTurns):
     """Extract + external-shuffle spill in one actor stage.
 

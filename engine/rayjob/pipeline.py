@@ -38,11 +38,12 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from .extract_stage import (ExtractTurns, ExtractAndSpill, assign_bucket,
-                            make_done_filter)
+from .extract_stage import (ExtractTurns, ExtractAndSpill, ExtractSpans,
+                            assign_bucket, make_done_filter)
 from . import checkpoint
 
-__all__ = ['build_extract_dataset', 'run_extraction', 'default_concurrency']
+__all__ = ['build_extract_dataset', 'build_spans_dataset', 'run_extraction',
+           'default_concurrency']
 
 
 def default_concurrency():
@@ -69,6 +70,16 @@ def build_extract_dataset(input_path, batch_size=64, concurrency=None,
                         batch_size=batch_size, concurrency=concurrency,
                         zero_copy_batch=True)
     return ds
+
+
+def build_spans_dataset(input_path, batch_size=64, concurrency=None):
+    """Lazy Dataset of positioned spans, one row per drawn glyph."""
+    if concurrency is None:
+        concurrency = default_concurrency()
+    ds = ray.data.read_parquet(input_path, columns=['conv_id', 'turn_idx', 'text'])
+    return ds.map_batches(ExtractSpans, batch_format='pyarrow',
+                          batch_size=batch_size, concurrency=concurrency,
+                          zero_copy_batch=True)
 
 
 def _make_bucket_compactor(spill_dir, out_dir):
