@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'extract_metrics': _extract_metrics,
         # text analysis (oracle-checked)
         'doc_token_stats': textstats.doc_token_stats,
+        'doc_token_bpe': textstats.doc_token_bpe,
         'doc_quality': textstats.doc_quality,
         'lang_id': textstats.lang_id,
         'fingerprint_md5': textstats.fingerprint_md5,
@@ -105,6 +106,16 @@ SELECT doc_id,
             THEN floor(len(regexp_extract_all(text, '\S'))::DOUBLE
                        / len(regexp_extract_all(text, '\S+')) * 10000 + 0.5) / 10000
             ELSE 0.0 END AS avg_token_len
+FROM documents
+""",
+        'doc_token_bpe': r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))::BIGINT AS n_bpe_tokens,
+       CASE WHEN len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) > 0
+            THEN floor(length(text)::DOUBLE
+                       / len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                       * 10000 + 0.5) / 10000
+            ELSE 0.0 END AS chars_per_token
 FROM documents
 """,
         'doc_quality': r"""

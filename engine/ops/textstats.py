@@ -20,11 +20,14 @@ import ray.data
 from .common import round_half_up, table_path
 
 __all__ = ['doc_token_stats', 'doc_quality', 'lang_id', 'fingerprint_md5',
-           'fingerprint_winnow', 'TOKEN_RE', 'STOPWORD_RE', 'PUNCT_RE',
-           'DIGIT_RE', 'LANG_MARKERS']
+           'fingerprint_winnow', 'doc_token_bpe', 'TOKEN_RE', 'BPE_RE',
+           'STOPWORD_RE', 'PUNCT_RE', 'DIGIT_RE', 'LANG_MARKERS']
 
 # Regexes shared verbatim with the DuckDB oracles (both engines are RE2).
 TOKEN_RE = r'\S+'
+# BPE-ish pre-tokenizer (GPT-2-style word/number/punct splits, RE2-safe:
+# no lookahead) — the unit LLM token estimates are based on.
+BPE_RE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 NONSPACE_RE = r'\S'
 STOPWORD_RE = r'\b(the|a|of|to|and|in|is|it|that|for|on|as|with|by)\b'
 PUNCT_RE = r'[.,;:!?]'
@@ -64,6 +67,24 @@ def doc_token_stats(sf_dir):
             'n_tokens': n_tokens,
             'n_chars_calc': pc.cast(pc.utf8_length(text), pa.int64()),
             'avg_token_len': pa.array(avg, pa.float64()),
+        })
+    return _read_docs(sf_dir, ['doc_id', 'text']).map_batches(
+        stats, batch_format='pyarrow', zero_copy_batch=True)
+
+
+def doc_token_bpe(sf_dir):
+    """BPE-ish token count per doc (LLM-token estimate) + chars/token."""
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch.column('text')
+        n_bpe = _count_re(text, BPE_RE)
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        nb = n_bpe.to_numpy(zero_copy_only=False).astype(np.float64)
+        nc = n_chars.to_numpy(zero_copy_only=False).astype(np.float64)
+        cpt = np.where(nb > 0, round_half_up(nc / np.maximum(nb, 1.0), 4), 0.0)
+        return pa.table({
+            'doc_id': batch.column('doc_id'),
+            'n_bpe_tokens': n_bpe,
+            'chars_per_token': pa.array(cpt, pa.float64()),
         })
     return _read_docs(sf_dir, ['doc_id', 'text']).map_batches(
         stats, batch_format='pyarrow', zero_copy_batch=True)

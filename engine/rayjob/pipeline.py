@@ -27,6 +27,18 @@ partition beyond its own size.  At 100 TB: pick num_buckets so each
 bucket ≈ a few hundred MB and Stage B parallelism ≥ cluster cores;
 spill locality is whatever the cluster's shared store gives (the same
 trade Spark/MapReduce external shuffles make).
+
+Skew (the north rule's long-conversation concern): the COMPUTE stage is
+per-row — extraction never groups by conv_id — so a million-turn
+conversation parallelizes exactly like a million one-turn conversations
+and no salting is needed where it matters most.  The only key-grouped
+stage is per-bucket compaction, where a conversation's rows all land in
+one crc32 bucket: skew there is capped at the size of the single largest
+conversation.  If single conversations ever exceed a healthy bucket
+(~hundreds of MB), the escape hatch is a salted spill key
+``(conv_id, turn_idx // K)`` plus a per-conversation merge of the K-run
+sorted files at compaction — a documented extension, deliberately not the
+default because it buys nothing until that threshold.
 """
 
 import os
