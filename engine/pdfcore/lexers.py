@@ -94,6 +94,12 @@ _COS_LITERALS = {
 
 _COS_RE = _master(_COS_FUNCS, _COS_LITERALS)
 
+# lastindex → group name (integer dispatch beats m.lastgroup's reverse
+# lookup in the per-token hot loop; every alternative is one plain group)
+_COS_IDX = [None] * (len(_COS_RE.groupindex) + 1)
+for _n, _i in _COS_RE.groupindex.items():
+    _COS_IDX[_i] = _n
+
 
 def _scan_literal_simple(data, pos):
     """Balanced-paren literal scan with naive prev-char escape check.
@@ -160,27 +166,39 @@ def scan_cos(data, pos=None, stoptoken=None, streamlength=None):
     p = pos or 0
     n = len(data)
     match = _COS_RE.match
+    idxname = _COS_IDX
+    append = tokens.append
+    ws_idx = _COS_RE.groupindex['WS']
+    int_idx = _COS_RE.groupindex['INT']
+    name_idx = _COS_RE.groupindex['NAME']
     while p < n:
         m = match(data, p)
         if m is None:
             raise PdfLexError("Bad character ord='%d' at pos %d" % (ord(data[p]), p))
-        typ = m.lastgroup
+        gi = m.lastindex
         p2 = m.end()
-        if typ == 'WS':
+        if gi == ws_idx:
             p = p2
             continue
         start = p
         p = p2
-        if typ == 'INT':
-            tok = Tok('INT', int(m.group(0)), start)
-        elif typ == 'FLOAT':
-            tok = Tok('FLOAT', float(m.group(0)), start)
-        elif typ == 'NAME':
-            tok = Tok('NAME', m.group(0)[1:], start)
+        if gi == int_idx:
+            append(tok := Tok('INT', int(data[start:p2]), start))
+            if stoptoken is not None and tok.type == stoptoken:
+                break
+            continue
+        if gi == name_idx:
+            append(tok := Tok('NAME', data[start + 1:p2], start))
+            if stoptoken is not None and tok.type == stoptoken:
+                break
+            continue
+        typ = idxname[gi]
+        if typ == 'FLOAT':
+            tok = Tok('FLOAT', float(data[start:p2]), start)
         elif typ == 'HEXSTRING':
-            tok = Tok('HEXSTRING', m.group(0).rstrip('>').lstrip('<'), start)
+            tok = Tok('HEXSTRING', data[start + 1:p2 - 1], start)
         elif typ == 'COMMENT':
-            tok = Tok('COMMENT', m.group(0)[1:], start)
+            tok = Tok('COMMENT', data[start + 1:p2], start)
         elif typ == 'LIT_START':
             val, p = _scan_literal_simple(data, p)
             tok = Tok('LIT', val, start)
@@ -204,8 +222,8 @@ def scan_cos(data, pos=None, stoptoken=None, streamlength=None):
                 p += 1
             tok = Tok('stream', sval, start)
         else:
-            tok = Tok(typ, m.group(0), start)
-        tokens.append(tok)
+            tok = Tok(typ, data[start:p2], start)
+        append(tok)
         if stoptoken is not None and tok.type == stoptoken:
             break
     return tokens
