@@ -53,6 +53,8 @@ def run_headline(num_cpus, sf_dir=SF_DIR, sf_mult=1):
     wall = time.perf_counter() - t0
     return {'wall_s': wall, 'rows': summary['rows_out'],
             'turns_per_sec': summary['rows_out'] / wall,
+            'stage_a_s': round(summary['stage_a_s'], 3),
+            'stage_b_s': round(summary['stage_b_s'], 3),
             'decode_failures': summary['decode_failures'],
             'span_count': summary['span_count']}
 
@@ -132,6 +134,8 @@ def main_scaling():
         'turns_per_sec_32': round(t32, 1),
         'wall_s_8': round(results[8]['wall_s'], 3),
         'wall_s_32': round(results[32]['wall_s'], 3),
+        'stage_a_s': {'8': results[8]['stage_a_s'], '32': results[32]['stage_a_s']},
+        'stage_b_s': {'8': results[8]['stage_b_s'], '32': results[32]['stage_b_s']},
         'rows': results[8]['rows'],
         'sf': sf,
         'num_cpus': [8, 32],

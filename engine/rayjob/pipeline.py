@@ -168,6 +168,7 @@ def run_extraction(input_path, out_dir, num_buckets=64, batch_size=None,
                            batch_format='pyarrow', batch_size=batch_size,
                            concurrency=concurrency, zero_copy_batch=True)
     extracted = sum(r['rows'] for r in stats.take_all())   # tiny stat rows
+    stage_a_s = time.perf_counter() - t0
 
     # Stage B: one compaction task per (not-yet-done) bucket
     new_rows = []
@@ -180,6 +181,7 @@ def run_extraction(input_path, out_dir, num_buckets=64, batch_size=None,
             batch_format='pyarrow', batch_size=None)
         new_rows = manifest_ds.take_all()      # one row per bucket
 
+    stage_b_s = time.perf_counter() - t0 - stage_a_s
     shutil.rmtree(spill_dir, ignore_errors=True)
     checkpoint.append_manifest_rows(out_dir, new_rows)
     wall = time.perf_counter() - t0
@@ -195,6 +197,8 @@ def run_extraction(input_path, out_dir, num_buckets=64, batch_size=None,
         'buckets': len(all_rows),
         'buckets_this_run': len(new_rows),
         'wall_s': wall,
+        'stage_a_s': stage_a_s,
+        'stage_b_s': stage_b_s,
         'turns_per_sec': (fresh / wall) if wall > 0 else 0.0,
         'out_dir': out_dir,
     }
