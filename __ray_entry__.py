@@ -44,6 +44,11 @@ def _extract_spans(sf_dir: str) -> Any:
     return build_spans_dataset(_transcripts_dir(sf_dir))
 
 
+def _dedup_payloads(sf_dir: str) -> Any:
+    from engine.ops.dedup import dedup_exact_payloads
+    return dedup_exact_payloads(_transcripts_dir(sf_dir))
+
+
 def _extract_metrics(sf_dir: str) -> Any:
     import pandas as pd
     from engine.rayjob.pipeline import build_extract_dataset
@@ -76,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'fingerprint_winnow': textstats.fingerprint_winnow,   # rows-only
         # dedup
         'dedup_exact': dedup.dedup_exact,
+        'dedup_exact_payloads': _dedup_payloads,      # rows-only (transcripts)
         'ngram_jaccard_pairs': dedup.ngram_jaccard_pairs,
         'minhash_near_dup': dedup.minhash_near_dup,           # rows-only
         'simhash_near_dup': dedup.simhash_near_dup,           # rows-only
@@ -93,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'top_parts': relational.top_parts,
         # multimodal plumbing (stub codecs) — rows-only
         'multimodal_features': multimodal.decode_media_features,
+        'multimodal_resize': multimodal.resize_media,
+        'multimodal_frames': multimodal.sample_frames,
     }
 
 

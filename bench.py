@@ -76,9 +76,14 @@ def run_queries(sf_dir=SF_DIR):
     return out
 
 
+# Headline corpus = 4× the sf hint: 37k rows (sf0.1) is startup-dominated at
+# 32 cpus; 150k rows keeps the run <20 s while measuring mostly steady state.
+BENCH_SF_MULT = int(os.environ.get('GRAFT_BENCH_SF_MULT', '4'))
+
+
 def main_default():
     _init_ray(NUM_CPUS)
-    head = run_headline(NUM_CPUS)
+    head = run_headline(NUM_CPUS, sf_mult=BENCH_SF_MULT)
     queries = run_queries()
     sf = os.path.basename(os.path.normpath(SF_DIR)).lstrip('sf')
     print(json.dumps({

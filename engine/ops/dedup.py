@@ -31,8 +31,8 @@ import ray.data
 
 from .common import round_half_up, table_path
 
-__all__ = ['dedup_exact', 'ngram_jaccard_pairs', 'minhash_near_dup',
-           'simhash_near_dup', 'shingle_set']
+__all__ = ['dedup_exact', 'dedup_exact_payloads', 'ngram_jaccard_pairs',
+           'minhash_near_dup', 'simhash_near_dup', 'shingle_set']
 
 _TOKEN_RE = re.compile(r'\S+')
 
@@ -97,6 +97,44 @@ def dedup_exact(sf_dir):
 
     ds = ray.data.read_parquet(table_path(sf_dir, 'documents'),
                                columns=['doc_id', 'text'])
+    return (ds.map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
+              .groupby('fp').map_groups(final, batch_format='pyarrow'))
+
+
+def dedup_exact_payloads(corpus_dir):
+    """Exact dedup over the TRANSCRIPTS corpus payloads (corpus hygiene on
+    the flagship input): distinct payload fingerprints + copy counts +
+    first (conv_id, turn_idx) survivor.  Same combiner-then-groupby shape
+    as :func:`dedup_exact`, keyed on md5 of the PDF payload — at 10^12
+    turns this is the stage that caps re-extraction of repeated payloads.
+    """
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        fps = pa.array([hashlib.md5(t.encode('utf-8')).hexdigest()
+                        for t in batch.column('text').to_pylist()], pa.string())
+        t = pa.table({'fp': fps,
+                      'conv_id': batch.column('conv_id'),
+                      'turn_idx': batch.column('turn_idx')})
+        g = t.sort_by([('fp', 'ascending'), ('conv_id', 'ascending'),
+                       ('turn_idx', 'ascending')]) \
+             .group_by('fp', use_threads=False) \
+             .aggregate([('conv_id', 'first'), ('turn_idx', 'first'),
+                         ('fp', 'count')])
+        return g.rename_columns(['fp', 'conv_id', 'turn_idx', 'n_copies'])
+
+    def final(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ordered = group.sort_by([('conv_id', 'ascending'), ('turn_idx', 'ascending')])
+        return pa.table({
+            'fp': ordered.column('fp').slice(0, 1),
+            'conv_id': ordered.column('conv_id').slice(0, 1),
+            'turn_idx': ordered.column('turn_idx').slice(0, 1),
+            'n_copies': pa.array([pc.sum(group.column('n_copies')).as_py()],
+                                 pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(corpus_dir, columns=['conv_id', 'turn_idx', 'text'])
     return (ds.map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
               .groupby('fp').map_groups(final, batch_format='pyarrow'))
 

@@ -21,6 +21,7 @@ import ray.data
 from .common import round_half_up, table_path
 
 __all__ = ['synthesize_media', 'DecodeMedia', 'decode_media_features',
+           'ResizeMedia', 'resize_media', 'FrameSample', 'sample_frames',
            'MEDIA_SCHEMA', 'FEATURES_SCHEMA']
 
 _MAGIC = b'MMV1'
@@ -155,4 +156,112 @@ def decode_media_features(sf_dir, batch_size=64):
     """synthesize → actor-pool decode; returns FEATURES_SCHEMA dataset."""
     return synthesize_media(sf_dir).map_batches(
         DecodeMedia, batch_format='pyarrow', batch_size=batch_size,
+        concurrency=(1, 8), zero_copy_batch=True)
+
+
+class ResizeMedia:
+    """Actor-pool resize stage: decode → nearest-neighbor resample →
+    re-encode in the same MMV1 container.  ``fake=False`` is the real-codec
+    seam (PIL's ``Image.resize``); the fake path does a REAL nearest-
+    neighbor resample on the fake pixel buffer so the plumbing (payload in,
+    payload out, metadata update) is fully exercised."""
+
+    def __init__(self, target_w, target_h, fake=True):
+        self.tw = int(target_w)
+        self.th = int(target_h)
+        self.fake = fake
+
+    def _resize(self, payload):
+        if not self.fake:
+            raise NotImplementedError('PIL not available in this container')
+        if payload[:4] != _MAGIC or len(payload) < 16:
+            return None
+        w, h, ch = (int(v) for v in np.frombuffer(payload[4:16], dtype='<u4'))
+        body = np.frombuffer(payload[16:16 + w * h * ch], dtype=np.uint8)
+        if body.size != w * h * ch:
+            return None
+        img = body.reshape(h, w, ch)
+        yi = (np.arange(self.th) * h // self.th)
+        xi = (np.arange(self.tw) * w // self.tw)
+        out = img[yi][:, xi]                      # nearest-neighbor
+        head = _MAGIC + np.array([self.tw, self.th, ch], dtype='<u4').tobytes()
+        return head + out.tobytes(), ch
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads, ws, hs, cs, ok = [], [], [], [], []
+        for payload in batch.column('payload').to_pylist():
+            r = self._resize(payload)
+            if r is None:
+                payloads.append(payload)
+                ws.append(0)
+                hs.append(0)
+                cs.append(0)
+                ok.append(False)
+            else:
+                p, ch = r
+                payloads.append(p)
+                ws.append(self.tw)
+                hs.append(self.th)
+                cs.append(ch)
+                ok.append(True)
+        return pa.table({
+            'media_id': batch.column('media_id'),
+            'kind': batch.column('kind'),
+            'payload': pa.array(payloads, pa.large_binary()),
+            'meta_width': pa.array(ws, pa.int32()),
+            'meta_height': pa.array(hs, pa.int32()),
+            'meta_channels': pa.array(cs, pa.int32()),
+        })
+
+
+class FrameSample:
+    """Actor-pool frame-sampling stage for 'video' payloads: treats the
+    body as H frames of W×ch and emits every ``stride``-th frame as its own
+    MMV1 'image' row (flat_map shape: one input row → many output rows).
+    Real codecs (ffmpeg) plug in at the ``fake=False`` seam."""
+
+    def __init__(self, stride=4, fake=True):
+        self.stride = int(stride)
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError('ffmpeg not available in this container')
+        mid, fidx, frames = [], [], []
+        kinds = batch.column('kind').to_pylist()
+        for i, payload in enumerate(batch.column('payload').to_pylist()):
+            if kinds[i] != 'video' or payload[:4] != _MAGIC:
+                continue
+            w, h, ch = (int(v) for v in np.frombuffer(payload[4:16], dtype='<u4'))
+            body = np.frombuffer(payload[16:16 + w * h * ch], dtype=np.uint8)
+            if body.size != w * h * ch:
+                continue
+            vid = body.reshape(h, w, ch)          # rows as 'frames'
+            media_id = batch.column('media_id')[i].as_py()
+            for f in range(0, h, self.stride):
+                frame = vid[f]
+                head = _MAGIC + np.array([w, 1, ch], dtype='<u4').tobytes()
+                mid.append(media_id)
+                fidx.append(f)
+                frames.append(head + frame.tobytes())
+        return pa.table({
+            'media_id': pa.array(mid, pa.int64()),
+            'frame_idx': pa.array(fidx, pa.int32()),
+            'frame': pa.array(frames, pa.large_binary()),
+        })
+
+
+def resize_media(sf_dir, target_w=16, target_h=16, batch_size=64):
+    """synthesize → actor-pool resize; returns MEDIA_SCHEMA dataset."""
+    return synthesize_media(sf_dir).map_batches(
+        ResizeMedia, fn_constructor_args=(target_w, target_h),
+        batch_format='pyarrow', batch_size=batch_size,
+        concurrency=(1, 8), zero_copy_batch=True)
+
+
+def sample_frames(sf_dir, stride=4, batch_size=64):
+    """synthesize → actor-pool frame sampling (row-expanding stage)."""
+    return synthesize_media(sf_dir).map_batches(
+        FrameSample, fn_constructor_args=(stride,),
+        batch_format='pyarrow', batch_size=batch_size,
         concurrency=(1, 8), zero_copy_batch=True)

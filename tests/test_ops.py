@@ -110,6 +110,26 @@ def test_multimodal_roundtrip(ray_session):
     assert set(df.kind) == {'image', 'audio', 'video'}
 
 
+def test_multimodal_resize(ray_session):
+    from engine.ops import multimodal
+    df = multimodal.resize_media(SF_DIR, target_w=10, target_h=6).to_pandas()
+    ok = df[df.meta_width > 0]
+    assert len(ok) == len(df)          # every fake payload resizes
+    assert (ok.meta_width == 10).all() and (ok.meta_height == 6).all()
+    # payload length matches the new dims exactly
+    assert all(len(p) == 16 + 10 * 6 * c
+               for p, c in zip(ok.payload, ok.meta_channels))
+
+
+def test_multimodal_frame_sample(ray_session):
+    from engine.ops import multimodal
+    df = multimodal.sample_frames(SF_DIR, stride=4).to_pandas()
+    assert len(df) > 0
+    assert (df.frame_idx % 4 == 0).all()
+    # only video rows produce frames: media_id % 3 == 2 by synth convention
+    assert (df.media_id % 3 == 2).all()
+
+
 def test_multimodal_real_codec_seam():
     from engine.ops.multimodal import DecodeMedia
     with pytest.raises(NotImplementedError):
