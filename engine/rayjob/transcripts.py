@@ -17,6 +17,11 @@ import pyarrow.parquet as pq
 
 __all__ = ['generate_transcripts', 'ensure_corpus', 'corpus_dir_for_sf']
 
+# Bump when gen_pdf's variant pool or the generator's drawing logic changes:
+# cached corpora under /tmp are keyed by (sf, POOL_VERSION) so stale caches
+# can never mix generations.
+POOL_VERSION = 2
+
 _ROLES = ('user', 'assistant', 'tool')
 _TS_BASE_US = 1735689600000000  # 2025-01-01T00:00:00Z, fixed epoch base
 
@@ -100,7 +105,7 @@ def generate_transcripts(out_dir, n_convs, seed=42, rows_per_file=None,
 
 def corpus_dir_for_sf(sf, base='/tmp/graft_transcripts'):
     """Deterministic corpus location for a scale factor."""
-    return os.path.join(base, 'sf%s' % sf)
+    return os.path.join(base, 'sf%s-v%d' % (sf, POOL_VERSION))
 
 
 def ensure_corpus(sf, base='/tmp/graft_transcripts', seed=42):

@@ -436,15 +436,61 @@ def v18c():
     return b.build()
 
 
+def v19():
+    """Quote ops: page 2 uses ' (TstarTj) which the REFERENCE cannot render
+    (ValueError "Cannot render 'TstarTj' token yet", __init__.py:543) —
+    error-envelope parity test: both engines record a page exception,
+    CONTINUE (falsy callback return), and leak page 2's pre-exception
+    glyphs into page 3's string (the un-cleared txt buffer quirk)."""
+    b = _Builder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R 6 0 R 8 0 R] /Count 3 >>")
+    res = b"<< /Font << /F1 5 0 R >> >>"
+    for pagenum, ctnum in ((3, 4), (6, 7), (8, 9)):
+        b.add(pagenum, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                       b"/Resources " + res + b" /Contents %d 0 R >>" % ctnum)
+    b.add(5, _HELV)
+    b.add_stream(4, b"", b"BT /F1 12 Tf 72 720 Td (Page one) Tj ET")
+    b.add_stream(7, b"", b"BT /F1 12 Tf 72 720 Td (Before quote) Tj 14 TL (quoted) ' ET")
+    b.add_stream(9, b"", b"BT /F1 12 Tf 72 700 Td (Page three) Tj ET")
+    return b.build()
+
+
+def v20():
+    """Nested page tree (DFS order over a Pages-inside-Pages split),
+    octal escapes in literals, and a second standard font (Times-Roman)."""
+    b = _Builder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    # root Pages: [leaf 3, inner Pages 6]; inner: [leaf 8, leaf 10]
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 3 >>")
+    res = b"<< /Font << /F1 5 0 R /F2 12 0 R >> >>"
+    b.add(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources " + res + b" /Contents 4 0 R >>")
+    b.add(6, b"<< /Type /Pages /Parent 2 0 R /Kids [8 0 R 10 0 R] /Count 2 >>")
+    b.add(8, b"<< /Type /Page /Parent 6 0 R /MediaBox [0 0 612 792] "
+             b"/Resources " + res + b" /Contents 9 0 R >>")
+    b.add(10, b"<< /Type /Page /Parent 6 0 R /MediaBox [0 0 612 792] "
+              b"/Resources " + res + b" /Contents 11 0 R >>")
+    b.add(5, _HELV)
+    b.add(12, _TIMES)
+    b.add_stream(4, b"", b"BT /F1 12 Tf 72 720 Td (\\101\\102\\103 octal) Tj ET")
+    b.add_stream(9, b"", b"BT /F2 14 Tf 72 700 Td (Times page) Tj ET")
+    b.add_stream(11, b"", b"BT /F1 10 Tf 72 680 Td (\\164ail \\051paren) Tj ET")
+    return b.build()
+
+
 VARIANTS = {
     'V01': v01, 'V02': v02, 'V03': v03, 'V04': v04, 'V05': v05,
     'V06': v06, 'V07': v07, 'V08': v08, 'V09': v09, 'V10': v10,
     'V11': v11, 'V12': v12, 'V13': v13, 'V14': v14, 'V15': v15,
     'V16': v16, 'V17': v17,
     'V18a': v18a, 'V18b': v18b, 'V18c': v18c,
+    'V19': v19, 'V20': v20,
 }
 
-CORRUPT = frozenset(('V18a', 'V18b', 'V18c'))
+# "corrupt" = expected decode_ok=False (incl. V19's in-envelope page
+# exception that the reference also cannot render)
+CORRUPT = frozenset(('V18a', 'V18b', 'V18c', 'V19'))
 
 
 def variant_ids(include_corrupt=True):
