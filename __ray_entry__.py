@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'embedding_dup_pairs': similarity.embedding_dup_pairs,
         'ann_topk': similarity.ann_topk,
         'ann_topk_lsh': similarity.ann_topk_lsh,              # rows-only
+        'ann_topk_ivf': similarity.ann_topk_ivf,              # rows-only
         # relational / plan-op layer
         'q1_pricing': relational.q1_pricing,
         'top_orders_revenue': relational.top_orders_revenue,

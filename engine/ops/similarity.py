@@ -23,7 +23,7 @@ import ray.data
 
 from .common import round_half_up, table_path
 
-__all__ = ['embedding_dup_pairs', 'ann_topk', 'ann_topk_lsh']
+__all__ = ['embedding_dup_pairs', 'ann_topk', 'ann_topk_lsh', 'ann_topk_ivf']
 
 
 def _read_embeddings(sf_dir):
@@ -202,6 +202,73 @@ def ann_topk_lsh(sf_dir, n_queries=16, k=5):
     ref = ray.put(_query_matrix(sf_dir, n_queries))
     partial = _read_embeddings(sf_dir).map_batches(
         _LshPartial, fn_constructor_args=(ref, k),
+        batch_format='pyarrow', concurrency=(1, 8), zero_copy_batch=True)
+    return partial.groupby('query_id').map_groups(_final_topk(k),
+                                                  batch_format='pyarrow')
+
+
+def _kmeans(mat, nlist, iters=10, seed=0):
+    """Tiny deterministic k-means (numpy, fixed seed/iters) for the IVF
+    coarse quantizer.  Train set is driver-side — at 100 TB you train on a
+    sample, which is exactly what this is."""
+    rng = np.random.RandomState(seed)
+    cent = mat[rng.choice(len(mat), size=nlist, replace=False)].copy()
+    for _ in range(iters):
+        sims = mat @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(nlist):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+class _IvfPartial:
+    """IVF probe: batch rows compete only when their nearest centroid is in
+    the query's nprobe-centroid list — per batch work O(N·nlist) assignment
+    plus O(candidates) scoring."""
+
+    def __init__(self, ref, k, nprobe):
+        (self.qids, self.qmat), self.cent = ray.get(ref)
+        self.k = k
+        qsims = self.qmat @ self.cent.T                         # (Q, nlist)
+        self.qprobes = np.argsort(-qsims, axis=1)[:, :nprobe]   # (Q, nprobe)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bids, bmat = _batch_matrix(batch)
+        assign = (bmat @ self.cent.T).argmax(axis=1)            # (nb,)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(self.qids)):
+            mask = np.isin(assign, self.qprobes[qi]) & (bids != self.qids[qi])
+            if not mask.any():
+                continue
+            cids = bids[mask]
+            sims = bmat[mask] @ self.qmat[qi]
+            k = min(self.k, len(cids))
+            top = np.argpartition(-sims, kth=k - 1)[:k]
+            out_q.extend([self.qids[qi]] * k)
+            out_n.extend(cids[top].tolist())
+            out_s.extend(sims[top].tolist())
+        return pa.table({
+            'query_id': pa.array(out_q, pa.int64()),
+            'neighbor_id': pa.array(out_n, pa.int64()),
+            'score_raw': pa.array(out_s, pa.float64()),
+        })
+
+
+def ann_topk_ivf(sf_dir, n_queries=16, k=5, nlist=16, nprobe=4):
+    """IVF approximate top-k: deterministic k-means coarse quantizer
+    (trained driver-side on the corpus sample), nprobe-cell probing
+    (rows-only check; the scale path alongside LSH)."""
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    _, corpus = _corpus_matrix(sf_dir)
+    cent = _kmeans(corpus, nlist)
+    ref = ray.put(((qids, qmat), cent))
+    partial = _read_embeddings(sf_dir).map_batches(
+        _IvfPartial, fn_constructor_args=(ref, k, nprobe),
         batch_format='pyarrow', concurrency=(1, 8), zero_copy_batch=True)
     return partial.groupby('query_id').map_groups(_final_topk(k),
                                                   batch_format='pyarrow')

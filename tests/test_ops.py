@@ -99,6 +99,20 @@ def test_ann_lsh_recall(ray_session):
     assert len(ek & ak) / len(ek) > 0.2
 
 
+def test_ann_ivf_recall(ray_session):
+    """IVF with nprobe=4/16 cells must overlap exact top-k on clustered
+    embeddings (labels form 10 real clusters) and never beat exact rank-1."""
+    from engine.ops import similarity
+    exact = similarity.ann_topk(SF_DIR).to_pandas()
+    ivf = similarity.ann_topk_ivf(SF_DIR).to_pandas()
+    e1 = exact[exact['rank'] == 1].set_index('query_id').score
+    for q, s in ivf[ivf['rank'] == 1].set_index('query_id').score.items():
+        assert s <= e1[q] + 1e-9
+    ek = set(zip(exact.query_id, exact.neighbor_id))
+    ik = set(zip(ivf.query_id, ivf.neighbor_id))
+    assert len(ek & ik) / len(ek) > 0.3
+
+
 def test_multimodal_roundtrip(ray_session):
     from engine.ops import multimodal
     df = multimodal.decode_media_features(SF_DIR).to_pandas()

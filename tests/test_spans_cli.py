@@ -36,7 +36,7 @@ def test_cli_end_to_end(tmp_path):
     r = subprocess.run(
         [sys.executable, '-m', 'engine.rayjob.main', '--input', corpus,
          '--output', out, '--num-buckets', '8', '--concurrency', '2'],
-        capture_output=True, text=True, timeout=300,
+        capture_output=True, text=True, timeout=560,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))), env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     summary = json.loads(r.stdout.strip().splitlines()[-1])
@@ -46,7 +46,7 @@ def test_cli_end_to_end(tmp_path):
     r2 = subprocess.run(
         [sys.executable, '-m', 'engine.rayjob.main', '--input', corpus,
          '--output', out, '--num-buckets', '8', '--concurrency', '2'],
-        capture_output=True, text=True, timeout=300,
+        capture_output=True, text=True, timeout=560,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))), env=env)
     assert r2.returncode == 0, r2.stderr[-2000:]
     summary2 = json.loads(r2.stdout.strip().splitlines()[-1])
