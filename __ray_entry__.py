@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'supplier_balance_by_nation': relational.supplier_balance_by_nation,
         'events_by_type': relational.events_by_type,
         'events_sessionize': relational.events_sessionize,
+        'events_windowed': relational.events_windowed,
+        'events_asof_orders': relational.events_asof_orders,
         'top_parts': relational.top_parts,
         # multimodal plumbing (stub codecs) — rows-only
         'multimodal_features': multimodal.decode_media_features,
@@ -262,6 +264,18 @@ SELECT user_id, count(*)::BIGINT AS n_events,
                       AND epoch_us(ts) - epoch_us(pts) > 1800000000
                      THEN 1 ELSE 0 END))::BIGINT AS n_sessions
 FROM d GROUP BY user_id
+""",
+        'events_windowed': """
+SELECT event_type, date_trunc('day', ts) AS window_start,
+       count(*)::BIGINT AS n_events,
+       floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+FROM events GROUP BY event_type, date_trunc('day', ts)
+""",
+        'events_asof_orders': """
+SELECT e.event_id, e.user_id, o.o_orderdate AS asof_orderdate
+FROM events e
+ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """,
         'top_parts': """
 SELECT p_partkey, p_name, p_retailprice FROM part

@@ -25,7 +25,7 @@ from .common import round_half_up, table_path, read_small_table
 
 __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'supplier_balance_by_nation', 'events_by_type', 'events_sessionize',
-           'top_parts']
+           'events_windowed', 'events_asof_orders', 'top_parts']
 
 Q1_CUTOFF = '1998-09-02'
 
@@ -257,6 +257,93 @@ def events_sessionize(sf_dir, gap_s=1800):
     ds = ray.data.read_parquet(table_path(sf_dir, 'events'),
                                columns=['user_id', 'ts'])
     return ds.groupby('user_id').map_groups(sessions, batch_format='pyarrow')
+
+
+def events_windowed(sf_dir):
+    """Tumbling 1-day windowed aggregate per event type: the window key is
+    DERIVED IN THE MAP STAGE (vectorized timestamp floor), so the groupby
+    shuffle moves pre-aggregated (type, window) combiner rows only — the
+    standard way to express time windows when the engine has no native
+    window operator."""
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column('ts'), unit='day')
+        t = pa.table({'event_type': batch.column('event_type'),
+                      'window_start': day,
+                      'value': batch.column('value')})
+        g = t.group_by(['event_type', 'window_start']).aggregate(
+            [('value', 'sum'), ('value', 'count')])
+        return g.rename_columns(['event_type', 'window_start', 'v_sum', 'cnt'])
+
+    def final(group: pa.Table) -> pa.Table:
+        v = pc.sum(group.column('v_sum')).as_py() or 0.0
+        n = pc.sum(group.column('cnt')).as_py() or 0
+        return pa.table({
+            'event_type': group.column('event_type').slice(0, 1),
+            'window_start': group.column('window_start').slice(0, 1),
+            'n_events': pa.array([n], pa.int64()),
+            'sum_value': pa.array(round_half_up([v], 2), pa.float64()),
+        })
+
+    ds = ray.data.read_parquet(table_path(sf_dir, 'events'),
+                               columns=['event_type', 'ts', 'value'])
+    return (ds.map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
+              .groupby(['event_type', 'window_start'])
+              .map_groups(final, batch_format='pyarrow'))
+
+
+class _AsofLookup:
+    """Broadcast as-of join: per-key sorted date arrays, binary-searched
+    per probe row — the pattern for an as-of join Ray Data lacks natively
+    (small build side; for a large build side, co-partition both sides by
+    key and do the same search per partition)."""
+
+    def __init__(self, ref):
+        self.by_key = ray.get(ref)   # custkey -> sorted int64[us] dates
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        users = batch.column('user_id').to_numpy(zero_copy_only=False)
+        ts = batch.column('ts').cast(pa.int64()).to_numpy(zero_copy_only=False)
+        out = np.empty(len(users), dtype=np.int64)
+        valid = np.zeros(len(users), dtype=bool)
+        by_key = self.by_key
+        for i in range(len(users)):
+            dates = by_key.get(users[i])
+            if dates is None:
+                continue
+            j = np.searchsorted(dates, ts[i], side='right') - 1
+            if j >= 0:
+                out[i] = dates[j]
+                valid[i] = True
+        return pa.table({
+            'event_id': batch.column('event_id'),
+            'user_id': batch.column('user_id'),
+            'asof_orderdate': pa.array(
+                [int(v) if ok else None for v, ok in zip(out, valid)],
+                pa.timestamp('us')),
+        })
+
+
+def events_asof_orders(sf_dir):
+    """As-of join: each event matched to the latest order date of the same
+    customer at-or-before the event time (events.user_id = orders.o_custkey,
+    o_orderdate <= ts)."""
+    orders = read_small_table(sf_dir, 'orders', ['o_custkey', 'o_orderdate'])
+    import numpy as np
+    cust = orders.column('o_custkey').to_numpy(zero_copy_only=False)
+    dates = orders.column('o_orderdate').cast(pa.int64()).to_numpy(zero_copy_only=False)
+    by_key = {}
+    order_ix = np.lexsort((dates, cust))
+    for i in order_ix:
+        by_key.setdefault(int(cust[i]), []).append(int(dates[i]))
+    by_key = {k: np.asarray(v, dtype=np.int64) for k, v in by_key.items()}
+    ref = ray.put(by_key)
+
+    ds = ray.data.read_parquet(table_path(sf_dir, 'events'),
+                               columns=['event_id', 'user_id', 'ts'])
+    return ds.map_batches(_AsofLookup, fn_constructor_args=(ref,),
+                          batch_format='pyarrow', concurrency=(1, 4),
+                          zero_copy_batch=True)
 
 
 def top_parts(sf_dir, topk=10):

@@ -45,7 +45,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'dedup_exact', 'ngram_jaccard_pairs', 'embedding_dup_pairs',
                   'ann_topk', 'q1_pricing', 'top_orders_revenue',
                   'customers_per_region', 'supplier_balance_by_nation',
-                  'events_by_type', 'events_sessionize', 'top_parts']
+                  'events_by_type', 'events_sessionize', 'events_windowed',
+                  'events_asof_orders', 'top_parts']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
