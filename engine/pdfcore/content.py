@@ -93,15 +93,15 @@ def postfix_to_prefix(tokens):
                         if lastidx != j - 2:
                             raise PdfError("Operator BDC skipped over operands")
                         normal_check = False
-                        lastidx = j - 1
                         break
                     j -= 1
             else:
                 ret.append(PDFToken(tt, tuple(tokens[i - 2:i])))
-            if normal_check:
-                if lastidx != i - 3:
-                    raise PdfError("Operator %s at %d skipped over operands" % (tt, i))
-                lastidx = i
+            if normal_check and lastidx != i - 3:
+                raise PdfError("Operator %s at %d skipped over operands" % (tt, i))
+            # the reference sets lastidx = i unconditionally here
+            # (text.py:477), including after the BDC special case
+            lastidx = i
 
         elif tt in _OPS3:
             ret.append(PDFToken(tt, tuple(tokens[i - 3:i])))
@@ -354,7 +354,7 @@ class GraphicsState(object):
 
     __slots__ = ('cm', 'text', 'colorspace', 'color', 'linewidth', 'linecap',
                  'linejoin', 'miterlimit', 'dashpattern', 'renderingintent',
-                 'strokeadjustment', 'blendmode', 'alphaconstant',
+                 'ri', 'strokeadjustment', 'blendmode', 'alphaconstant',
                  'alphasource', 'overprint', 'overprintmode', 'flatness',
                  'smoothness', 'startpos', 'path')
 
@@ -369,6 +369,12 @@ class GraphicsState(object):
         self.miterlimit = 10.0
         self.dashpattern = (tuple(), 0)
         self.renderingintent = 1
+        # Cloned reference quirk: the 'ri' op and gs.RI assign a STRAY
+        # attribute `State.ri` (reference __init__.py:371,382: `s.S.ri = v`)
+        # that bypasses the validated `renderingintent` property entirely —
+        # so 'Perceptual' (which the reference's RI_MAP misspells as
+        # 'Perception') is silently accepted, never validated.
+        self.ri = None
         self.strokeadjustment = False
         self.blendmode = 0
         self.alphaconstant = (1.0, 1.0)
@@ -392,6 +398,7 @@ class GraphicsState(object):
         s.miterlimit = self.miterlimit
         s.dashpattern = self.dashpattern
         s.renderingintent = self.renderingintent
+        s.ri = self.ri
         s.strokeadjustment = self.strokeadjustment
         s.blendmode = self.blendmode
         s.alphaconstant = self.alphaconstant

@@ -34,12 +34,10 @@ from . import encodings as _enc
 __all__ = ['SharedFontState', 'Renderer', 'extract_turn',
            'split_literal', 'split_hex', 'get_token_string']
 
-_RI_MAP = {
-    'AbsoluteColorimetric': 0,
-    'RelativeColorimetric': 1,
-    'Saturation': 2,
-    'Perception': 3,
-}
+# NB: the reference defines an RI_MAP (state.py:36-40, misspelling
+# 'Perceptual' as 'Perception') behind a validated property that its own
+# 'ri' dispatch never reaches (stray-attribute bug) — so no equivalent
+# table exists here; see the 'ri' branch below.
 
 
 class SharedFontState(object):
@@ -235,12 +233,10 @@ class Renderer(object):
             elif tt == 'M':
                 s.S.miterlimit = tok.value[0].value
             elif tt == 'ri':
-                v = tok.value[0].value
-                if isinstance(v, str):
-                    if v not in _RI_MAP:
-                        raise PdfError("Unrecognized rendering intent value: '%s'" % v)
-                    v = _RI_MAP[v]
-                s.S.renderingintent = v
+                # stray-attribute assignment, UNVALIDATED (cloned quirk:
+                # reference `s.S.ri = ...` never hits its renderingintent
+                # property, so the RI_MAP validation is dead code)
+                s.S.ri = tok.value[0].value
             elif tt == 'w':
                 s.S.linewidth = tok.value[0].value
             elif tt == 'gs':
@@ -405,12 +401,7 @@ class Renderer(object):
         if gs.D is not None:
             raise NotImplementedError("Graphics state setting dash pattern not implemented yet")
         if gs.RI is not None:
-            v = gs.RI
-            if isinstance(v, str):
-                if v not in _RI_MAP:
-                    raise PdfError("Unrecognized rendering intent value: '%s'" % v)
-                v = _RI_MAP[v]
-            s.S.renderingintent = v
+            s.S.ri = gs.RI   # stray-attribute clone, unvalidated (see 'ri' op)
 
         if gs.OP is not None and gs.op is not None:
             s.S.overprint = (bool(gs.OP), bool(gs.op))

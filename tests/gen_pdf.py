@@ -479,13 +479,43 @@ def v20():
     return b.build()
 
 
+def v21():
+    """Graphics-state breadth: gs ExtGState (supported Table-4.8 keys only),
+    BDC with INLINE DICT (the P4 arity special case), numeric SCN/scn,
+    dash array, v/y curves, W-n clip, and a NONZERO Tr render mode — the
+    only variant where the cloned Tr-as-rise position bug (reference
+    __init__.py:521 uses s.T.Tr where rise Ts is plausibly intended) is
+    actually observable in the glyph y coordinates.
+
+    Deliberately excluded (reference page-exceptions on them, verified):
+    SCN/scn with a pattern-name operand, MP, DP, B*/B/b paint ops."""
+    b = _Builder()
+    res = (b"<< /Font << /F1 5 0 R >> "
+           b"/ExtGState << /GS1 6 0 R >> >>")
+    content = (b"q /GS1 gs "
+               b"[3 2] 0 d 1 j 1 J 4 M /Perceptual ri 1 i "
+               b"0.2 0.3 0.4 SCN 0.5 scn "
+               b"/OC << /MCID 5 >> BDC "
+               b"100 100 m 150 180 120 160 v 200 100 180 120 y h W n "
+               b"BT /F1 12 Tf 1 Tr 72 700 Td (Stateful text) Tj ET "
+               b"EMC Q "
+               b"BT /F1 12 Tf 72 680 Td (After Q) Tj ET")
+    _skeleton(b, [4], resources=res)
+    b.add_stream(4, b"", content)
+    b.add(5, _HELV)
+    b.add(6, b"<< /Type /ExtGState /LW 2 /LC 1 /LJ 1 /ML 5 "
+             b"/RI /Perceptual /OPM 1 /FL 50 /SM 0.1 /SA true /BM /Normal "
+             b"/CA 0.5 /ca 0.5 /AIS false >>")
+    return b.build()
+
+
 VARIANTS = {
     'V01': v01, 'V02': v02, 'V03': v03, 'V04': v04, 'V05': v05,
     'V06': v06, 'V07': v07, 'V08': v08, 'V09': v09, 'V10': v10,
     'V11': v11, 'V12': v12, 'V13': v13, 'V14': v14, 'V15': v15,
     'V16': v16, 'V17': v17,
     'V18a': v18a, 'V18b': v18b, 'V18c': v18c,
-    'V19': v19, 'V20': v20,
+    'V19': v19, 'V20': v20, 'V21': v21,
 }
 
 # "corrupt" = expected decode_ok=False (incl. V19's in-envelope page
