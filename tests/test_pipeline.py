@@ -107,3 +107,78 @@ def test_resume_skips_done_and_rebuilds_missing(ray_session, extracted):
     assert sorted(os.path.basename(p) for p in parts2) == sorted(original)
     rebuilt = pq.read_table(os.path.join(out, victim))
     assert rebuilt.equals(original[victim])
+
+
+def test_stale_spill_cleaned_and_ignored(ray_session, corpus, tmp_path_factory):
+    """A crashed run's _spill-* leftovers must be deleted on the next run
+    and never pollute compaction output."""
+    from engine.rayjob.pipeline import run_extraction
+    d, n = corpus
+    out = str(tmp_path_factory.mktemp('out_stale'))
+    os.makedirs(out, exist_ok=True)
+    stale = os.path.join(out, '_spill-deadbeef')
+    os.makedirs(stale)
+    # poison: a plausible-looking spill file that would corrupt bucket 0
+    import pyarrow as pa
+    pq.write_table(pa.table({
+        'conv_id': pa.array(['conv-zzz'], pa.string()),
+        'turn_idx': pa.array([0], pa.int32()),
+        'text': pa.array(['POISON'], pa.string()),
+        'n_spans': pa.array([0], pa.int32()),
+        'n_pages': pa.array([0], pa.int32()),
+        'decode_ok': pa.array([True], pa.bool_()),
+        'error': pa.array([''], pa.string()),
+        'bucket': pa.array([0], pa.int32()),
+    }), os.path.join(stale, 'spill-junk.parquet'))
+
+    summary = run_extraction(d, out, num_buckets=4, batch_size=32,
+                             concurrency=2, resume=True)
+    assert not os.path.exists(stale)
+    assert summary['rows_out'] == n
+    for p in glob.glob(os.path.join(out, 'part-*.parquet')):
+        t = pq.read_table(p, columns=['text'])
+        assert 'POISON' not in set(t.column('text').to_pylist())
+
+
+def test_giant_conversation_skew(ray_session, tmp_path_factory):
+    """One conversation holding ~40% of all turns (the north rule's skew
+    concern): extraction is per-row so the job completes with every bucket
+    bounded by that single conversation, ordering intact."""
+    from engine.rayjob.pipeline import run_extraction
+    from engine.rayjob.transcripts import generate_transcripts
+    d = str(tmp_path_factory.mktemp('skewed'))
+    generate_transcripts(d, n_convs=30, seed=11, rows_per_file=200,
+                         long_conv_frac=0.0)
+    # append one giant conversation as an extra file
+    import pyarrow as pa
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from gen_pdf import build_variant
+    payload = build_variant('V01').decode('latin-1')
+    giant = 120
+    pq.write_table(pa.table({
+        'conv_id': pa.array(['conv-giant'] * giant, pa.string()),
+        'turn_idx': pa.array(list(range(giant)), pa.int32()),
+        'role': pa.array(['user'] * giant, pa.string()),
+        'text': pa.array([payload] * giant, pa.string()),
+        'tool': pa.array([''] * giant, pa.string()),
+        'ts': pa.array([1735689600000000 + i for i in range(giant)],
+                       pa.timestamp('us')),
+    }), os.path.join(d, 'part-giant.parquet'))
+
+    out = str(tmp_path_factory.mktemp('out_skew'))
+    summary = run_extraction(d, out, num_buckets=4, batch_size=32,
+                             concurrency=2, resume=False)
+    # the giant conversation landed whole in exactly one bucket, ordered
+    rows = [json.loads(l) for l in open(checkpoint.manifest_path(out))]
+    assert sum(r['rows'] for r in rows) == summary['rows_out']
+    found = 0
+    for p in glob.glob(os.path.join(out, 'part-*.parquet')):
+        t = pq.read_table(p, columns=['conv_id', 'turn_idx'])
+        ids = t.column('conv_id').to_pylist()
+        if 'conv-giant' in ids:
+            found += 1
+            idxs = [ti for ci, ti in zip(ids, t.column('turn_idx').to_pylist())
+                    if ci == 'conv-giant']
+            assert idxs == list(range(giant))
+    assert found == 1
