@@ -509,13 +509,39 @@ def v21():
     return b.build()
 
 
+def v22():
+    """Type0/Identity-H with MULTI-BYTE CIDs (> 0xFF): 2-byte hex grouping,
+    high-plane ToUnicode bfrange, W array spanning the high cids, and the
+    Identity fallback (chr(cid)) for a cid the CMap does not map."""
+    b = _Builder()
+    # cids: 0x0141 (mapped by bfrange to Ł..), 0x0152 (mapped), 0x0200
+    # (NOT in the CMap → Identity-H fallback chr(0x0200))
+    content = b"BT /F1 12 Tf 72 540 Td <014101520200> Tj ET"
+    _skeleton(b, [4])
+    b.add_stream(4, b"", content)
+    b.add(5, b"<< /Type /Font /Subtype /Type0 /BaseFont /FakeCID3 "
+             b"/Encoding /Identity-H /DescendantFonts [6 0 R] /ToUnicode 7 0 R >>")
+    b.add(6, b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /FakeCID3 "
+             b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> "
+             b"/W [321 [600 610] 338 340 630 512 513 650] >>")
+    cm = (b"/CIDInit /ProcSet findresource begin\n"
+          b"12 dict begin\nbegincmap\n"
+          b"/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+          b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+          b"1 beginbfchar\n<0141> <0141>\nendbfchar\n"
+          b"1 beginbfrange\n<0150> <0160> <0150>\nendbfrange\n"
+          b"endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+    b.add_stream(7, b"", cm)
+    return b.build()
+
+
 VARIANTS = {
     'V01': v01, 'V02': v02, 'V03': v03, 'V04': v04, 'V05': v05,
     'V06': v06, 'V07': v07, 'V08': v08, 'V09': v09, 'V10': v10,
     'V11': v11, 'V12': v12, 'V13': v13, 'V14': v14, 'V15': v15,
     'V16': v16, 'V17': v17,
     'V18a': v18a, 'V18b': v18b, 'V18c': v18c,
-    'V19': v19, 'V20': v20, 'V21': v21,
+    'V19': v19, 'V20': v20, 'V21': v21, 'V22': v22,
 }
 
 # "corrupt" = expected decode_ok=False (incl. V19's in-envelope page
