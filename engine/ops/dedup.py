@@ -8,12 +8,15 @@ Four families, each with its own scale shape:
                           (``lang``): the oracle-verifiable baseline.  O(n²)
                           per block — at 100 TB this is the verification tier
                           for candidates, not the discovery tier.
-- ``minhash_near_dup``  — the discovery tier that scales: 128-perm MinHash →
+- ``minhash_near_dup``  — the discovery tier that scales (Broder 1997,
+                          'On the resemblance and containment of documents'):
+                          128-perm MinHash →
                           32×4 LSH bands → band-key groupby (the ONLY
                           all-to-all) → exact-Jaccard verification of the
                           (small) candidate set against a broadcast shingle
                           lookup.
-- ``simhash_near_dup``  — 64-bit SimHash, 4×16-bit chunk blocking, Hamming
+- ``simhash_near_dup``  — 64-bit SimHash (Charikar 2002, STOC similarity
+                          estimation), 4×16-bit chunk blocking, Hamming
                           distance verify.
 
 Jaccard here is over DISTINCT word-3-gram sets, integer |∩|/|∪| arithmetic —

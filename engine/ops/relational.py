@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from .common import round_half_up, table_path, read_small_table
+from .common import BroadcastLookup, round_half_up, table_path, read_small_table
 
 __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'supplier_balance_by_nation', 'events_by_type', 'events_sessionize',
@@ -77,11 +77,12 @@ def q1_pricing(sf_dir):
               .map_groups(final, batch_format='pyarrow'))
 
 
-class _FilterByKeySet:
+class _FilterByKeySet(BroadcastLookup):
     """Broadcast semi-join: keep rows whose key column hits a broadcast set."""
 
     def __init__(self, ref, col):
-        self.keys = pa.array(sorted(ray.get(ref)), pa.int64())
+        super().__init__(ref)
+        self.keys = pa.array(sorted(self.state), pa.int64())
         self.col = col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -134,14 +135,11 @@ def top_orders_revenue(sf_dir, segment='BUILDING', topk=10):
     return top.map_batches(finish, batch_format='pyarrow')
 
 
-class _MapThroughDims:
+class _MapThroughDims(BroadcastLookup):
     """Broadcast hash join: nationkey → region name lookup inside the batch."""
 
-    def __init__(self, ref):
-        self.nat_to_region = ray.get(ref)
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        lut = self.nat_to_region
+        lut = self.state
         names = [lut[k] for k in batch.column('c_nationkey').to_pylist()]
         t = pa.table({'r_name': pa.array(names, pa.string())})
         g = t.group_by('r_name').aggregate([([], 'count_all')])
@@ -173,12 +171,9 @@ def customers_per_region(sf_dir):
               .groupby('r_name').map_groups(final, batch_format='pyarrow'))
 
 
-class _NationName:
-    def __init__(self, ref):
-        self.nmap = ray.get(ref)
-
+class _NationName(BroadcastLookup):
     def __call__(self, batch: pa.Table) -> pa.Table:
-        names = [self.nmap[k] for k in batch.column('s_nationkey').to_pylist()]
+        names = [self.state[k] for k in batch.column('s_nationkey').to_pylist()]
         t = pa.table({'n_name': pa.array(names, pa.string()),
                       'bal': batch.column('s_acctbal')})
         g = t.group_by('n_name').aggregate([('bal', 'sum'), ('bal', 'count')])
@@ -291,14 +286,11 @@ def events_windowed(sf_dir):
               .map_groups(final, batch_format='pyarrow'))
 
 
-class _AsofLookup:
+class _AsofLookup(BroadcastLookup):
     """Broadcast as-of join: per-key sorted date arrays, binary-searched
     per probe row — the pattern for an as-of join Ray Data lacks natively
     (small build side; for a large build side, co-partition both sides by
     key and do the same search per partition)."""
-
-    def __init__(self, ref):
-        self.by_key = ray.get(ref)   # custkey -> sorted int64[us] dates
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -306,7 +298,7 @@ class _AsofLookup:
         ts = batch.column('ts').cast(pa.int64()).to_numpy(zero_copy_only=False)
         out = np.empty(len(users), dtype=np.int64)
         valid = np.zeros(len(users), dtype=bool)
-        by_key = self.by_key
+        by_key = self.state       # custkey -> sorted int64[us] dates
         for i in range(len(users)):
             dates = by_key.get(users[i])
             if dates is None:

@@ -8,7 +8,7 @@
 - ``ann_topk``            — brute-force cosine top-k: per-batch partial
   top-k (numpy argpartition) → per-query groupby merges partials.  This is
   the exact baseline the approximate variants are judged against.
-- ``ann_topk_lsh``        — random-hyperplane LSH bucketing: queries probe
+- ``ann_topk_lsh``        — random-hyperplane LSH bucketing (Charikar 2002): queries probe
   only their own bucket(s) — the scale path (approximate; rows-only check).
 
 All distances are computed in float64 from float32 inputs; emitted scores
@@ -260,7 +260,8 @@ class _IvfPartial:
 
 
 def ann_topk_ivf(sf_dir, n_queries=16, k=5, nlist=16, nprobe=4):
-    """IVF approximate top-k: deterministic k-means coarse quantizer
+    """IVF approximate top-k (inverted-file index à la FAISS IVF-Flat):
+    deterministic k-means coarse quantizer
     (trained driver-side on the corpus sample), nprobe-cell probing
     (rows-only check; the scale path alongside LSH)."""
     qids, qmat = _query_matrix(sf_dir, n_queries)

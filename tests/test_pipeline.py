@@ -182,3 +182,18 @@ def test_giant_conversation_skew(ray_session, tmp_path_factory):
                     if ci == 'conv-giant']
             assert idxs == list(range(giant))
     assert found == 1
+
+
+def test_corpus_generation_deterministic(tmp_path_factory):
+    """Same (n_convs, seed) → byte-identical corpus, independent of dir."""
+    import hashlib
+    from engine.rayjob.transcripts import generate_transcripts
+    hashes = []
+    for name in ('deta', 'detb'):
+        d = str(tmp_path_factory.mktemp(name))
+        generate_transcripts(d, n_convs=15, seed=3, rows_per_file=100)
+        h = hashlib.md5()
+        for p in sorted(glob.glob(os.path.join(d, 'part-*.parquet'))):
+            h.update(pq.read_table(p).to_pandas().to_csv().encode())
+        hashes.append(h.hexdigest())
+    assert hashes[0] == hashes[1]
