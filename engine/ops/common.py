@@ -58,6 +58,8 @@ class BroadcastLookup:
 
     def __init__(self, state_ref):
         import ray
+        pa.set_cpu_count(1)       # 1-CPU actor: don't spawn core-count pools
+        pa.set_io_thread_count(1)
         self.state = ray.get(state_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:  # pragma: no cover
