@@ -20,7 +20,7 @@ __all__ = ['generate_transcripts', 'ensure_corpus', 'corpus_dir_for_sf']
 # Bump when gen_pdf's variant pool or the generator's drawing logic changes:
 # cached corpora under /tmp are keyed by (sf, POOL_VERSION) so stale caches
 # can never mix generations.
-POOL_VERSION = 2
+POOL_VERSION = 3
 
 _ROLES = ('user', 'assistant', 'tool')
 _TS_BASE_US = 1735689600000000  # 2025-01-01T00:00:00Z, fixed epoch base
