@@ -52,3 +52,21 @@ def test_cli_end_to_end(tmp_path):
     summary2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert summary2['rows_this_run'] == 0
     assert summary2['rows_out'] == summary['rows_out']
+
+
+def test_inspector_cli(tmp_path):
+    """python -m engine.inspect over a fixture PDF: all modes run."""
+    import subprocess
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from gen_pdf import build_variant
+    pdf = tmp_path / 'v20.pdf'
+    pdf.write_bytes(build_variant('V20'))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for args, expect in [([], 'pages: 3'), (['--pages'], 'page 3:'),
+                         (['--ls'], 'offset'), (['--cat', '3'], 'Contents'),
+                         (['--text'], 'Times page')]:
+        r = subprocess.run([sys.executable, '-m', 'engine.inspect',
+                            str(pdf)] + args,
+                           capture_output=True, text=True, timeout=120, cwd=root)
+        assert r.returncode == 0, r.stderr[-500:]
+        assert expect in r.stdout
