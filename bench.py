@@ -34,6 +34,11 @@ def _init_ray(num_cpus):
         # 15% faster with prestart off (idle workers never help here — the
         # fused read+extract chain runs entirely inside the actor pool).
         os.environ.setdefault('RAY_enable_worker_prestart', 'false')
+        # Tried and rejected: RAY_num_server_call_thread=1 (+17%/actor in a
+        # pure in-memory kernel diagnostic at 28 actors, but -8% END-TO-END
+        # on the real pipeline — one gRPC server-call thread serializes task
+        # dispatch / block handoff; the thread census win doesn't survive
+        # contact with the read+spill stages).
         ray.init(address='local', num_cpus=num_cpus, include_dashboard=False,
                  logging_level='ERROR')
 
