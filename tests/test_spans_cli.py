@@ -70,3 +70,20 @@ def test_inspector_cli(tmp_path):
                            capture_output=True, text=True, timeout=120, cwd=root)
         assert r.returncode == 0, r.stderr[-500:]
         assert expect in r.stdout
+
+
+def test_entry_module_does_not_init_ray():
+    """Driver contract: importing __ray_entry__ must not start a Ray session.
+
+    The driver calls ray.init() itself BEFORE importing the module; an
+    import-time init would collide with (or shadow) the driver's session.
+    Fresh process so this session's Ray state can't mask a violation.
+    """
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, '-c',
+         'import ray, __ray_entry__, engine.rayjob.pipeline, engine.ops;'
+         'print("initialized:", ray.is_initialized())'],
+        capture_output=True, text=True, timeout=120, cwd=root)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert 'initialized: False' in r.stdout
