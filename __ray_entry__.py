@@ -50,17 +50,36 @@ def _dedup_payloads(sf_dir: str) -> Any:
 
 
 def _extract_metrics(sf_dir: str) -> Any:
+    """SINGLE-PASS metrics: one combiner map_batches emits per-batch
+    partial counters, one tiny .sum() folds them — the read→extract DAG
+    executes exactly once (three separate ds.count()/sum()/filter() calls
+    would each re-run the full extraction)."""
     import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
     from engine.rayjob.pipeline import build_extract_dataset
     ds = build_extract_dataset(_transcripts_dir(sf_dir))
-    agg = ds.sum(['n_spans', 'n_pages'])
-    n_turns = ds.count()
-    failures = ds.filter(expr='decode_ok == False').count()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        fails = pc.sum(pc.cast(pc.invert(batch.column('decode_ok')),
+                               pa.int64())).as_py() or 0
+        return pa.table({
+            'n_turns': pa.array([batch.num_rows], pa.int64()),
+            'decode_failures': pa.array([fails], pa.int64()),
+            'total_spans': pa.array([pc.sum(batch.column('n_spans')).as_py() or 0],
+                                    pa.int64()),
+            'total_pages': pa.array([pc.sum(batch.column('n_pages')).as_py() or 0],
+                                    pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format='pyarrow',
+                         zero_copy_batch=True).sum(
+        ['n_turns', 'decode_failures', 'total_spans', 'total_pages'])
     return pd.DataFrame([{
-        'n_turns': n_turns,
-        'decode_failures': failures,
-        'total_spans': agg['sum(n_spans)'],
-        'total_pages': agg['sum(n_pages)'],
+        'n_turns': agg['sum(n_turns)'],
+        'decode_failures': agg['sum(decode_failures)'],
+        'total_spans': agg['sum(total_spans)'],
+        'total_pages': agg['sum(total_pages)'],
     }])
 
 

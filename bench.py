@@ -23,7 +23,7 @@ NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32') or '32')
 # Queries timed alongside the headline (representative of each op family).
 BENCH_QUERIES = ['q1_pricing', 'events_by_type', 'dedup_exact',
                  'doc_token_stats', 'minhash_near_dup', 'embedding_dup_pairs',
-                 'ann_topk', 'events_sessionize']
+                 'ann_topk', 'events_sessionize', 'extract_metrics']
 
 
 def _init_ray(num_cpus):
@@ -73,15 +73,13 @@ def run_queries(sf_dir=SF_DIR):
     import __ray_entry__ as entrymod
     qs = entrymod.queries()
     out = {}
+    import ray.data
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
+        # Errors PROPAGATE: a timing for a failed query is a lie.
         res = qs[name](sf_dir)
-        try:
-            import ray.data
-            if isinstance(res, ray.data.Dataset):
-                res.count()  # consume the stream
-        except Exception:
-            pass
+        if isinstance(res, ray.data.Dataset):
+            res.count()  # consume the stream
         out[name] = round(time.perf_counter() - t0, 3)
     return out
 
@@ -106,6 +104,10 @@ def main_default():
         'span_count': head['span_count'],
         'queries': queries,
         'sf': sf,
+        # the headline corpus is sf × sf_mult — report the multiplier so the
+        # wall-clock is attributed to the corpus actually measured
+        'sf_mult': BENCH_SF_MULT,
+        'sf_effective': '%g' % (float(sf) * BENCH_SF_MULT),
         'num_cpus': NUM_CPUS,
     }))
     import ray
@@ -153,6 +155,8 @@ def main_scaling():
         'stage_b_s': {'8': results[8]['stage_b_s'], '32': results[32]['stage_b_s']},
         'rows': results[8]['rows'],
         'sf': sf,
+        'sf_mult': SCALING_SF_MULT,
+        'sf_effective': '%g' % (float(sf) * SCALING_SF_MULT),
         'num_cpus': [8, 32],
     }))
 

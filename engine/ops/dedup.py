@@ -226,24 +226,15 @@ def _dedupe_pairs(group: pa.Table) -> pa.Table:
     return group.slice(0, 1)
 
 
-class _VerifyPairs:
-    """Verify candidates with exact Jaccard against a broadcast
-    {doc_id: shingle set} lookup (ray.put once, fetched once per actor)."""
-
-    def __init__(self, lookup_ref, threshold):
-        self.lookup = ray.get(lookup_ref)
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        lk = self.lookup
+def _make_pair_verifier(threshold, k):
+    def verify(batch: pa.Table) -> pa.Table:
         out_a, out_b, out_j = [], [], []
-        for a_, b_ in zip(batch.column('doc_id_a').to_pylist(),
-                          batch.column('doc_id_b').to_pylist()):
-            sa, sb = lk.get(a_), lk.get(b_)
-            if sa is None or sb is None:
-                continue
-            jac = _jaccard(sa, sb)
-            if jac >= self.threshold:
+        for a_, b_, ta, tb in zip(batch.column('doc_id_a').to_pylist(),
+                                  batch.column('doc_id_b').to_pylist(),
+                                  batch.column('text_a').to_pylist(),
+                                  batch.column('text_b').to_pylist()):
+            jac = _jaccard(shingle_set(ta, k), shingle_set(tb, k))
+            if jac >= threshold:
                 out_a.append(a_)
                 out_b.append(b_)
                 out_j.append(jac)
@@ -252,16 +243,19 @@ class _VerifyPairs:
             'doc_id_b': pa.array(out_b, pa.int64()),
             'jac': pa.array(round_half_up(out_j, 6) if out_j else [], pa.float64()),
         })
+    return verify
 
 
-def minhash_near_dup(sf_dir, threshold=0.8, k=3):
-    """MinHash+LSH near-dup discovery, exact-verified.
+def minhash_near_dup(sf_dir, threshold=0.8, k=3, num_partitions=8):
+    """MinHash+LSH near-dup discovery, exact-verified — FULLY DISTRIBUTED.
 
-    Shuffle accounting: band-key groupby (uniform crc32 keys — no skew) and
-    a pair-key groupby over the candidate set (tiny).  The verification
-    lookup is built from candidate docs only and broadcast; the documented
-    assumption is |candidates| ≪ |corpus| (holds for near-dup detection by
-    definition; at 100 TB swap the broadcast for a hash-join on doc_id).
+    Shuffle accounting: band-key groupby (uniform crc32 keys — no skew), a
+    pair-key groupby to dedupe candidates, then candidate pairs are joined
+    back to document text with two hash-partitioned ``Dataset.join``s on
+    doc_id (no driver-side candidate drain, no broadcast shingle lookup —
+    on a boilerplate-heavy corpus the candidate set is O(corpus) and must
+    stay distributed).  Exact-Jaccard verification runs as a map stage over
+    the joined (pair, text_a, text_b) rows.
     """
     docs = ray.data.read_parquet(table_path(sf_dir, 'documents'),
                                  columns=['doc_id', 'text'])
@@ -272,30 +266,21 @@ def minhash_near_dup(sf_dir, threshold=0.8, k=3):
                                                     batch_format='pyarrow')
     cand = cand.groupby(['doc_id_a', 'doc_id_b']).map_groups(
         _dedupe_pairs, batch_format='pyarrow')
-    cand_tbl = pa.Table.from_pylist(cand.take_all(),
-                                    schema=pa.schema([('doc_id_a', pa.int64()),
-                                                      ('doc_id_b', pa.int64())]))
-    if cand_tbl.num_rows == 0:
-        return ray.data.from_arrow(pa.table({
-            'doc_id_a': pa.array([], pa.int64()),
-            'doc_id_b': pa.array([], pa.int64()),
-            'jac': pa.array([], pa.float64())}))
-    need = set(cand_tbl.column('doc_id_a').to_pylist()) | \
-        set(cand_tbl.column('doc_id_b').to_pylist())
 
-    def collect_needed(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        mask = pc.is_in(batch.column('doc_id'),
-                        value_set=pa.array(sorted(need), pa.int64()))
-        return batch.filter(mask)
+    def _keyed(key_col, text_col):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({key_col: batch.column('doc_id'),
+                             text_col: batch.column('text')})
+        return fn
 
-    needed = docs.map_batches(collect_needed, batch_format='pyarrow',
-                              zero_copy_batch=True).take_all()
-    lookup = {r['doc_id']: shingle_set(r['text'], k) for r in needed}
-    ref = ray.put(lookup)
-    pairs_ds = ray.data.from_arrow(cand_tbl)
-    return pairs_ds.map_batches(_VerifyPairs, fn_constructor_args=(ref, threshold),
-                                batch_format='pyarrow', concurrency=(1, 4))
+    docs_a = docs.map_batches(_keyed('doc_id_a', 'text_a'),
+                              batch_format='pyarrow', zero_copy_batch=True)
+    docs_b = docs.map_batches(_keyed('doc_id_b', 'text_b'),
+                              batch_format='pyarrow', zero_copy_batch=True)
+    joined = cand.join(docs_a, 'inner', num_partitions, on=('doc_id_a',)) \
+                 .join(docs_b, 'inner', num_partitions, on=('doc_id_b',))
+    return joined.map_batches(_make_pair_verifier(threshold, k),
+                              batch_format='pyarrow', zero_copy_batch=True)
 
 
 # ------------------------------------------------------------------- SimHash

@@ -77,29 +77,35 @@ def q1_pricing(sf_dir):
               .map_groups(final, batch_format='pyarrow'))
 
 
-class _FilterByKeySet(BroadcastLookup):
-    """Broadcast semi-join: keep rows whose key column hits a broadcast set."""
+def top_orders_revenue(sf_dir, segment='BUILDING', topk=10, num_partitions=8):
+    """Revenue of the top-k orders from one customer segment — NO
+    driver-side fact reads (customer and orders both grow with sf):
 
-    def __init__(self, ref, col):
-        super().__init__(ref)
-        self.keys = pa.array(sorted(self.state), pa.int64())
-        self.col = col
+      1. customer is filtered DISTRIBUTED to segment custkeys;
+      2. orders is reduced by a hash-partitioned ``left_semi``
+         ``Dataset.join`` against those custkeys (all-to-all over key
+         columns only);
+      3. lineitem is partial-aggregated per (block, orderkey) — the
+         combiner — then globally grouped to per-order revenue, so the
+         groupby shuffle moves combiner rows, never raw lineitems
+         (aggregate-before-join: the join's left side is orders-sized,
+         not lineitem-sized);
+      4. per-order revenue ⋈ filtered orders via a second ``left_semi``
+         hash join, then a tiny global sort+limit.
+    """
+    cust = ray.data.read_parquet(table_path(sf_dir, 'customer'),
+                                 columns=['c_custkey', 'c_mktsegment'])
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch.column(self.col), value_set=self.keys))
+    def seg_keys(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column('c_mktsegment'), segment)
+        return pa.table({'c_custkey': batch.filter(m).column('c_custkey')})
 
-
-def top_orders_revenue(sf_dir, segment='BUILDING', topk=10):
-    """Revenue of the top-k orders from one customer segment: broadcast
-    semi-join (customer→orders), partial per-block revenue sums, global
-    groupby(o_orderkey), then a tiny sort+limit."""
-    cust = read_small_table(sf_dir, 'customer', ['c_custkey', 'c_mktsegment'])
-    cust = cust.filter(pc.equal(cust.column('c_mktsegment'), segment))
-    custkeys = set(cust.column('c_custkey').to_pylist())
-    orders = read_small_table(sf_dir, 'orders', ['o_orderkey', 'o_custkey'])
-    orders = orders.filter(pc.is_in(orders.column('o_custkey'),
-                                    value_set=pa.array(sorted(custkeys), pa.int64())))
-    okeys_ref = ray.put(set(orders.column('o_orderkey').to_pylist()))
+    custkeys = cust.map_batches(seg_keys, batch_format='pyarrow',
+                                zero_copy_batch=True)
+    orders = ray.data.read_parquet(table_path(sf_dir, 'orders'),
+                                   columns=['o_orderkey', 'o_custkey'])
+    orders_f = orders.join(custkeys, 'left_semi', num_partitions,
+                           on=('o_custkey',), right_on=('c_custkey',))
 
     def partial(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(batch.column('l_extendedprice'),
@@ -117,13 +123,12 @@ def top_orders_revenue(sf_dir, segment='BUILDING', topk=10):
 
     li = ray.data.read_parquet(table_path(sf_dir, 'lineitem'),
                                columns=['l_orderkey', 'l_extendedprice', 'l_discount'])
-    per_order = (li.map_batches(_FilterByKeySet, fn_constructor_args=(okeys_ref, 'l_orderkey'),
-                                batch_format='pyarrow', concurrency=(1, 8),
-                                zero_copy_batch=True)
-                   .map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
+    per_order = (li.map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
                    .groupby('o_orderkey').map_groups(final, batch_format='pyarrow'))
-    top = per_order.sort(['rev_raw', 'o_orderkey'],
-                         descending=[True, False]).limit(topk)
+    seg_rev = per_order.join(orders_f.select_columns(['o_orderkey']),
+                             'left_semi', num_partitions, on=('o_orderkey',))
+    top = seg_rev.sort(['rev_raw', 'o_orderkey'],
+                       descending=[True, False]).limit(topk)
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -286,56 +291,62 @@ def events_windowed(sf_dir):
               .map_groups(final, batch_format='pyarrow'))
 
 
-class _AsofLookup(BroadcastLookup):
-    """Broadcast as-of join: per-key sorted date arrays, binary-searched
-    per probe row — the pattern for an as-of join Ray Data lacks natively
-    (small build side; for a large build side, co-partition both sides by
-    key and do the same search per partition)."""
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import numpy as np
-        users = batch.column('user_id').to_numpy(zero_copy_only=False)
-        ts = batch.column('ts').cast(pa.int64()).to_numpy(zero_copy_only=False)
-        out = np.empty(len(users), dtype=np.int64)
-        valid = np.zeros(len(users), dtype=bool)
-        by_key = self.state       # custkey -> sorted int64[us] dates
-        for i in range(len(users)):
-            dates = by_key.get(users[i])
-            if dates is None:
-                continue
-            j = np.searchsorted(dates, ts[i], side='right') - 1
-            if j >= 0:
-                out[i] = dates[j]
-                valid[i] = True
-        return pa.table({
-            'event_id': batch.column('event_id'),
-            'user_id': batch.column('user_id'),
-            'asof_orderdate': pa.array(
-                [int(v) if ok else None for v, ok in zip(out, valid)],
-                pa.timestamp('us')),
-        })
-
-
 def events_asof_orders(sf_dir):
     """As-of join: each event matched to the latest order date of the same
     customer at-or-before the event time (events.user_id = orders.o_custkey,
-    o_orderdate <= ts)."""
-    orders = read_small_table(sf_dir, 'orders', ['o_custkey', 'o_orderdate'])
-    import numpy as np
-    cust = orders.column('o_custkey').to_numpy(zero_copy_only=False)
-    dates = orders.column('o_orderdate').cast(pa.int64()).to_numpy(zero_copy_only=False)
-    by_key = {}
-    order_ix = np.lexsort((dates, cust))
-    for i in order_ix:
-        by_key.setdefault(int(cust[i]), []).append(int(dates[i]))
-    by_key = {k: np.asarray(v, dtype=np.int64) for k, v in by_key.items()}
-    ref = ray.put(by_key)
+    o_orderdate <= ts).
 
-    ds = ray.data.read_parquet(table_path(sf_dir, 'events'),
-                               columns=['event_id', 'user_id', 'ts'])
-    return ds.map_batches(_AsofLookup, fn_constructor_args=(ref,),
-                          batch_format='pyarrow', concurrency=(1, 4),
-                          zero_copy_batch=True)
+    Both sides are FACT tables, so neither may be read driver-side or
+    broadcast.  Shape: map each side onto a unified (key, event_id, ts_us,
+    odate_us) schema, ``union`` the two streams, and co-partition with ONE
+    ``groupby(key).map_groups`` — every group holds one customer's events
+    AND orders, where the as-of is a vectorized searchsorted.  Skew is
+    bounded by the busiest single customer (the same bound any key-
+    partitioned as-of join has); a hotter key would take the salted
+    two-phase variant (split events by salt, replicate that key's orders).
+    """
+    def ev_side(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'key': batch.column('user_id'),
+            'event_id': batch.column('event_id'),
+            'ts_us': batch.column('ts').cast(pa.int64()),
+            'odate_us': pa.nulls(batch.num_rows, pa.int64()),
+        })
+
+    def ord_side(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'key': batch.column('o_custkey'),
+            'event_id': pa.nulls(batch.num_rows, pa.int64()),
+            'ts_us': pa.nulls(batch.num_rows, pa.int64()),
+            'odate_us': batch.column('o_orderdate').cast(pa.int64()),
+        })
+
+    def asof(group: pa.Table) -> pa.Table:
+        ev = group.filter(pc.is_valid(group.column('event_id')))
+        dates = np.sort(group.column('odate_us').drop_null()
+                        .to_numpy(zero_copy_only=False))
+        ts = ev.column('ts_us').to_numpy(zero_copy_only=False)
+        if len(dates):
+            j = np.searchsorted(dates, ts, side='right') - 1
+            taken = dates[np.maximum(j, 0)]
+            odate = pa.array(taken, pa.int64(), mask=(j < 0))
+        else:
+            odate = pa.nulls(len(ts), pa.int64())
+        return pa.table({
+            'event_id': ev.column('event_id'),
+            'user_id': ev.column('key'),
+            'asof_orderdate': odate.cast(pa.timestamp('us')),
+        })
+
+    events = ray.data.read_parquet(table_path(sf_dir, 'events'),
+                                   columns=['event_id', 'user_id', 'ts'])
+    orders = ray.data.read_parquet(table_path(sf_dir, 'orders'),
+                                   columns=['o_custkey', 'o_orderdate'])
+    both = events.map_batches(ev_side, batch_format='pyarrow',
+                              zero_copy_batch=True) \
+        .union(orders.map_batches(ord_side, batch_format='pyarrow',
+                                  zero_copy_batch=True))
+    return both.groupby('key').map_groups(asof, batch_format='pyarrow')
 
 
 def top_parts(sf_dir, topk=10):

@@ -83,6 +83,24 @@ def embedding_dup_pairs(sf_dir, threshold=0.42):
         batch_format='pyarrow', concurrency=(1, 8), zero_copy_batch=True)
 
 
+def _topk_ties(scores, ids, k):
+    """Indices of the k best rows under the GLOBAL merge order
+    (score desc, id asc).  A plain argpartition on score alone picks an
+    arbitrary id among score ties at the k-boundary, so a partial stage
+    could drop the neighbor the global ORDER BY sc DESC, nid ASC keeps —
+    making results depend on batch partitioning (exact-duplicate
+    embeddings produce bit-identical cosines).  Here: k-th-largest score
+    threshold → ALL tied rows in → lexsort by (-score, id) → first k."""
+    n = len(scores)
+    if k >= n:
+        cand = np.arange(n)
+    else:
+        kth = np.partition(scores, n - k)[n - k]
+        cand = np.nonzero(scores >= kth)[0]
+    order = np.lexsort((ids[cand], -scores[cand]))
+    return cand[order[:k]]
+
+
 class _PartialTopK:
     """Per-batch candidates: for each query, the batch's k best corpus rows
     — the combiner that keeps the per-query groupby shuffle tiny."""
@@ -96,10 +114,9 @@ class _PartialTopK:
         sims = self.qmat @ bmat.T                     # (Q, nb)
         # take k+1 so dropping a self-match can never evict a true top-k row
         k = min(self.k + 1, sims.shape[1])
-        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
         out_q, out_n, out_s = [], [], []
         for qi in range(sims.shape[0]):
-            cand = idx[qi]
+            cand = _topk_ties(sims[qi], bids, k)
             mask = bids[cand] != self.qids[qi]        # exclude self-match
             out_q.extend([self.qids[qi]] * int(mask.sum()))
             out_n.extend(bids[cand][mask].tolist())
@@ -186,7 +203,7 @@ class _LshPartial:
             cids = bids[mask]
             sims = bmat[mask] @ self.qmat[qi]
             k = min(self.k, len(cids))
-            top = np.argpartition(-sims, kth=k - 1)[:k]
+            top = _topk_ties(sims, cids, k)
             out_q.extend([self.qids[qi]] * k)
             out_n.extend(cids[top].tolist())
             out_s.extend(sims[top].tolist())
@@ -207,10 +224,19 @@ def ann_topk_lsh(sf_dir, n_queries=16, k=5):
                                                   batch_format='pyarrow')
 
 
+def _train_matrix(sf_dir, max_train=65536):
+    """Bounded training sample for the IVF coarse quantizer: the first
+    ``max_train`` corpus rows via ``Dataset.take_batch`` — the read is
+    O(max_train) blocks regardless of corpus size (never a full driver-side
+    corpus load; at test scale the corpus is smaller than the bound, so the
+    sample IS the corpus and results are unchanged)."""
+    tbl = _read_embeddings(sf_dir).take_batch(max_train, batch_format='pyarrow')
+    return _batch_matrix(tbl)
+
+
 def _kmeans(mat, nlist, iters=10, seed=0):
     """Tiny deterministic k-means (numpy, fixed seed/iters) for the IVF
-    coarse quantizer.  Train set is driver-side — at 100 TB you train on a
-    sample, which is exactly what this is."""
+    coarse quantizer, trained on the bounded :func:`_train_matrix` sample."""
     rng = np.random.RandomState(seed)
     cent = mat[rng.choice(len(mat), size=nlist, replace=False)].copy()
     for _ in range(iters):
@@ -248,7 +274,7 @@ class _IvfPartial:
             cids = bids[mask]
             sims = bmat[mask] @ self.qmat[qi]
             k = min(self.k, len(cids))
-            top = np.argpartition(-sims, kth=k - 1)[:k]
+            top = _topk_ties(sims, cids, k)
             out_q.extend([self.qids[qi]] * k)
             out_n.extend(cids[top].tolist())
             out_s.extend(sims[top].tolist())
@@ -261,12 +287,12 @@ class _IvfPartial:
 
 def ann_topk_ivf(sf_dir, n_queries=16, k=5, nlist=16, nprobe=4):
     """IVF approximate top-k (inverted-file index à la FAISS IVF-Flat):
-    deterministic k-means coarse quantizer
-    (trained driver-side on the corpus sample), nprobe-cell probing
-    (rows-only check; the scale path alongside LSH)."""
+    deterministic k-means coarse quantizer trained on a BOUNDED sample
+    (``_train_matrix``: O(max_train) read, not the corpus), nprobe-cell
+    probing (rows-only check; the scale path alongside LSH)."""
     qids, qmat = _query_matrix(sf_dir, n_queries)
-    _, corpus = _corpus_matrix(sf_dir)
-    cent = _kmeans(corpus, nlist)
+    _, train = _train_matrix(sf_dir)
+    cent = _kmeans(train, nlist)
     ref = ray.put(((qids, qmat), cent))
     partial = _read_embeddings(sf_dir).map_batches(
         _IvfPartial, fn_constructor_args=(ref, k, nprobe),

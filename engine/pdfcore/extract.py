@@ -471,8 +471,13 @@ def get_full_text(doc, shared, collect_spans=False):
             if cached is not None:
                 state['widths'] = cached
                 return
-            # AFM-synthesized widths depend only on BaseFont → shared cache
-            synth = (f.Widths is None and f.Subtype in ('TrueType', 'Type1'))
+            # AFM-synthesized widths depend only on BaseFont → shared cache.
+            # Purity requires the SAME condition get_font_widths uses
+            # (fonts.py:94): a preset FirstChar/LastChar clips the synthesized
+            # window, so such fonts must not populate / read the shared cache
+            # (cross-document contamination of state['widths']['avg']).
+            synth = (f.Widths is None and f.Subtype in ('TrueType', 'Type1')
+                     and f.FirstChar is None and f.LastChar is None)
             if synth:
                 cached = shared.afm_width_stats.get(f.BaseFont)
                 if cached is not None:

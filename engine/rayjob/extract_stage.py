@@ -118,15 +118,23 @@ class ExtractAndSpill(ExtractTurns):
         self.num_buckets = num_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
         import os
-        import uuid
         import pyarrow.parquet as pq
         out = super().__call__(batch)
         ordered = out.sort_by([('bucket', 'ascending'),
                                ('conv_id', 'ascending'),
                                ('turn_idx', 'ascending')])
         rg = max(32, ordered.num_rows // max(1, self.num_buckets))
-        fname = os.path.join(self.spill_dir, 'spill-%s.parquet' % uuid.uuid4().hex)
+        # Deterministic spill name = content hash of the batch's row keys:
+        # a Ray-retried task OVERWRITES its own prior (possibly published)
+        # spill file via os.replace instead of duplicating rows under a
+        # fresh random name.  (conv_id, turn_idx) is unique per row, so
+        # disjoint batches can never collide.
+        key = hashlib.md5()
+        key.update('\x00'.join(ordered.column('conv_id').to_pylist()).encode('utf-8'))
+        key.update(ordered.column('turn_idx').to_numpy(zero_copy_only=False).tobytes())
+        fname = os.path.join(self.spill_dir, 'spill-%s.parquet' % key.hexdigest())
         tmp = fname + '.tmp'
         pq.write_table(ordered, tmp, row_group_size=rg)
         os.replace(tmp, fname)
@@ -144,10 +152,20 @@ def assign_bucket(num_buckets):
 
     Deterministic across processes/runs (unlike Python's salted hash()), so
     resume can skip finished buckets before the expensive extraction stage.
+    Vectorized via dictionary-encode: crc32 runs once per DISTINCT conv_id
+    in the batch (conversations repeat ~dozens of turns), the per-row
+    expansion is a numpy gather on the dictionary indices.
     """
+    import numpy as np
+    import pyarrow.compute as pc
+
     def fn(batch: pa.Table) -> pa.Table:
-        ids = batch.column('conv_id').to_pylist()
-        buckets = pa.array([zlib.crc32(s.encode('utf-8')) % num_buckets for s in ids],
+        enc = pc.dictionary_encode(batch.column('conv_id')).combine_chunks()
+        lut = np.fromiter(
+            (zlib.crc32(s.encode('utf-8')) % num_buckets
+             for s in enc.dictionary.to_pylist()),
+            dtype=np.int32, count=len(enc.dictionary))
+        buckets = pa.array(lut[enc.indices.to_numpy(zero_copy_only=False)],
                            pa.int32())
         return batch.append_column('bucket', buckets)
     return fn

@@ -98,11 +98,18 @@ def _make_bucket_compactor(spill_dir, out_dir):
     """Stage B UDF: compact one bucket from the spill files — predicate
     read with row-group pruning, in-bucket sort, atomic publish."""
     def compact(batch: pa.Table) -> pa.Table:
+        import glob
         import pyarrow.compute as pc
         import pyarrow.dataset as pads
         out = {'bucket': [], 'rows': [], 'decode_failures': [],
                'span_count': [], 'wall_s': [], 'file': []}
-        dset = pads.dataset(spill_dir, format='parquet')
+        # Enumerate PUBLISHED spill files only: an actor that died mid
+        # pq.write_table leaves a 'spill-*.parquet.tmp' that directory
+        # discovery would pick up and fail on (ArrowInvalid for every
+        # compact task).  The retried task re-publishes under the same
+        # deterministic name, so .tmp leftovers are always superseded.
+        files = sorted(glob.glob(os.path.join(spill_dir, 'spill-*.parquet')))
+        dset = pads.dataset(files, format='parquet')
         for bucket in batch.column('bucket').to_pylist():
             t0 = time.perf_counter()
             tbl = dset.to_table(filter=pads.field('bucket') == bucket)
