@@ -97,7 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'doc_quality': textstats.doc_quality,
         'lang_id': textstats.lang_id,
         'fingerprint_md5': textstats.fingerprint_md5,
-        'fingerprint_winnow': textstats.fingerprint_winnow,   # rows-only
+        'fingerprint_winnow': textstats.fingerprint_winnow,
         # dedup
         'dedup_exact': dedup.dedup_exact,
         'dedup_exact_payloads': _dedup_payloads,      # rows-only (transcripts)
@@ -107,8 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         'embedding_dup_pairs': similarity.embedding_dup_pairs,
         'ann_topk': similarity.ann_topk,
-        'ann_topk_lsh': similarity.ann_topk_lsh,              # rows-only
-        'ann_topk_ivf': similarity.ann_topk_ivf,              # rows-only
+        'ann_topk_lsh': similarity.ann_topk_lsh,
+        'ann_topk_ivf': similarity.ann_topk_ivf,
         # relational / plan-op layer
         'q1_pricing': relational.q1_pricing,
         'top_orders_revenue': relational.top_orders_revenue,
@@ -119,7 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_windowed': relational.events_windowed,
         'events_asof_orders': relational.events_asof_orders,
         'top_parts': relational.top_parts,
-        # multimodal plumbing (stub codecs) — rows-only
+        # multimodal plumbing (stub codecs; features oracle-checked)
         'multimodal_features': multimodal.decode_media_features,
         'multimodal_resize': multimodal.resize_media,
         'multimodal_frames': multimodal.sample_frames,
@@ -127,7 +127,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    from engine.ops import oracles
+
+    generated = {
+        # generated oracles (hash constants / plane literals / trained
+        # centroids) — see engine/ops/oracles.py for the parity rules
+        'fingerprint_winnow': oracles.winnow_oracle_sql(),
+        'multimodal_features': oracles.multimodal_features_oracle_sql(),
+    }
+    try:
+        generated['ann_topk_lsh'] = oracles.lsh_oracle_sql(oracles.embedding_dim())
+        generated['ann_topk_ivf'] = oracles.ivf_oracle_sql()
+    except Exception:
+        pass   # oracle sf dir absent: those two stay rows-only
+    return generated | {
         'doc_token_stats': r"""
 SELECT doc_id,
        len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,

@@ -120,9 +120,31 @@ def main_default():
 SCALING_SF_MULT = int(os.environ.get('GRAFT_SCALING_SF_MULT', '48'))
 
 
+def _pin_cpus(n):
+    """Pin the child process (inherited by raylet + all Ray workers) to the
+    first ``n`` cores.  The north rule compares fixed-size clusters of N vs
+    4N NODES: on a real cluster every node's cores are fully owned by its
+    share of the job.  Unpinned on a 32-core host, the 8-cpu run borrows
+    the other 24 cores for its ~500 auxiliary Ray/gRPC threads and enjoys
+    lower per-core contention — slack a real 8-core node never has — which
+    deflates measured efficiency.  Affinity-aware thread pools (glibc
+    nprocs) also size to n, matching what an n-core node would spawn.
+    Disable with GRAFT_PIN_CPUS=0 for the unpinned control measurement."""
+    if os.environ.get('GRAFT_PIN_CPUS', '1') != '1':
+        return False
+    try:
+        cpus = sorted(os.sched_getaffinity(0))[:n]
+        os.sched_setaffinity(0, set(cpus))
+        return True
+    except (AttributeError, OSError):
+        return False
+
+
 def main_child(num_cpus):
+    pinned = _pin_cpus(num_cpus)
     head = run_headline(num_cpus, sf_mult=SCALING_SF_MULT)
-    print('CHILD_RESULT ' + json.dumps({'num_cpus': num_cpus, **head}))
+    print('CHILD_RESULT ' + json.dumps({'num_cpus': num_cpus,
+                                        'pinned': pinned, **head}))
     import ray
     ray.shutdown()
 
@@ -158,6 +180,7 @@ def main_scaling():
         'sf_mult': SCALING_SF_MULT,
         'sf_effective': '%g' % (float(sf) * SCALING_SF_MULT),
         'num_cpus': [8, 32],
+        'pinned': [results[8].get('pinned'), results[32].get('pinned')],
     }))
 
 

@@ -11,8 +11,6 @@ documents table): 16-byte header ``MMV1 | width:u32 | height:u32 | ch:u32``
 followed by ``width*height*ch`` content bytes.
 """
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
 
@@ -43,20 +41,26 @@ FEATURES_SCHEMA = pa.schema([
     ('height', pa.int32()),
     ('channels', pa.int32()),
     ('mean_value', pa.float64()),
-    ('crc32', pa.int64()),
     ('decode_ok', pa.bool_()),
 ])
 
 
 def _fake_payload(doc_id, text):
     """Deterministic fake 'image': dims derived from doc_id, content bytes
-    from the text (latin-1 round-trip), tiled to fill width*height*ch."""
+    = (code point % 256) of the text's characters, tiled to width*height*ch.
+    Code points (not utf-8 bytes) so the DuckDB oracle can recompute the
+    body mean from ``ascii(substr(text, i, 1))`` — SQL has no byte-level
+    BLOB access."""
     w = 8 + (doc_id % 24)
     h = 8 + ((doc_id // 7) % 16)
     ch = 1 + (doc_id % 3)
     need = w * h * ch
-    src = text.encode('utf-8', 'replace') or b'\x00'
-    body = (src * (need // len(src) + 1))[:need]
+    if text:
+        src = np.fromiter(map(ord, text), dtype=np.int64,
+                          count=len(text)).astype(np.uint8)   # cp % 256
+    else:
+        src = np.zeros(1, dtype=np.uint8)
+    body = np.tile(src, need // len(src) + 1)[:need].tobytes()
     head = _MAGIC + np.array([w, h, ch], dtype='<u4').tobytes()
     return head + body, w, h, ch
 
@@ -121,10 +125,9 @@ class DecodeMedia:
         ids = batch.column('media_id')
         kinds = batch.column('kind')
         out = {'byte_len': [], 'width': [], 'height': [], 'channels': [],
-               'mean_value': [], 'crc32': [], 'decode_ok': []}
+               'mean_value': [], 'decode_ok': []}
         for payload in batch.column('payload').to_pylist():
             out['byte_len'].append(len(payload))
-            out['crc32'].append(zlib.crc32(payload))
             d = self._decode(payload)
             if d is None:
                 out['width'].append(0)
@@ -147,7 +150,6 @@ class DecodeMedia:
             'height': pa.array(out['height'], pa.int32()),
             'channels': pa.array(out['channels'], pa.int32()),
             'mean_value': pa.array(out['mean_value'], pa.float64()),
-            'crc32': pa.array(out['crc32'], pa.int64()),
             'decode_ok': pa.array(out['decode_ok'], pa.bool_()),
         })
 

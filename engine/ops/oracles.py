@@ -1,0 +1,217 @@
+"""DuckDB oracle SQL builders for queries whose semantics are
+SQL-expressible but need generated constants (hash constants, the seeded
+LSH hyperplanes, trained IVF centroids).
+
+Rules shared with the engine side:
+- rounding is always the half-up formula ``floor(x*10^d + 0.5)/10^d``;
+- k-gram hashes are ``md5_number_lower`` & 63-bit mask
+  (= :func:`engine.ops.textstats._gram_hash`);
+- LSH planes come from the same ``np.random.RandomState(777)`` stream the
+  Ray stage uses, inlined as DOUBLE[] literals (%.17g round-trips float64
+  exactly);
+- IVF centroids are data-dependent: they are trained at oracle-build time
+  on the SAME bounded head sample (first ``max_train`` rows in file order)
+  the Ray pipeline trains on, from the sf dir the driver compares at
+  (``$GRAFT_ORACLE_SF_DIR``, default /root/testdata/sf0.01).
+"""
+
+import os
+
+import numpy as np
+
+def _oracle_sf_dir():
+    # read at CALL time so tools can point the oracle at another sf dir
+    return os.environ.get('GRAFT_ORACLE_SF_DIR', '/root/testdata/sf0.01')
+
+
+def winnow_oracle_sql(k=5, w=4):
+    """Winnowing fingerprint summary (textstats.fingerprint_winnow):
+    code-point k-grams → 63-bit md5 hash → windowed min → distinct set."""
+    return r"""
+WITH pos AS (
+  SELECT doc_id, text, length(text) - {km1} AS n,
+         unnest(generate_series(1, greatest(length(text) - {km1}, 0))) AS i
+  FROM documents
+), g AS (
+  SELECT doc_id, i, n,
+         (md5_number_lower(substr(text, i, {k})) & 9223372036854775807)::BIGINT AS h
+  FROM pos
+), wm AS (
+  SELECT doc_id, i, n,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {wm1} FOLLOWING) AS wmin
+  FROM g
+), sel AS (
+  SELECT doc_id, wmin FROM wm WHERE n > {w} AND i <= n - {wm1}
+  UNION ALL
+  SELECT doc_id, min(h) AS wmin FROM g WHERE n <= {w} GROUP BY doc_id
+), d AS (
+  SELECT DISTINCT doc_id, wmin FROM sel
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_fingerprints,
+         min(wmin) AS min_fp, max(wmin) AS max_fp
+  FROM d GROUP BY doc_id
+)
+SELECT doc_id, coalesce(n_fingerprints, 0)::BIGINT AS n_fingerprints,
+       coalesce(min_fp, 0)::BIGINT AS min_fp,
+       coalesce(max_fp, 0)::BIGINT AS max_fp
+FROM documents LEFT JOIN agg USING (doc_id)
+""".format(k=k, km1=k - 1, w=w, wm1=w - 1)
+
+
+def multimodal_features_oracle_sql():
+    """Recompute decode_media_features over the deterministic MMV1 fake
+    payloads: dims from doc_id arithmetic, body mean from the tiled
+    (code point % 256) sequence — (full_repeats·sum_all + sum_rem)/need."""
+    return r"""
+WITH base AS (
+  SELECT doc_id, text,
+         (8 + (doc_id % 24))::INTEGER AS w,
+         (8 + ((doc_id // 7) % 16))::INTEGER AS h,
+         (1 + (doc_id % 3))::INTEGER AS ch,
+         greatest(length(text), 1) AS m,
+         (8 + (doc_id % 24)) * (8 + ((doc_id // 7) % 16)) * (1 + (doc_id % 3)) AS need
+  FROM documents
+), cps AS (
+  SELECT doc_id, need, m, text,
+         unnest(generate_series(1, m)) AS i
+  FROM base
+), sums AS (
+  SELECT doc_id,
+         sum(CASE WHEN length(text) > 0
+                  THEN ascii(substr(text, i, 1)) % 256 ELSE 0 END)::BIGINT AS s_all,
+         sum(CASE WHEN i <= need % m AND length(text) > 0
+                  THEN ascii(substr(text, i, 1)) % 256 ELSE 0 END)::BIGINT AS s_rem
+  FROM cps GROUP BY doc_id
+)
+SELECT b.doc_id AS media_id,
+       CASE b.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       (16 + b.need)::BIGINT AS byte_len,
+       b.w AS width, b.h AS height, b.ch AS channels,
+       floor(((b.need // b.m) * s.s_all + s.s_rem)::DOUBLE / b.need * 10000 + 0.5)
+         / 10000 AS mean_value,
+       true AS decode_ok
+FROM base b JOIN sums s USING (doc_id)
+"""
+
+
+def _dlist(vec):
+    return '[%s]::DOUBLE[]' % ', '.join('%.17g' % v for v in vec)
+
+
+def _bucket_expr(col, plane_lists):
+    terms = ['(CASE WHEN list_dot_product(%s, %s) > 0 THEN %d ELSE 0 END)'
+             % (col, pl, 1 << p) for p, pl in enumerate(plane_lists)]
+    return '(' + ' + '.join(terms) + ')::BIGINT'
+
+
+def lsh_oracle_sql(dim, n_queries=16, k=5):
+    """Full SQL re-derivation of ann_topk_lsh: the seeded hyperplanes are
+    data-independent, so they inline as literals; bucket bits are sign
+    tests of raw dot products (sign is normalization-invariant), probes =
+    own bucket + all 1-bit flips (xor in {0,1,2,4,8}), global top-k by
+    (cosine desc, nid asc)."""
+    from .similarity import _lsh_planes, _LSH_PLANES
+    planes = _lsh_planes(dim)                        # (dim, P)
+    plane_lists = [_dlist(planes[:, p]) for p in range(_LSH_PLANES)]
+    xor_ok = ', '.join(str(v) for v in
+                       [0] + [1 << p for p in range(_LSH_PLANES)])
+    return """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+  WHERE vec_id < {nq}
+), qb AS (
+  SELECT qid, qe, {qbucket} AS b FROM q
+), eb AS (
+  SELECT vec_id AS nid, embedding::DOUBLE[] AS ee, {ebucket} AS b
+  FROM embeddings
+), s AS (
+  SELECT qb.qid, eb.nid, list_cosine_similarity(qb.qe, eb.ee) AS sc
+  FROM qb JOIN eb ON xor(qb.b, eb.b) IN ({xor_ok}) AND eb.nid <> qb.qid
+), r AS (
+  SELECT qid, nid, sc,
+         row_number() OVER (PARTITION BY qid ORDER BY sc DESC, nid ASC)::BIGINT AS rank
+  FROM s
+)
+SELECT qid AS query_id, nid AS neighbor_id,
+       floor(sc * 10000 + 0.5) / 10000 AS score, rank
+FROM r WHERE rank <= {k}
+""".format(nq=n_queries, k=k, xor_ok=xor_ok,
+           qbucket=_bucket_expr('qe', plane_lists),
+           ebucket=_bucket_expr('ee', plane_lists))
+
+
+def _head_matrix(path, max_train):
+    """First ``max_train`` rows of an embeddings parquet in FILE ORDER —
+    the pq twin of similarity._train_matrix's Dataset.take_batch (Ray reads
+    parquet blocks in file order, so the head sample is identical)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from .similarity import _batch_matrix
+    pf = pq.ParquetFile(path)
+    batches, got = [], 0
+    for b in pf.iter_batches(columns=['vec_id', 'embedding']):
+        batches.append(b)
+        got += b.num_rows
+        if got >= max_train:
+            break
+    tbl = pa.Table.from_batches(batches).slice(0, max_train)
+    return _batch_matrix(tbl)
+
+
+def ivf_oracle_sql(sf_dir=None, n_queries=16, k=5, nlist=16, nprobe=4,
+                   max_train=65536):
+    """Full SQL re-derivation of ann_topk_ivf.  The coarse quantizer is
+    data-dependent, so the oracle trains the SAME deterministic k-means on
+    the SAME bounded head sample at build time and inlines the centroids
+    as literals — valid for the sf dir the driver compares at."""
+    from .similarity import _kmeans
+    sf_dir = sf_dir or _oracle_sf_dir()
+    path = os.path.join(sf_dir, 'embeddings.parquet')
+    _, train = _head_matrix(path, max_train)
+    cent = _kmeans(train, nlist)
+    cent_rows = ',\n    '.join('(%d, %s)' % (ci, _dlist(cent[ci]))
+                               for ci in range(nlist))
+    return """
+WITH cent(ci, cv) AS (VALUES
+    {cent_rows}
+), q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+  WHERE vec_id < {nq}
+), e AS (
+  SELECT vec_id AS nid, embedding::DOUBLE[] AS ee FROM embeddings
+), easn AS (
+  SELECT nid, ee, ci AS cell FROM (
+    SELECT e.nid, e.ee, cent.ci,
+           row_number() OVER (PARTITION BY e.nid
+             ORDER BY list_cosine_similarity(e.ee, cent.cv) DESC, cent.ci ASC) AS rn
+    FROM e, cent) WHERE rn = 1
+), qpr AS (
+  SELECT qid, qe, ci FROM (
+    SELECT q.qid, q.qe, cent.ci,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY list_cosine_similarity(q.qe, cent.cv) DESC, cent.ci ASC) AS rn
+    FROM q, cent) WHERE rn <= {nprobe}
+), s AS (
+  SELECT qpr.qid, easn.nid, list_cosine_similarity(qpr.qe, easn.ee) AS sc
+  FROM qpr JOIN easn ON easn.cell = qpr.ci AND easn.nid <> qpr.qid
+), r AS (
+  SELECT qid, nid, sc,
+         row_number() OVER (PARTITION BY qid ORDER BY sc DESC, nid ASC)::BIGINT AS rank
+  FROM s
+)
+SELECT qid AS query_id, nid AS neighbor_id,
+       floor(sc * 10000 + 0.5) / 10000 AS score, rank
+FROM r WHERE rank <= {k}
+""".format(cent_rows=cent_rows, nq=n_queries, k=k, nprobe=nprobe)
+
+
+def embedding_dim(sf_dir=None):
+    """Embedding dimensionality from the oracle sf dir's parquet (one
+    batch peeked; no full read)."""
+    import pyarrow.parquet as pq
+    sf_dir = sf_dir or _oracle_sf_dir()
+    path = os.path.join(sf_dir, 'embeddings.parquet')
+    pf = pq.ParquetFile(path)
+    b = next(pf.iter_batches(batch_size=1, columns=['embedding']))
+    return len(b.column('embedding')[0])

@@ -261,7 +261,8 @@ class _IvfPartial:
         (self.qids, self.qmat), self.cent = ray.get(ref)
         self.k = k
         qsims = self.qmat @ self.cent.T                         # (Q, nlist)
-        self.qprobes = np.argsort(-qsims, axis=1)[:, :nprobe]   # (Q, nprobe)
+        # stable: ties keep ascending centroid index (= oracle's ci ASC)
+        self.qprobes = np.argsort(-qsims, axis=1, kind='stable')[:, :nprobe]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         bids, bmat = _batch_matrix(batch)

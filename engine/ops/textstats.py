@@ -3,13 +3,12 @@ scoring, language-ID, document fingerprinting.
 
 All hot paths are vectorized pyarrow.compute regex/string kernels over
 zero-copy Arrow batches (``batch_format="pyarrow"``); nothing iterates
-Python rows except the md5/winnowing hash loops (hashlib/zlib are C).
+Python rows except the md5/winnowing hash loops (hashlib is C).
 Each stage is stateless → plain task-based ``map_batches`` (no actor pool
 needed, no shuffle at all: embarrassingly parallel per block at 100 TB).
 """
 
 import hashlib
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -152,16 +151,25 @@ def fingerprint_md5(sf_dir):
         fp, batch_format='pyarrow', zero_copy_batch=True)
 
 
+def _gram_hash(gram):
+    """63-bit k-gram hash shared with the DuckDB oracle:
+    ``md5_number_lower(gram)`` = last 8 md5 digest bytes little-endian,
+    masked to 63 bits so both sides carry it as int64/BIGINT."""
+    d = hashlib.md5(gram.encode('utf-8')).digest()
+    return int.from_bytes(d[8:16], 'little') & 0x7FFFFFFFFFFFFFFF
+
+
 def winnow_fingerprints(text, k=5, w=4):
-    """Winnowing (Schleimer et al., SIGMOD'03): rolling k-gram crc32
-    hashes, per-window minimum selection.  Returns the selected hash set."""
-    data = text.encode('utf-8', 'replace')
-    n = len(data) - k + 1
+    """Winnowing (Schleimer et al., SIGMOD'03): rolling code-point k-gram
+    hashes, per-window minimum selection.  Returns the selected hash set.
+    K-grams are over CODE POINTS (not utf-8 bytes) and hashed with
+    :func:`_gram_hash` so the DuckDB oracle (substr + md5_number_lower +
+    windowed min) computes the identical set."""
+    n = len(text) - k + 1
     if n <= 0:
         return set()
-    hashes = np.empty(n, dtype=np.uint64)
-    for i in range(n):
-        hashes[i] = zlib.crc32(data[i:i + k])
+    hashes = np.fromiter((_gram_hash(text[i:i + k]) for i in range(n)),
+                         dtype=np.uint64, count=n)
     if n <= w:
         return {int(hashes.min())}
     # sliding-window min via stride trick

@@ -21,6 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 @pytest.fixture(scope='module')
 def oracle_con():
+    # generated oracles (IVF centroids) must train on THIS sf dir
+    os.environ['GRAFT_ORACLE_SF_DIR'] = SF_DIR
     import __ray_entry__ as entrymod
     con = duckdb.connect()
     for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
@@ -46,7 +48,9 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'ann_topk', 'q1_pricing', 'top_orders_revenue',
                   'customers_per_region', 'supplier_balance_by_nation',
                   'events_by_type', 'events_sessionize', 'events_windowed',
-                  'events_asof_orders', 'top_parts']
+                  'events_asof_orders', 'top_parts',
+                  'fingerprint_winnow', 'multimodal_features',
+                  'ann_topk_lsh', 'ann_topk_ivf']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)

@@ -258,3 +258,75 @@ def test_split_literal_escaped_paren_clones_reference_bug():
 def test_split_hex_padding_and_grouping():
     assert split_hex('414', 1) == ['A', '@']   # odd length pads with '0'
     assert split_hex('00410042', 2) == ['\x41', '\x42']
+
+
+# --------------------------------------------- P7/F12 AFM kerning/ligatures
+
+def test_afm_kerning_and_ligatures_match_reference():
+    """Parse every standard AFM with BOTH parsers (engine parse_afm vs the
+    reference's FontMetricsData_String via the ply shim) and compare the
+    full kern-pair dict plus ligature records (reference fontmetrics.py:
+    116-292, parser/__init__.py:1186-1222)."""
+    import os
+    import zipfile
+    from engine.pdfcore import afm as eafm
+    from engine.pdfcore import encodings as _enc
+    import oracle
+
+    if not oracle.oracle_available():
+        import pytest
+        pytest.skip('reference oracle unavailable')
+    oracle._ensure_paths()
+    from pypdfproc.fontmetrics import FontMetricsData_String
+
+    zpath = os.path.join(_enc.DATA_DIR, 'StandardFonts_AFM.zip')
+    with zipfile.ZipFile(zpath) as z:
+        names = z.namelist()
+        assert names
+        for fname in names:
+            txt = z.read(fname).decode('latin-1')
+            mine = eafm.parse_afm(txt)
+            ref = FontMetricsData_String(txt)
+            # kern pairs: identical key set and (kx, 0) values
+            assert mine.kern_pairs == ref.Kerning['Pairs'], fname
+            # ligatures: same count, same (base glyph name | None,
+            # successor, ligature) triples INCLUDING the cloned lastchar
+            # off-by-one (base = previous committed char dict)
+            def trip(recs):
+                return [((r['base'] or {}).get('N'), r['successor'],
+                         r['ligature']) for r in recs]
+            assert trip(mine.ligatures) == trip(ref.Ligatures), fname
+            # accessor parity on every base glyph that leads a kern pair
+            firsts = {k[0] for k in ref.Kerning['Pairs']}
+            for ch in sorted(firsts)[:5]:
+                want = {k[1]: v for k, v in ref.Kerning['Pairs'].items()
+                        if k[0] == ch}
+                assert mine.get_kerning_pairs_for_char(ch) == want
+
+
+def test_afm_ligature_accessors():
+    from engine.pdfcore.afm import parse_afm
+    txt = (
+        'StartFontMetrics 4.1\n'
+        'FontName Demo\n'
+        'StartCharMetrics 3\n'
+        'C 101 ; WX 444 ; N e ; B 0 0 0 0 ;\n'
+        'C 102 ; WX 333 ; N f ; L i fi ; L l fl ;\n'
+        'C 105 ; WX 278 ; N i ; B 0 0 0 0 ;\n'
+        'EndCharMetrics\n'
+        'StartKernData\n'
+        'StartKernPairs 2\n'
+        'KPX f i -20\n'
+        'KPX e v -15\n'
+        'EndKernPairs\n'
+        'EndKernData\n'
+        'EndFontMetrics\n')
+    fm = parse_afm(txt)
+    # cloned off-by-one: base of f's ligatures is the PREVIOUS char (e)
+    assert [l['base']['N'] for l in fm.ligatures] == ['e', 'e']
+    e = fm.get_character('e')
+    assert [l['ligature'] for l in fm.get_ligatures_forward(e)] == ['fi', 'fl']
+    assert fm.get_ligatures_backward('fl')[0]['successor'] == 'l'
+    assert fm.get_kerning_pairs_for_char('f') == {'i': (-20, 0)}
+    assert fm.get_kerning_pairs_for_char('e') == {'v': (-15, 0)}
+    assert fm.get_kerning_pairs_for_char('z') == {}

@@ -69,6 +69,8 @@ def main():
         ray.init(address='local', num_cpus=8, include_dashboard=False,
                  ignore_reinit_error=True, logging_level='ERROR')
 
+    # generated oracles (IVF centroids) must be built for THIS sf dir
+    os.environ['GRAFT_ORACLE_SF_DIR'] = sf_dir
     import __ray_entry__ as entrymod
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
