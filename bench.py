@@ -129,8 +129,10 @@ def _pin_cpus(n):
     lower per-core contention — slack a real 8-core node never has — which
     deflates measured efficiency.  Affinity-aware thread pools (glibc
     nprocs) also size to n, matching what an n-core node would spawn.
-    Disable with GRAFT_PIN_CPUS=0 for the unpinned control measurement."""
-    if os.environ.get('GRAFT_PIN_CPUS', '1') != '1':
+    Off by default: measured ambiguous on this host (the 8-leg speedup it
+    gave is fully delivered by the Stage-A server-call-thread trim, with
+    less machinery); enable with GRAFT_PIN_CPUS=1 for experiments."""
+    if os.environ.get('GRAFT_PIN_CPUS', '0') != '1':
         return False
     try:
         cpus = sorted(os.sched_getaffinity(0))[:n]

@@ -101,6 +101,12 @@ def _make_bucket_compactor(spill_dir, out_dir):
         import glob
         import pyarrow.compute as pc
         import pyarrow.dataset as pads
+        # 1-CPU task: pyarrow defaults BOTH pools to the machine core count
+        # PER PROCESS — 32 concurrent compact tasks × 32 threads thrash the
+        # box and make Stage B scale INVERSELY with cluster width (measured
+        # 4.8s at 8 cpus vs 10.5s at 32 on the same input).
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
         out = {'bucket': [], 'rows': [], 'decode_failures': [],
                'span_count': [], 'wall_s': [], 'file': []}
         # Enumerate PUBLISHED spill files only: an actor that died mid
@@ -170,10 +176,24 @@ def run_extraction(input_path, out_dir, num_buckets=64, batch_size=None,
     if done:
         ds = ds.map_batches(make_done_filter(done.keys()), batch_format='pyarrow',
                             zero_copy_batch=True)
+    # Stage-A-only worker knob (DEFAULT ON): RAY_num_server_call_thread=1
+    # trims each EXTRACT actor's gRPC server-call thread pool without
+    # touching read-task / driver workers.  Globally this knob measurably
+    # hurt the read/dispatch path (r1: -8% e2e); scoped via runtime_env to
+    # the compute actors it removes idle-thread context-switch pressure:
+    # measured +27% at 8 cpus (7.7k→9.77k turns/s, reproducible to 0.2%,
+    # = the single-process kernel rate per actor) and within-noise-or-
+    # better at 32 cpus.  GRAFT_STAGEA_SCT=0 disables for A/B.
+    extra = {}
+    sct = os.environ.get('GRAFT_STAGEA_SCT', '1')
+    if sct and sct != '0':
+        extra['runtime_env'] = {
+            'env_vars': {'RAY_num_server_call_thread': sct}}
     stats = ds.map_batches(ExtractAndSpill,
                            fn_constructor_args=(spill_dir, num_buckets),
                            batch_format='pyarrow', batch_size=batch_size,
-                           concurrency=concurrency, zero_copy_batch=True)
+                           concurrency=concurrency, zero_copy_batch=True,
+                           **extra)
     extracted = sum(r['rows'] for r in stats.take_all())   # tiny stat rows
     stage_a_s = time.perf_counter() - t0
 
