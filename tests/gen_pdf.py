@@ -535,13 +535,30 @@ def v22():
     return b.build()
 
 
+def v23():
+    """Type1 Helvetica with NO /Widths but PRESET /FirstChar 65 /LastChar 90:
+    AFM width synthesis must honor the clipped [A..Z] window, so the width
+    stats (avg over A-Z ≈ 700) differ from the full-font stats (≈ 510) and
+    the TJ -300 kern sits BETWEEN the two space thresholds (0.5·avg) —
+    the extracted text differs depending on which stats are used.  Also the
+    regression fixture for the shared width-stat cache purity condition:
+    a preset-window font must not populate the BaseFont-keyed cache."""
+    b = _Builder()
+    content = b"BT /F1 12 Tf 72 720 Td [(AB) -300 (CD)] TJ ET"
+    _skeleton(b, [4])
+    b.add_stream(4, b"", content)
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+             b"/FirstChar 65 /LastChar 90 >>")
+    return b.build()
+
+
 VARIANTS = {
     'V01': v01, 'V02': v02, 'V03': v03, 'V04': v04, 'V05': v05,
     'V06': v06, 'V07': v07, 'V08': v08, 'V09': v09, 'V10': v10,
     'V11': v11, 'V12': v12, 'V13': v13, 'V14': v14, 'V15': v15,
     'V16': v16, 'V17': v17,
     'V18a': v18a, 'V18b': v18b, 'V18c': v18c,
-    'V19': v19, 'V20': v20, 'V21': v21, 'V22': v22,
+    'V19': v19, 'V20': v20, 'V21': v21, 'V22': v22, 'V23': v23,
 }
 
 # "corrupt" = expected decode_ok=False (incl. V19's in-envelope page

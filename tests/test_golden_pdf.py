@@ -44,3 +44,38 @@ def test_all_variants_have_goldens():
     from gen_pdf import VARIANTS
     have = {os.path.basename(p)[:-5] for p in _GOLDENS}
     assert have == set(VARIANTS)
+
+
+def test_width_stat_cache_purity_across_documents():
+    """A preset-FirstChar/LastChar font (V23: clipped A-Z synthesis window,
+    avg ≈ 700) must not poison the shared BaseFont-keyed width-stat cache
+    used by pure synthesis (full Helvetica window, avg ≈ 510): the same
+    TJ -300 kern inserts a space only under the full-window stats.  Both
+    orders must give order-independent, golden-equal output (fonts.py:94
+    purity condition, mirrored in extract.py's change-font callback)."""
+    from gen_pdf import _Builder, _skeleton
+    from engine.pdfcore.extract import SharedFontState
+
+    def full_window_doc():
+        b = _Builder()
+        _skeleton(b, [4])
+        b.add_stream(4, b"", b"BT /F1 12 Tf 72 720 Td [(AB) -300 (CD)] TJ ET")
+        b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        return b.build()
+
+    clipped = build_variant('V23')
+    full = full_window_doc()
+
+    # isolated expectations
+    assert extract_turn(clipped, SharedFontState())['text'] == '\nABCD'
+    assert extract_turn(full, SharedFontState())['text'] == '\nAB CD'
+
+    # clipped first: must not write clipped stats into the shared cache
+    shared = SharedFontState()
+    assert extract_turn(clipped, shared)['text'] == '\nABCD'
+    assert extract_turn(full, shared)['text'] == '\nAB CD'
+
+    # full first: clipped doc must not read the full-window cache entry
+    shared = SharedFontState()
+    assert extract_turn(full, shared)['text'] == '\nAB CD'
+    assert extract_turn(clipped, shared)['text'] == '\nABCD'
