@@ -121,8 +121,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'top_parts': relational.top_parts,
         # multimodal plumbing (stub codecs; features oracle-checked)
         'multimodal_features': multimodal.decode_media_features,
-        'multimodal_resize': multimodal.resize_media,
-        'multimodal_frames': multimodal.sample_frames,
+        'multimodal_resize': multimodal.resize_media,       # rows-only (blobs)
+        'multimodal_frames': multimodal.sample_frames,      # rows-only (blobs)
+        # oracle-checkable summaries of the resize / frame-sample math
+        'multimodal_resize_stats': multimodal.resized_features,
+        'multimodal_frame_stats': multimodal.frame_features,
     }
 
 
@@ -134,12 +137,17 @@ def oracle_sql() -> dict[str, str]:
         # centroids) — see engine/ops/oracles.py for the parity rules
         'fingerprint_winnow': oracles.winnow_oracle_sql(),
         'multimodal_features': oracles.multimodal_features_oracle_sql(),
+        'minhash_near_dup': oracles.minhash_oracle_sql(),
+        'simhash_near_dup': oracles.simhash_oracle_sql(),
+        'multimodal_resize_stats': oracles.multimodal_resized_oracle_sql(),
+        'multimodal_frame_stats': oracles.multimodal_frames_oracle_sql(),
     }
     try:
         generated['ann_topk_lsh'] = oracles.lsh_oracle_sql(oracles.embedding_dim())
         generated['ann_topk_ivf'] = oracles.ivf_oracle_sql()
+        generated['dedup_exact_payloads'] = oracles.payload_dedup_oracle_sql()
     except Exception:
-        pass   # oracle sf dir absent: those two stay rows-only
+        pass   # oracle sf dir absent: those stay rows-only
     return generated | {
         'doc_token_stats': r"""
 SELECT doc_id,

@@ -23,6 +23,7 @@ Jaccard here is over DISTINCT word-3-gram sets, integer |âˆ©|/|âˆª| arithmetic â
 bit-identical to the DuckDB oracle's list_intersect/list_distinct math.
 """
 
+import hashlib
 import re
 import zlib
 
@@ -58,12 +59,20 @@ def shingle_set(text, k=3):
     return {' '.join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
 
 
+def _gram_hash32(gram):
+    """32-bit k-gram hash shared with the DuckDB oracle: low 32 bits of
+    ``md5_number_lower`` (last 8 md5 digest bytes little-endian).  32-bit
+    so the permutation math a*h+b stays < 2^63 in uint64."""
+    d = hashlib.md5(gram.encode('utf-8')).digest()
+    return int.from_bytes(d[8:16], 'little') & 0xFFFFFFFF
+
+
 def _shingle_hashes(text, k=3):
-    """crc32 of each distinct word k-gram (the MinHash universe)."""
+    """Hash of each distinct word k-gram (the MinHash universe)."""
     s = shingle_set(text, k)
     if not s:
         return np.empty(0, dtype=np.uint64)
-    return np.fromiter((zlib.crc32(x.encode('utf-8')) for x in s),
+    return np.fromiter((_gram_hash32(x) for x in s),
                        dtype=np.uint64, count=len(s))
 
 
@@ -292,8 +301,9 @@ def _simhash64(text):
     toks = _TOKEN_RE.findall(text)
     if not toks:
         return 0
+    # 64-bit token hash = md5_number_lower (oracle-shared; duplicates kept)
     hs = np.fromiter(
-        ((zlib.crc32(t.encode('utf-8')) << 32) | zlib.crc32((t + '#').encode('utf-8'))
+        (int.from_bytes(hashlib.md5(t.encode('utf-8')).digest()[8:16], 'little')
          for t in toks), dtype=np.uint64, count=len(toks))
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
     v = (2 * bits - 1).sum(axis=0)

@@ -19,7 +19,8 @@ import ray.data
 from .common import round_half_up, table_path
 
 __all__ = ['synthesize_media', 'DecodeMedia', 'decode_media_features',
-           'ResizeMedia', 'resize_media', 'FrameSample', 'sample_frames',
+           'ResizeMedia', 'resize_media', 'resized_features',
+           'FrameSample', 'sample_frames', 'FrameFeatures', 'frame_features',
            'MEDIA_SCHEMA', 'FEATURES_SCHEMA']
 
 _MAGIC = b'MMV1'
@@ -258,6 +259,49 @@ def resize_media(sf_dir, target_w=16, target_h=16, batch_size=64):
     return synthesize_media(sf_dir).map_batches(
         ResizeMedia, fn_constructor_args=(target_w, target_h),
         batch_format='pyarrow', batch_size=batch_size,
+        concurrency=(1, 8), zero_copy_batch=True)
+
+
+def resized_features(sf_dir, target_w=16, target_h=16, batch_size=64):
+    """synthesize → resize → decode: FEATURES_SCHEMA of the RESIZED
+    payloads.  This makes the resize math itself oracle-checkable — the
+    nearest-neighbor index arithmetic is recomputable in SQL over the
+    deterministic payload, so the DuckDB oracle verifies the full
+    synthesize→resize→decode chain (the payload blobs in resize_media's
+    own output can't be compared in SQL)."""
+    return resize_media(sf_dir, target_w, target_h, batch_size).map_batches(
+        DecodeMedia, batch_format='pyarrow', batch_size=batch_size,
+        concurrency=(1, 8), zero_copy_batch=True)
+
+
+class FrameFeatures:
+    """Per-frame decode stage over sample_frames output: parses each MMV1
+    frame container and emits its byte length and pixel mean — the
+    oracle-checkable summary of the frame-sampling math."""
+
+    def __init__(self):
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        byte_len, means = [], []
+        for frame in batch.column('frame').to_pylist():
+            byte_len.append(len(frame))
+            w, h, ch = (int(v) for v in np.frombuffer(frame[4:16], dtype='<u4'))
+            body = np.frombuffer(frame[16:16 + w * h * ch], dtype=np.uint8)
+            means.append(float(round_half_up([body.mean()], 4)[0]))
+        return pa.table({
+            'media_id': batch.column('media_id'),
+            'frame_idx': batch.column('frame_idx'),
+            'byte_len': pa.array(byte_len, pa.int64()),
+            'mean_value': pa.array(means, pa.float64()),
+        })
+
+
+def frame_features(sf_dir, stride=4, batch_size=64):
+    """synthesize → frame-sample → per-frame decode (oracle-checkable)."""
+    return sample_frames(sf_dir, stride, batch_size).map_batches(
+        FrameFeatures, batch_format='pyarrow', batch_size=batch_size,
         concurrency=(1, 8), zero_copy_batch=True)
 
 

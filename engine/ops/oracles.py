@@ -95,6 +95,73 @@ FROM base b JOIN sums s USING (doc_id)
 """
 
 
+def multimodal_resized_oracle_sql(tw=16, th=16):
+    """Recompute resized_features: the nearest-neighbor resample picks
+    source pixel (y·h//th, x·w//tw, c), whose byte is the tiled codepoint
+    sequence at (row·w·ch + col·ch + c) % m — pure index arithmetic over
+    the documents text, summed per doc."""
+    return r"""
+WITH base AS (
+  SELECT doc_id, text,
+         8 + (doc_id % 24) AS w,
+         8 + ((doc_id // 7) % 16) AS h,
+         1 + (doc_id % 3) AS ch,
+         greatest(length(text), 1) AS m
+  FROM documents
+), ys AS (SELECT *, unnest(generate_series(0, {thm1})) AS y FROM base),
+xs AS (SELECT *, unnest(generate_series(0, {twm1})) AS x FROM ys),
+cs AS (SELECT *, unnest(generate_series(0, ch - 1)) AS c FROM xs),
+px AS (
+  SELECT doc_id, text,
+         ((y * h // {th}) * w * ch + (x * w // {tw}) * ch + c) % m AS i
+  FROM cs
+), sums AS (
+  SELECT doc_id,
+         sum(CASE WHEN length(text) > 0
+                  THEN ascii(substr(text, i + 1, 1)) % 256 ELSE 0 END)::BIGINT AS s,
+         count(*)::BIGINT AS need
+  FROM px GROUP BY doc_id
+)
+SELECT b.doc_id AS media_id,
+       CASE b.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       (16 + {tw} * {th} * b.ch)::BIGINT AS byte_len,
+       {tw}::INTEGER AS width, {th}::INTEGER AS height, b.ch::INTEGER AS channels,
+       floor(s.s::DOUBLE / s.need * 10000 + 0.5) / 10000 AS mean_value,
+       true AS decode_ok
+FROM base b JOIN sums s USING (doc_id)
+""".format(tw=tw, th=th, twm1=tw - 1, thm1=th - 1)
+
+
+def multimodal_frames_oracle_sql(stride=4):
+    """Recompute frame_features: frame f of a 'video' payload is body row
+    f, i.e. bytes (f·w·ch + j) % m for j in [0, w·ch) of the tiled
+    codepoint sequence; frames sampled every ``stride`` rows."""
+    return r"""
+WITH base AS (
+  SELECT doc_id, text,
+         8 + (doc_id % 24) AS w,
+         8 + ((doc_id // 7) % 16) AS h,
+         1 + (doc_id % 3) AS ch,
+         greatest(length(text), 1) AS m
+  FROM documents
+  WHERE doc_id % 3 = 2
+), fs AS (
+  SELECT *, unnest(generate_series(0, h - 1)) AS f FROM base
+), js AS (
+  SELECT *, unnest(generate_series(0, w * ch - 1)) AS jj
+  FROM fs WHERE f % {stride} = 0
+), px AS (
+  SELECT doc_id, f, w, ch, text, (f * w * ch + jj) % m AS i FROM js
+)
+SELECT doc_id AS media_id, f::INTEGER AS frame_idx,
+       (16 + any_value(w) * any_value(ch))::BIGINT AS byte_len,
+       floor(sum(CASE WHEN length(text) > 0
+                      THEN ascii(substr(text, i + 1, 1)) % 256 ELSE 0 END)::DOUBLE
+             / count(*) * 10000 + 0.5) / 10000 AS mean_value
+FROM px GROUP BY doc_id, f
+""".format(stride=stride)
+
+
 def _dlist(vec):
     return '[%s]::DOUBLE[]' % ', '.join('%.17g' % v for v in vec)
 
@@ -204,6 +271,121 @@ SELECT qid AS query_id, nid AS neighbor_id,
        floor(sc * 10000 + 0.5) / 10000 AS score, rank
 FROM r WHERE rank <= {k}
 """.format(cent_rows=cent_rows, nq=n_queries, k=k, nprobe=nprobe)
+
+
+def minhash_oracle_sql(threshold=0.8, k=3):
+    """Full SQL re-derivation of minhash_near_dup: 32-bit md5 shingle
+    hashes, the SAME 128 seeded permutations inlined as VALUES rows,
+    (a*h+b) % (2^61-1) in HUGEINT (exact — the engine's uint64 math never
+    overflows either), per-(doc, perm) minima, banding by equality of the
+    4-minimum list (the engine keys buckets by crc32 of those 4 minima —
+    equality of the lists IS equality of the keys, modulo crc collisions
+    the engine itself would also suffer), then the exact-Jaccard verify
+    with the shared integer |∩|/|∪| math and half-up rounding."""
+    from .dedup import _perm_params, NUM_PERM, ROWS_PER_BAND, _MERSENNE
+    a, b = _perm_params()
+    perm_rows = ',\n    '.join('(%d, %d, %d)' % (p, int(a[p]), int(b[p]))
+                               for p in range(NUM_PERM))
+    return r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(tk) - {km1}, 0)),
+                                      i -> array_to_string(tk[i:i+{km1}], ' '))) AS s
+  FROM toks
+), sh AS (
+  SELECT doc_id, unnest(s) AS gram FROM g WHERE len(s) > 0
+), hs AS (
+  SELECT doc_id, (md5_number_lower(gram) & 4294967295)::HUGEINT AS h FROM sh
+), perms(p, a, b) AS (VALUES
+    {perm_rows}
+), pm AS (
+  SELECT doc_id, p, min((a::HUGEINT * h + b) % {mersenne})::BIGINT AS m
+  FROM hs CROSS JOIN perms GROUP BY doc_id, p
+), band AS (
+  SELECT doc_id, p // {rpb} AS bi, list(m ORDER BY p) AS mins
+  FROM pm GROUP BY doc_id, p // {rpb}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM band a JOIN band b
+    ON a.bi = b.bi AND a.mins = b.mins AND a.doc_id < b.doc_id
+), j AS (
+  SELECT c.ida, c.idb,
+         len(list_intersect(ga.s, gb.s)) AS inter,
+         len(list_distinct(list_concat(ga.s, gb.s))) AS uni
+  FROM cand c JOIN g ga ON ga.doc_id = c.ida JOIN g gb ON gb.doc_id = c.idb
+)
+SELECT ida AS doc_id_a, idb AS doc_id_b,
+       floor(inter::DOUBLE / uni * 1000000 + 0.5) / 1000000 AS jac
+FROM j WHERE uni > 0 AND inter::DOUBLE / uni >= {threshold}
+""".format(km1=k - 1, perm_rows=perm_rows, mersenne=_MERSENNE,
+           rpb=ROWS_PER_BAND, threshold=repr(threshold))
+
+
+def simhash_oracle_sql(max_hamming=3):
+    """Full SQL re-derivation of simhash_near_dup: 64-bit md5 token hashes
+    (duplicates kept, as in the engine), ±1 bit votes, sign → 64-bit
+    signature (UBIGINT; bit 63 via a literal — DuckDB's << overflows into
+    BIGINT), 4×16-bit chunk blocking, Hamming ≤ max_hamming verify.
+    Docs with zero tokens carry signature 0, exactly like the engine."""
+    return r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents
+), th AS (
+  SELECT doc_id, md5_number_lower(tok) AS h FROM toks
+), bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN generate_series(0, 63) t(b)
+  GROUP BY doc_id, b
+), sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN
+               CASE WHEN b = 63 THEN 9223372036854775808::UBIGINT
+                    ELSE 1::UBIGINT << b END
+             ELSE 0::UBIGINT END)::UBIGINT AS s
+  FROM bits GROUP BY doc_id
+), allsig AS (
+  SELECT d.doc_id, coalesce(sig.s, 0::UBIGINT) AS s
+  FROM documents d LEFT JOIN sig USING (doc_id)
+), chunks AS (
+  SELECT doc_id, s, c, (s >> (16 * c)) & 65535 AS chunk
+  FROM allsig CROSS JOIN generate_series(0, 3) t(c)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb, a.s AS sa, b.s AS sb
+  FROM chunks a JOIN chunks b
+    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT ida AS doc_id_a, idb AS doc_id_b,
+       bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {maxh}
+""".format(maxh=max_hamming)
+
+
+def payload_dedup_oracle_sql(sf_dir=None):
+    """dedup_exact_payloads over the TRANSCRIPTS corpus: the corpus is a
+    deterministic synthesized parquet dir, so the oracle reads it by path
+    (ensure_corpus builds it if the Ray side hasn't yet).  Survivor = first
+    (conv_id, turn_idx) per md5(text); DuckDB md5 hex == hashlib hexdigest."""
+    from .common import sf_from_dir
+    from engine.rayjob.transcripts import ensure_corpus
+    sf_dir = sf_dir or _oracle_sf_dir()
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    return """
+WITH t AS (
+  SELECT conv_id, turn_idx, md5(text) AS fp
+  FROM read_parquet('{corpus}/*.parquet')
+), r AS (
+  SELECT fp, conv_id, turn_idx,
+         row_number() OVER (PARTITION BY fp
+                            ORDER BY conv_id, turn_idx) AS rn,
+         count(*) OVER (PARTITION BY fp) AS n_copies
+  FROM t
+)
+SELECT fp, conv_id, turn_idx, n_copies::BIGINT AS n_copies
+FROM r WHERE rn = 1
+""".format(corpus=corpus)
 
 
 def embedding_dim(sf_dir=None):
