@@ -197,3 +197,66 @@ def test_corpus_generation_deterministic(tmp_path_factory):
             h.update(pq.read_table(p).to_pandas().to_csv().encode())
         hashes.append(h.hexdigest())
     assert hashes[0] == hashes[1]
+
+
+def test_spill_retry_overwrites_not_duplicates(tmp_path):
+    """A Ray-retried ExtractAndSpill task re-executes __call__ on the SAME
+    batch after a possibly-successful earlier publish.  The deterministic
+    content-hash spill name must make the retry overwrite its own file —
+    never add a second copy of the rows (ADVICE r1: uuid4 names duplicated
+    rows in the final output on retry)."""
+    from engine.rayjob.extract_stage import ExtractAndSpill, assign_bucket
+
+    d = str(tmp_path / 'corpus')
+    generate_transcripts(d, n_convs=4, seed=11, rows_per_file=100)
+    src = glob.glob(os.path.join(d, '*.parquet'))[0]
+    batch = assign_bucket(4)(pq.read_table(
+        src, columns=['conv_id', 'turn_idx', 'text']))
+
+    spill = str(tmp_path / 'spill')
+    os.makedirs(spill)
+    stage = ExtractAndSpill(spill, 4)
+    out1 = stage(batch)
+    out2 = stage(batch)                 # the retry
+    files = glob.glob(os.path.join(spill, 'spill-*.parquet'))
+    assert len(files) == 1              # overwritten, not duplicated
+    assert pq.read_table(files[0]).num_rows == batch.num_rows
+    assert out1.column('rows')[0].as_py() == out2.column('rows')[0].as_py()
+
+    # a DIFFERENT batch must land in a different file
+    stage(batch.slice(0, 10))
+    assert len(glob.glob(os.path.join(spill, 'spill-*.parquet'))) == 2
+
+
+def test_compactor_ignores_tmp_files(tmp_path):
+    """A worker killed mid-write leaves 'spill-*.parquet.tmp'; compaction
+    must enumerate only PUBLISHED spill files (ADVICE r1: directory
+    discovery made every compact task fail on the half-written file)."""
+    import pyarrow as pa
+    from engine.rayjob.pipeline import _make_bucket_compactor
+
+    spill = str(tmp_path / 'spill')
+    out = str(tmp_path / 'out')
+    os.makedirs(spill)
+    os.makedirs(out)
+    good = pa.table({
+        'conv_id': pa.array(['c1', 'c2'], pa.string()),
+        'turn_idx': pa.array([0, 0], pa.int32()),
+        'text': pa.array(['a', 'b'], pa.string()),
+        'n_spans': pa.array([1, 1], pa.int32()),
+        'n_pages': pa.array([1, 1], pa.int32()),
+        'decode_ok': pa.array([True, True], pa.bool_()),
+        'error': pa.array(['', ''], pa.string()),
+        'bucket': pa.array([0, 1], pa.int32()),
+    })
+    pq.write_table(good, os.path.join(spill, 'spill-aaaa.parquet'))
+    # half-written leftover: invalid parquet bytes
+    with open(os.path.join(spill, 'spill-bbbb.parquet.tmp'), 'wb') as f:
+        f.write(b'PAR1 garbage truncated')
+
+    compact = _make_bucket_compactor(spill, out)
+    manifest = compact(pa.table({'bucket': pa.array([0, 1], pa.int32())}))
+    assert manifest.column('rows').to_pylist() == [1, 1]
+    parts = sorted(glob.glob(os.path.join(out, 'part-*.parquet')))
+    assert len(parts) == 2
+    assert sum(pq.read_table(p).num_rows for p in parts) == 2
