@@ -13,7 +13,20 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ['round_half_up', 'sql_round', 'sf_from_dir', 'table_path',
-           'read_small_table', 'BroadcastLookup']
+           'read_small_table', 'BroadcastLookup', 'pool']
+
+
+def pool(frac=0.75, floor=2):
+    """Actor-pool ``concurrency`` bounds sized to the CLUSTER, not a
+    hard-coded cap: ``(1, max(floor, frac·cluster_cpus))``.  A fixed
+    ``(1, 8)`` starves a 256-node cluster; a fixed lower bound of 1 keeps
+    small test sessions (4 cpus) from over-reserving."""
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get('CPU', 4))
+    except Exception:
+        cpus = 4
+    return (1, max(floor, int(cpus * frac)))
 
 
 def round_half_up(x, digits):

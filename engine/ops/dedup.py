@@ -33,7 +33,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .common import round_half_up, table_path
+from .common import round_half_up, table_path, pool
 
 __all__ = ['dedup_exact', 'dedup_exact_payloads', 'ngram_jaccard_pairs',
            'minhash_near_dup', 'simhash_near_dup', 'shingle_set']
@@ -269,7 +269,7 @@ def minhash_near_dup(sf_dir, threshold=0.8, k=3, num_partitions=8):
     docs = ray.data.read_parquet(table_path(sf_dir, 'documents'),
                                  columns=['doc_id', 'text'])
     band_rows = docs.map_batches(_Signatures, fn_constructor_args=(k,),
-                                 batch_format='pyarrow', concurrency=(1, 8),
+                                 batch_format='pyarrow', concurrency=pool(),
                                  zero_copy_batch=True)
     cand = band_rows.groupby('band_key').map_groups(_emit_pairs,
                                                     batch_format='pyarrow')
@@ -338,7 +338,7 @@ def simhash_near_dup(sf_dir, max_hamming=3):
     docs = ray.data.read_parquet(table_path(sf_dir, 'documents'),
                                  columns=['doc_id', 'text'])
     rows = docs.map_batches(_SimhashStage, batch_format='pyarrow',
-                            concurrency=(1, 8), zero_copy_batch=True)
+                            concurrency=pool(), zero_copy_batch=True)
 
     def pairs(group: pa.Table) -> pa.Table:
         seen = {}

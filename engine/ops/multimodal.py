@@ -16,7 +16,7 @@ import pyarrow as pa
 
 import ray.data
 
-from .common import round_half_up, table_path
+from .common import round_half_up, table_path, pool
 
 __all__ = ['synthesize_media', 'DecodeMedia', 'decode_media_features',
            'ResizeMedia', 'resize_media', 'resized_features',
@@ -159,7 +159,7 @@ def decode_media_features(sf_dir, batch_size=64):
     """synthesize → actor-pool decode; returns FEATURES_SCHEMA dataset."""
     return synthesize_media(sf_dir).map_batches(
         DecodeMedia, batch_format='pyarrow', batch_size=batch_size,
-        concurrency=(1, 8), zero_copy_batch=True)
+        concurrency=pool(), zero_copy_batch=True)
 
 
 class ResizeMedia:
@@ -259,7 +259,7 @@ def resize_media(sf_dir, target_w=16, target_h=16, batch_size=64):
     return synthesize_media(sf_dir).map_batches(
         ResizeMedia, fn_constructor_args=(target_w, target_h),
         batch_format='pyarrow', batch_size=batch_size,
-        concurrency=(1, 8), zero_copy_batch=True)
+        concurrency=pool(), zero_copy_batch=True)
 
 
 def resized_features(sf_dir, target_w=16, target_h=16, batch_size=64):
@@ -271,7 +271,7 @@ def resized_features(sf_dir, target_w=16, target_h=16, batch_size=64):
     own output can't be compared in SQL)."""
     return resize_media(sf_dir, target_w, target_h, batch_size).map_batches(
         DecodeMedia, batch_format='pyarrow', batch_size=batch_size,
-        concurrency=(1, 8), zero_copy_batch=True)
+        concurrency=pool(), zero_copy_batch=True)
 
 
 class FrameFeatures:
@@ -302,7 +302,7 @@ def frame_features(sf_dir, stride=4, batch_size=64):
     """synthesize → frame-sample → per-frame decode (oracle-checkable)."""
     return sample_frames(sf_dir, stride, batch_size).map_batches(
         FrameFeatures, batch_format='pyarrow', batch_size=batch_size,
-        concurrency=(1, 8), zero_copy_batch=True)
+        concurrency=pool(), zero_copy_batch=True)
 
 
 def sample_frames(sf_dir, stride=4, batch_size=64):
@@ -310,4 +310,4 @@ def sample_frames(sf_dir, stride=4, batch_size=64):
     return synthesize_media(sf_dir).map_batches(
         FrameSample, fn_constructor_args=(stride,),
         batch_format='pyarrow', batch_size=batch_size,
-        concurrency=(1, 8), zero_copy_batch=True)
+        concurrency=pool(), zero_copy_batch=True)

@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from .common import BroadcastLookup, round_half_up, table_path, read_small_table
+from .common import BroadcastLookup, round_half_up, table_path, read_small_table, pool
 
 __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'supplier_balance_by_nation', 'events_by_type', 'events_sessionize',
@@ -171,7 +171,7 @@ def customers_per_region(sf_dir):
     ds = ray.data.read_parquet(table_path(sf_dir, 'customer'),
                                columns=['c_nationkey'])
     return (ds.map_batches(_MapThroughDims, fn_constructor_args=(ref,),
-                           batch_format='pyarrow', concurrency=(1, 4),
+                           batch_format='pyarrow', concurrency=pool(),
                            zero_copy_batch=True)
               .groupby('r_name').map_groups(final, batch_format='pyarrow'))
 
@@ -204,7 +204,7 @@ def supplier_balance_by_nation(sf_dir):
     ds = ray.data.read_parquet(table_path(sf_dir, 'supplier'),
                                columns=['s_nationkey', 's_acctbal'])
     return (ds.map_batches(_NationName, fn_constructor_args=(ref,),
-                           batch_format='pyarrow', concurrency=(1, 4),
+                           batch_format='pyarrow', concurrency=pool(),
                            zero_copy_batch=True)
               .groupby('n_name').map_groups(final, batch_format='pyarrow'))
 

@@ -21,7 +21,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .common import round_half_up, table_path
+from .common import round_half_up, table_path, pool
 
 __all__ = ['embedding_dup_pairs', 'ann_topk', 'ann_topk_lsh', 'ann_topk_ivf']
 
@@ -80,7 +80,7 @@ def embedding_dup_pairs(sf_dir, threshold=0.42):
     ref = ray.put(_corpus_matrix(sf_dir))
     return _read_embeddings(sf_dir).map_batches(
         _DupPairs, fn_constructor_args=(ref, threshold),
-        batch_format='pyarrow', concurrency=(1, 8), zero_copy_batch=True)
+        batch_format='pyarrow', concurrency=pool(), zero_copy_batch=True)
 
 
 def _topk_ties(scores, ids, k):
@@ -159,7 +159,7 @@ def ann_topk(sf_dir, n_queries=16, k=5):
     ref = ray.put(_query_matrix(sf_dir, n_queries))
     partial = _read_embeddings(sf_dir).map_batches(
         _PartialTopK, fn_constructor_args=(ref, k),
-        batch_format='pyarrow', concurrency=(1, 8), zero_copy_batch=True)
+        batch_format='pyarrow', concurrency=pool(), zero_copy_batch=True)
     return partial.groupby('query_id').map_groups(_final_topk(k),
                                                   batch_format='pyarrow')
 
@@ -219,7 +219,7 @@ def ann_topk_lsh(sf_dir, n_queries=16, k=5):
     ref = ray.put(_query_matrix(sf_dir, n_queries))
     partial = _read_embeddings(sf_dir).map_batches(
         _LshPartial, fn_constructor_args=(ref, k),
-        batch_format='pyarrow', concurrency=(1, 8), zero_copy_batch=True)
+        batch_format='pyarrow', concurrency=pool(), zero_copy_batch=True)
     return partial.groupby('query_id').map_groups(_final_topk(k),
                                                   batch_format='pyarrow')
 
@@ -297,6 +297,6 @@ def ann_topk_ivf(sf_dir, n_queries=16, k=5, nlist=16, nprobe=4):
     ref = ray.put(((qids, qmat), cent))
     partial = _read_embeddings(sf_dir).map_batches(
         _IvfPartial, fn_constructor_args=(ref, k, nprobe),
-        batch_format='pyarrow', concurrency=(1, 8), zero_copy_batch=True)
+        batch_format='pyarrow', concurrency=pool(), zero_copy_batch=True)
     return partial.groupby('query_id').map_groups(_final_topk(k),
                                                   batch_format='pyarrow')
