@@ -11,10 +11,10 @@ Four families, each with its own scale shape:
 - ``minhash_near_dup``  — the discovery tier that scales (Broder 1997,
                           'On the resemblance and containment of documents'):
                           128-perm MinHash →
-                          32×4 LSH bands → band-key groupby (the ONLY
-                          all-to-all) → exact-Jaccard verification of the
-                          (small) candidate set against a broadcast shingle
-                          lookup.
+                          32×4 LSH bands → band-key groupby →
+                          pair-dedupe groupby → two hash-partition joins
+                          attach doc text to pairs → exact-Jaccard verify
+                          map stage (fully distributed; no driver drain).
 - ``simhash_near_dup``  — 64-bit SimHash (Charikar 2002, STOC similarity
                           estimation), 4×16-bit chunk blocking, Hamming
                           distance verify.

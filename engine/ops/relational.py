@@ -5,9 +5,12 @@ Patterns demonstrated (each is the 100 TB-shape of the operation):
 - *Pre-aggregated groupby*: every aggregate does a PARTIAL Arrow
   ``Table.group_by`` inside map_batches first, so the all-to-all groupby
   shuffle moves one combiner row per (key, block), never raw rows.
-- *Broadcast join*: dimension tables (region/nation/customer) are read
-  driver-side, turned into flat lookup dicts, ``ray.put`` ONCE, and fetched
-  once per actor — no shuffle join for small sides.
+- *Broadcast join*: TRUE dimension tables (region/nation — small by
+  schema) are read driver-side, turned into flat lookup dicts, ``ray.put``
+  ONCE, and fetched once per actor.  Fact-sized sides (customer, orders)
+  are NEVER read driver-side: they go through hash-partitioned
+  ``Dataset.join`` (top_orders_revenue) or a co-partitioned
+  union+groupby (events_asof_orders).
 - *Predicate/column pruning at the read*: ``columns=`` + parquet ``filter=``
   so only needed row groups leave storage.
 - *Sessionize*: per-key ordered window logic via ``groupby.map_groups``.
