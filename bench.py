@@ -43,13 +43,22 @@ def _init_ray(num_cpus):
                  logging_level='ERROR')
 
 
-def run_headline(num_cpus, sf_dir=SF_DIR, sf_mult=1):
+def run_headline(num_cpus, sf_dir=SF_DIR, sf_mult=1, payload_lru=False):
     """Flagship extraction: transcripts → extract → ordered bucketed write.
 
     ``sf_mult`` scales the synthesized corpus relative to the sf_dir hint —
     the scaling benchmark uses 4× so the job carries ≥60 s of work at
     num_cpus=8 and fixed pipeline startup (~5 s) stops dominating.
+
+    ``payload_lru``: the production default caches extraction results per
+    distinct payload (engine/rayjob/extract_stage.py).  The SYNTHESIZED
+    corpus has only ~24 distinct payloads (the golden variant pool), which
+    makes the cache degenerate-good (hit rate ≈ 100%) — so the HEADLINE
+    metric is measured with the cache OFF (raw per-turn extraction
+    throughput, comparable to the kernel/baseline numbers), and the
+    cache-on number is reported separately as ``turns_per_sec_lru``.
     """
+    os.environ['GRAFT_PAYLOAD_LRU'] = '4096' if payload_lru else '0'
     from engine.ops.common import sf_from_dir
     from engine.rayjob.transcripts import ensure_corpus
     from engine.rayjob.pipeline import run_extraction
@@ -92,6 +101,8 @@ BENCH_SF_MULT = int(os.environ.get('GRAFT_BENCH_SF_MULT', '4'))
 def main_default():
     _init_ray(NUM_CPUS)
     head = run_headline(NUM_CPUS, sf_mult=BENCH_SF_MULT)
+    lru_head = run_headline(NUM_CPUS, sf_mult=BENCH_SF_MULT, payload_lru=True)
+    os.environ.pop('GRAFT_PAYLOAD_LRU', None)   # queries use the default
     queries = run_queries()
     sf = os.path.basename(os.path.normpath(SF_DIR)).lstrip('sf')
     print(json.dumps({
@@ -99,6 +110,10 @@ def main_default():
         'value': round(head['wall_s'], 3),
         'unit': 'sec',
         'turns_per_sec': round(head['turns_per_sec'], 1),
+        # production config (payload LRU on): degenerate-good on the synth
+        # corpus (24 distinct payloads) — reported separately, see
+        # run_headline docstring
+        'turns_per_sec_lru': round(lru_head['turns_per_sec'], 1),
         'rows': head['rows'],
         'decode_failures': head['decode_failures'],
         'span_count': head['span_count'],

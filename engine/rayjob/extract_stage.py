@@ -31,12 +31,45 @@ def pin_arrow_threads():
 
 
 class ExtractTurns(object):
-    def __init__(self):
+    """``payload_lru``: per-actor LRU of extraction results keyed by payload
+    md5.  Extraction is a pure function of the payload, so a repeated
+    payload (boilerplate PDFs attached to many turns — common in web-scale
+    transcript corpora, measured via dedup_exact_payloads) costs one md5
+    (~µs) instead of a full re-extraction (~ms).  Bounded by entry COUNT;
+    set 0 to disable."""
+
+    def __init__(self, payload_lru=None):
         pin_arrow_threads()
         self.shared = SharedFontState()
+        if payload_lru is None:
+            import os
+            payload_lru = int(os.environ.get('GRAFT_PAYLOAD_LRU', '4096'))
+        from collections import OrderedDict
+        self._lru = OrderedDict() if payload_lru else None
+        self._lru_cap = payload_lru
+        self.lru_hits = 0
+
+    def _extract(self, payload):
+        if self._lru is None:
+            r = extract_turn(payload, self.shared)
+            return (r['text'], r['n_spans'], r['n_pages'],
+                    r['decode_ok'], r['error'])
+        import hashlib
+        key = hashlib.md5(payload.encode('utf-8', 'replace')
+                          if isinstance(payload, str) else b'\x00').digest()
+        hit = self._lru.get(key)
+        if hit is not None:
+            self._lru.move_to_end(key)
+            self.lru_hits += 1
+            return hit
+        r = extract_turn(payload, self.shared)
+        row = (r['text'], r['n_spans'], r['n_pages'], r['decode_ok'], r['error'])
+        self._lru[key] = row
+        if len(self._lru) > self._lru_cap:
+            self._lru.popitem(last=False)
+        return row
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        shared = self.shared
         texts = batch.column('text').to_pylist()
         out_text = []
         n_spans = []
@@ -44,12 +77,12 @@ class ExtractTurns(object):
         decode_ok = []
         error = []
         for payload in texts:
-            r = extract_turn(payload, shared)
-            out_text.append(r['text'])
-            n_spans.append(r['n_spans'])
-            n_pages.append(r['n_pages'])
-            decode_ok.append(r['decode_ok'])
-            error.append(r['error'])
+            text, ns, np_, ok, err = self._extract(payload)
+            out_text.append(text)
+            n_spans.append(ns)
+            n_pages.append(np_)
+            decode_ok.append(ok)
+            error.append(err)
         cols = {
             'conv_id': batch.column('conv_id'),
             'turn_idx': batch.column('turn_idx'),
@@ -112,8 +145,8 @@ class ExtractAndSpill(ExtractTurns):
     the shuffled payload, and there is no global barrier operator.
     """
 
-    def __init__(self, spill_dir, num_buckets):
-        super().__init__()
+    def __init__(self, spill_dir, num_buckets, payload_lru=None):
+        super().__init__(payload_lru=payload_lru)
         self.spill_dir = spill_dir
         self.num_buckets = num_buckets
 

@@ -149,7 +149,7 @@ def _make_bucket_compactor(spill_dir, out_dir):
 
 
 def run_extraction(input_path, out_dir, num_buckets=64, batch_size=None,
-                   concurrency=None, resume=True):
+                   concurrency=None, resume=True, payload_lru=None):
     """Run the full pipeline; returns a summary dict (job metrics)."""
     import glob
     import shutil
@@ -189,8 +189,13 @@ def run_extraction(input_path, out_dir, num_buckets=64, batch_size=None,
     if sct and sct != '0':
         extra['runtime_env'] = {
             'env_vars': {'RAY_num_server_call_thread': sct}}
+    # resolve the LRU size DRIVER-SIDE and ship it in the ctor args: env
+    # vars set after ray.init never reach the (raylet-spawned) actors
+    if payload_lru is None:
+        payload_lru = int(os.environ.get('GRAFT_PAYLOAD_LRU', '4096'))
     stats = ds.map_batches(ExtractAndSpill,
-                           fn_constructor_args=(spill_dir, num_buckets),
+                           fn_constructor_args=(spill_dir, num_buckets,
+                                                payload_lru),
                            batch_format='pyarrow', batch_size=batch_size,
                            concurrency=concurrency, zero_copy_batch=True,
                            **extra)

@@ -260,3 +260,25 @@ def test_compactor_ignores_tmp_files(tmp_path):
     parts = sorted(glob.glob(os.path.join(out, 'part-*.parquet')))
     assert len(parts) == 2
     assert sum(pq.read_table(p).num_rows for p in parts) == 2
+
+
+def test_payload_lru_identical_output_and_hits(tmp_path):
+    """Repeated payloads must hit the per-actor LRU (one extraction per
+    distinct payload) and produce byte-identical output to the uncached
+    stage — extraction is a pure function of the payload."""
+    from engine.rayjob.extract_stage import ExtractTurns
+    import pyarrow as pa
+
+    d = str(tmp_path / 'corpus')
+    generate_transcripts(d, n_convs=4, seed=13, rows_per_file=200)
+    src = glob.glob(os.path.join(d, '*.parquet'))[0]
+    base = pq.read_table(src, columns=['conv_id', 'turn_idx', 'text'])
+    # duplicate the batch so every payload appears at least twice
+    batch = pa.concat_tables([base, base]).combine_chunks()
+
+    cached = ExtractTurns(payload_lru=4096)
+    plain = ExtractTurns(payload_lru=0)
+    out_c = cached(batch)
+    out_p = plain(batch)
+    assert out_c.equals(out_p)
+    assert cached.lru_hits >= base.num_rows        # second copy all hits
