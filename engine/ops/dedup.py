@@ -11,10 +11,11 @@ Four families, each with its own scale shape:
 - ``minhash_near_dup``  — the discovery tier that scales (Broder 1997,
                           'On the resemblance and containment of documents'):
                           128-perm MinHash →
-                          32×4 LSH bands → band-key groupby →
-                          pair-dedupe groupby → two hash-partition joins
-                          attach doc text to pairs → exact-Jaccard verify
-                          map stage (fully distributed; no driver drain).
+                          32×4 LSH bands → band-key groupby → pair sides
+                          union doc text, one groupby(doc_id) attach
+                          (dedup folded in) → pair-key groupby exact-
+                          Jaccard verify (fully distributed; no driver
+                          drain).
 - ``simhash_near_dup``  — 64-bit SimHash (Charikar 2002, STOC similarity
                           estimation), 4×16-bit chunk blocking, Hamming
                           distance verify.
@@ -193,20 +194,28 @@ def ngram_jaccard_pairs(sf_dir, threshold=0.8, k=3, block_col='lang'):
 
 # ------------------------------------------------------------- MinHash + LSH
 
-class _Signatures:
-    """Actor stage: perm params built once per actor; emits one row per
-    (band, doc) with the band key — the LSH 'explode'."""
+_PERM_CACHE = {}
 
-    def __init__(self, k):
-        self.k = k
-        self.a, self.b = _perm_params()
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        a, b = self.a, self.b
+def _perms():
+    """Per-process lazy perm params (derivation is µs-cheap and seeded, so
+    a plain-function TASK stage works — no actor pool to spawn; the warm
+    Ray worker pool from the read stage is reused, saving ~3-5 s of
+    per-query actor startup)."""
+    if 'p' not in _PERM_CACHE:
+        _PERM_CACHE['p'] = _perm_params()
+    return _PERM_CACHE['p']
+
+
+def _make_signatures(k, nb):
+    def signatures(batch: pa.Table) -> pa.Table:
+        """Emits one row per (band, doc) with the band key — the LSH
+        'explode' — plus the band-hash bucket for the pair groupby."""
+        a, b = _perms()
         band_keys, doc_ids = [], []
         ids = batch.column('doc_id').to_pylist()
         for did, text in zip(ids, batch.column('text').to_pylist()):
-            h = _shingle_hashes(text, self.k)
+            h = _shingle_hashes(text, k)
             if h.size == 0:
                 continue
             # (P, n) permuted hashes; a < 2^31, h < 2^32 → a*h+b < 2^63: no overflow
@@ -216,80 +225,226 @@ class _Signatures:
                 key = (bi << 32) | zlib.crc32(bands[bi].tobytes())
                 band_keys.append(key)
                 doc_ids.append(did)
-        return pa.table({'band_key': pa.array(band_keys, pa.int64()),
-                         'doc_id': pa.array(doc_ids, pa.int64())})
-
-
-def _emit_pairs(group: pa.Table) -> pa.Table:
-    ids = sorted(set(group.column('doc_id').to_pylist()))
-    out_a, out_b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            out_a.append(ids[i])
-            out_b.append(ids[j])
-    return pa.table({'doc_id_a': pa.array(out_a, pa.int64()),
-                     'doc_id_b': pa.array(out_b, pa.int64())})
+        keys = np.asarray(band_keys, dtype=np.int64)
+        return pa.table({'band_key': pa.array(keys, pa.int64()),
+                         'doc_id': pa.array(doc_ids, pa.int64()),
+                         'bucket': pa.array(keys & (nb - 1), pa.int64())})
+    return signatures
 
 
 def _dedupe_pairs(group: pa.Table) -> pa.Table:
     return group.slice(0, 1)
 
 
-def _make_pair_verifier(threshold, k):
-    def verify(batch: pa.Table) -> pa.Table:
+_PAIRS_EMPTY = pa.table({'doc_id_a': pa.array([], pa.int64()),
+                         'doc_id_b': pa.array([], pa.int64())})
+
+_ATTACHED_EMPTY = pa.table({
+    'doc_id_a': pa.array([], pa.int64()),
+    'doc_id_b': pa.array([], pa.int64()),
+    'side': pa.array([], pa.int64()),
+    'text': pa.array([], pa.string()),
+    'vbucket': pa.array([], pa.int64()),
+})
+
+_VERIFIED_EMPTY = pa.table({
+    'doc_id_a': pa.array([], pa.int64()),
+    'doc_id_b': pa.array([], pa.int64()),
+    'jac': pa.array([], pa.float64()),
+})
+
+
+def _emit_pairs_bucket(group: pa.Table) -> pa.Table:
+    """One call per HASH BUCKET of band keys (NOT per band — per-band
+    map_groups costs ~50µs of Python/Arrow per group, and bands are
+    near-singleton, so 160k groups burned 8 s at sf0.1 where this sweep
+    takes milliseconds).  Sort by band_key (C++), find group boundaries
+    with numpy, emit pairs only for multi-doc bands, dedupe (a, b) within
+    the bucket via Arrow group_by (cross-bucket duplicates of a pair are
+    folded later, in the attach stage's distinct)."""
+    t = group.sort_by([('band_key', 'ascending'), ('doc_id', 'ascending')])
+    keys = t.column('band_key').to_numpy()
+    ids = t.column('doc_id').to_numpy()
+    if keys.size == 0:
+        return _PAIRS_EMPTY
+    starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    ends = np.r_[starts[1:], keys.size]
+    hot = np.flatnonzero(ends - starts >= 2)
+    out_a, out_b = [], []
+    for gi in hot:
+        d = ids[starts[gi]:ends[gi]]      # sorted, unique within a band
+        ia, ib = np.triu_indices(d.size, k=1)
+        out_a.append(d[ia])
+        out_b.append(d[ib])
+    if not out_a:
+        return _PAIRS_EMPTY
+    tbl = pa.table({'doc_id_a': pa.array(np.concatenate(out_a), pa.int64()),
+                    'doc_id_b': pa.array(np.concatenate(out_b), pa.int64())})
+    return tbl.group_by(['doc_id_a', 'doc_id_b']).aggregate([])
+
+
+def _make_explode_pair_sides(nb):
+    def explode(batch: pa.Table) -> pa.Table:
+        """Candidate pair → two keyed side rows (key = one member doc,
+        other = the counterpart).  side 0: key is doc_id_a; side 1: key is
+        doc_id_b.  bucket = key & (nb-1) co-partitions with the doc rows."""
+        a = batch.column('doc_id_a')
+        b = batch.column('doc_id_b')
+        n = batch.num_rows
+        key = pa.chunked_array(list(a.chunks) + list(b.chunks), pa.int64())
+        return pa.table({
+            'key': key,
+            'other': pa.chunked_array(list(b.chunks) + list(a.chunks),
+                                      pa.int64()),
+            'side': pa.array([0] * n + [1] * n, pa.int64()),
+            'text': pa.nulls(2 * n, pa.string()),
+            'bucket': pa.array(key.to_numpy() & (nb - 1), pa.int64()),
+        })
+    return explode
+
+
+def _make_doc_side_rows(nb):
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            'key': batch.column('doc_id'),
+            'other': pa.nulls(n, pa.int64()),
+            'side': pa.nulls(n, pa.int64()),
+            'text': batch.column('text'),
+            'bucket': pa.array(batch.column('doc_id').to_numpy() & (nb - 1),
+                               pa.int64()),
+        })
+    return fn
+
+
+def _make_attach_bucket(nb):
+    def attach(group: pa.Table) -> pa.Table:
+        """Per doc-hash bucket of the unioned (doc-text ∪ pair-side) rows:
+        attach each doc's text to its DISTINCT (other, side) rows — the
+        distinct fold is also the candidate dedup (the same pair surfaces
+        once per matching LSH band) — via a local C++ hash join.  Emits a
+        pair-hash ``vbucket`` so verification is likewise one call per
+        bucket."""
+        import pyarrow.compute as pc
+        is_doc = pc.is_null(group.column('side'))
+        docs = group.filter(is_doc).select(['key', 'text'])
+        sides = group.filter(pc.invert(is_doc)).select(['key', 'other', 'side'])
+        if sides.num_rows == 0 or docs.num_rows == 0:
+            return _ATTACHED_EMPTY
+        distinct = sides.group_by(['key', 'other', 'side']).aggregate([])
+        joined = distinct.join(docs, keys='key', join_type='inner') \
+                         .combine_chunks()
+        side_c = joined.column('side')
+        is_a = pc.equal(side_c, 0)
+        a = pc.if_else(is_a, joined.column('key'), joined.column('other'))
+        b = pc.if_else(is_a, joined.column('other'), joined.column('key'))
+        an = a.to_numpy().astype(np.uint64)
+        bn = b.to_numpy().astype(np.uint64)
+        vbucket = ((an * np.uint64(0x9E3779B97F4A7C15)) ^ bn) & np.uint64(nb - 1)
+        return pa.table({
+            'doc_id_a': a,
+            'doc_id_b': b,
+            'side': side_c,
+            'text': joined.column('text'),
+            'vbucket': pa.array(vbucket.astype(np.int64), pa.int64()),
+        })
+    return attach
+
+
+def _make_bucket_verifier(threshold, k):
+    def verify(group: pa.Table) -> pa.Table:
+        """Per pair-hash bucket: sort so each candidate pair is two
+        consecutive rows (side 0 carrying text_a, side 1 text_b), then
+        exact word-k-gram Jaccard per candidate.  Per-candidate Python is
+        irreducible here (set intersection over shingle strings), but the
+        batch/table overhead is once per bucket."""
+        t = group.sort_by([('doc_id_a', 'ascending'),
+                           ('doc_id_b', 'ascending'),
+                           ('side', 'ascending')])
+        a = t.column('doc_id_a').to_numpy()
+        b = t.column('doc_id_b').to_numpy()
+        texts = t.column('text').to_pylist()
+        n = t.num_rows
+        if n % 2:
+            raise ValueError('unpaired candidate side row')
+        cache = {}
+
+        def sset(doc_id, text):
+            s = cache.get(doc_id)
+            if s is None:
+                s = shingle_set(text, k)
+                cache[doc_id] = s
+            return s
+
         out_a, out_b, out_j = [], [], []
-        for a_, b_, ta, tb in zip(batch.column('doc_id_a').to_pylist(),
-                                  batch.column('doc_id_b').to_pylist(),
-                                  batch.column('text_a').to_pylist(),
-                                  batch.column('text_b').to_pylist()):
-            jac = _jaccard(shingle_set(ta, k), shingle_set(tb, k))
+        for i in range(0, n, 2):
+            if a[i] != a[i + 1] or b[i] != b[i + 1]:
+                raise ValueError('unpaired candidate side row')
+            jac = _jaccard(sset(a[i], texts[i]), sset(b[i], texts[i + 1]))
             if jac >= threshold:
-                out_a.append(a_)
-                out_b.append(b_)
+                out_a.append(int(a[i]))
+                out_b.append(int(b[i]))
                 out_j.append(jac)
+        if not out_a:
+            return _VERIFIED_EMPTY
         return pa.table({
             'doc_id_a': pa.array(out_a, pa.int64()),
             'doc_id_b': pa.array(out_b, pa.int64()),
-            'jac': pa.array(round_half_up(out_j, 6) if out_j else [], pa.float64()),
+            'jac': pa.array(round_half_up(out_j, 6), pa.float64()),
         })
     return verify
 
 
-def minhash_near_dup(sf_dir, threshold=0.8, k=3, num_partitions=8):
+def minhash_near_dup(sf_dir, threshold=0.8, k=3, num_buckets=64):
     """MinHash+LSH near-dup discovery, exact-verified — FULLY DISTRIBUTED.
 
-    Shuffle accounting: band-key groupby (uniform crc32 keys — no skew), a
-    pair-key groupby to dedupe candidates, then candidate pairs are joined
-    back to document text with two hash-partitioned ``Dataset.join``s on
-    doc_id (no driver-side candidate drain, no broadcast shingle lookup —
-    on a boilerplate-heavy corpus the candidate set is O(corpus) and must
-    stay distributed).  Exact-Jaccard verification runs as a map stage over
-    the joined (pair, text_a, text_b) rows.
+    Shuffle accounting (three groupby exchanges, no driver-side candidate
+    drain, no broadcast shingle lookup — on a boilerplate-heavy corpus the
+    candidate set is O(corpus) and must stay distributed).  Every exchange
+    is HASH-BUCKETED (key & (num_buckets-1)) rather than keyed on the raw
+    band/doc/pair value: map_groups pays ~50µs of Python+Arrow per group,
+    so grouping by the raw key (160k near-singleton bands at sf0.1) costs
+    8 s where num_buckets vectorized bucket sweeps cost milliseconds.
+    ``num_buckets`` (power of two) scales with the cluster, not the data.
+
+    1. bucketed band groupby: per bucket, a C++ sort + numpy boundary
+       sweep emits pairs for multi-doc bands only, locally deduped;
+    2. pairs explode into two keyed side rows and union with the
+       (doc_id, text) rows; ONE bucketed groupby co-partitions them and a
+       local C++ hash join attaches each doc's text to its pair sides —
+       the distinct fold inside doubles as global candidate dedup
+       (co-partition pattern, cf. relational.events_asof_orders);
+    3. pair-hash-bucketed groupby brings the two attached sides together;
+       exact word-k-gram Jaccard verifies each candidate once.
+
+    Earlier designs: driver-side candidate drain + broadcast shingle sets
+    (round 1 — O(corpus) driver state on dup-heavy corpora), then two
+    ``Dataset.join``s (each with ~2.5 s fixed aggregator-pool startup
+    per query at small scale).  The bucketed co-partition moves the same
+    bytes with one fewer exchange and no per-group Python tax.
+
+    Known O(n²) corner, documented: a band holding m docs emits m(m-1)/2
+    candidate pairs (exact-duplicate clusters land in the same band for
+    all 32 bands).  Run exact dedup first — its survivors cap m at the
+    near-dup (not exact-dup) cluster size.
     """
+    if num_buckets & (num_buckets - 1):
+        raise ValueError('num_buckets must be a power of two')
     docs = ray.data.read_parquet(table_path(sf_dir, 'documents'),
                                  columns=['doc_id', 'text'])
-    band_rows = docs.map_batches(_Signatures, fn_constructor_args=(k,),
-                                 batch_format='pyarrow', concurrency=pool(),
+    band_rows = docs.map_batches(_make_signatures(k, num_buckets),
+                                 batch_format='pyarrow',
                                  zero_copy_batch=True)
-    cand = band_rows.groupby('band_key').map_groups(_emit_pairs,
-                                                    batch_format='pyarrow')
-    cand = cand.groupby(['doc_id_a', 'doc_id_b']).map_groups(
-        _dedupe_pairs, batch_format='pyarrow')
-
-    def _keyed(key_col, text_col):
-        def fn(batch: pa.Table) -> pa.Table:
-            return pa.table({key_col: batch.column('doc_id'),
-                             text_col: batch.column('text')})
-        return fn
-
-    docs_a = docs.map_batches(_keyed('doc_id_a', 'text_a'),
-                              batch_format='pyarrow', zero_copy_batch=True)
-    docs_b = docs.map_batches(_keyed('doc_id_b', 'text_b'),
-                              batch_format='pyarrow', zero_copy_batch=True)
-    joined = cand.join(docs_a, 'inner', num_partitions, on=('doc_id_a',)) \
-                 .join(docs_b, 'inner', num_partitions, on=('doc_id_b',))
-    return joined.map_batches(_make_pair_verifier(threshold, k),
-                              batch_format='pyarrow', zero_copy_batch=True)
+    cand = band_rows.groupby('bucket').map_groups(_emit_pairs_bucket,
+                                                  batch_format='pyarrow')
+    sides = cand.map_batches(_make_explode_pair_sides(num_buckets),
+                             batch_format='pyarrow', zero_copy_batch=True)
+    doc_side = docs.map_batches(_make_doc_side_rows(num_buckets),
+                                batch_format='pyarrow', zero_copy_batch=True)
+    attached = sides.union(doc_side).groupby('bucket').map_groups(
+        _make_attach_bucket(num_buckets), batch_format='pyarrow')
+    return attached.groupby('vbucket').map_groups(
+        _make_bucket_verifier(threshold, k), batch_format='pyarrow')
 
 
 # ------------------------------------------------------------------- SimHash
