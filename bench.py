@@ -83,13 +83,21 @@ def run_queries(sf_dir=SF_DIR):
     qs = entrymod.queries()
     out = {}
     import ray.data
+    import gc
     for name in BENCH_QUERIES:
+        # A consumed Dataset's streaming executor + actor pool are torn
+        # down lazily via cyclic GC; left to chance, the NEXT query's pool
+        # waits on the previous pool's CPUs (measured: 18.2s vs 2.4s for
+        # the identical query).  Collect between queries so each timing
+        # measures the query, not its predecessor's teardown.
+        gc.collect()
         t0 = time.perf_counter()
         # Errors PROPAGATE: a timing for a failed query is a lie.
         res = qs[name](sf_dir)
         if isinstance(res, ray.data.Dataset):
             res.count()  # consume the stream
         out[name] = round(time.perf_counter() - t0, 3)
+        del res
     return out
 
 

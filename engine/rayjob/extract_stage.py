@@ -100,20 +100,50 @@ class ExtractTurns(object):
 class ExtractSpans(object):
     """Actor stage emitting ONE ROW PER POSITIONED SPAN (the reference's
     ``glyph draw`` callback surface, U1) instead of per-turn text —
-    the exploded detail table for layout-aware downstream consumers."""
+    the exploded detail table for layout-aware downstream consumers.
 
-    def __init__(self):
+    Spans are a pure function of the payload (only conv_id/turn_idx differ
+    between rows sharing a payload), so the same md5-keyed LRU as
+    ``ExtractTurns`` applies; boilerplate-heavy corpora pay one extraction
+    per distinct payload.  The cap defaults lower than the fulltext stage
+    (a cached entry holds the whole span list, not one text string)."""
+
+    def __init__(self, payload_lru=None):
         pin_arrow_threads()
         self.shared = SharedFontState()
+        if payload_lru is None:
+            import os
+            payload_lru = int(os.environ.get('GRAFT_SPANS_LRU', '1024'))
+        from collections import OrderedDict
+        self._lru = OrderedDict() if payload_lru else None
+        self._lru_cap = payload_lru
+        self.lru_hits = 0
+
+    def _spans(self, payload):
+        if self._lru is None:
+            return extract_turn(payload, self.shared,
+                                collect_spans=True)['spans'] or ()
+        import hashlib
+        key = hashlib.md5(payload.encode('utf-8', 'replace')
+                          if isinstance(payload, str) else b'\x00').digest()
+        hit = self._lru.get(key)
+        if hit is not None:
+            self._lru.move_to_end(key)
+            self.lru_hits += 1
+            return hit
+        spans = extract_turn(payload, self.shared,
+                             collect_spans=True)['spans'] or ()
+        self._lru[key] = spans
+        if len(self._lru) > self._lru_cap:
+            self._lru.popitem(last=False)
+        return spans
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        shared = self.shared
         conv, turn, page, xs, ys, uni, cid, width = [], [], [], [], [], [], [], []
         conv_ids = batch.column('conv_id').to_pylist()
         turn_idxs = batch.column('turn_idx').to_pylist()
         for c, t, payload in zip(conv_ids, turn_idxs, batch.column('text').to_pylist()):
-            r = extract_turn(payload, shared, collect_spans=True)
-            for (pg, x, y, u, g_cid, g_w) in (r['spans'] or ()):
+            for (pg, x, y, u, g_cid, g_w) in self._spans(payload):
                 conv.append(c)
                 turn.append(t)
                 page.append(pg)

@@ -82,9 +82,13 @@ def main():
             con.execute("CREATE VIEW %s AS SELECT * FROM read_parquet('%s')" % (t, p))
 
     n_fail = 0
+    import gc
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # Dataset executors/actor pools tear down via cyclic GC; collect so
+        # query N+1 doesn't wait on query N's pool CPUs (18s vs 2.4s).
+        gc.collect()
         t0 = time.perf_counter()
         try:
             ray_df = to_pandas(fn(sf_dir))
