@@ -80,58 +80,116 @@ def q1_pricing(sf_dir):
               .map_groups(final, batch_format='pyarrow'))
 
 
-def top_orders_revenue(sf_dir, segment='BUILDING', topk=10, num_partitions=8):
-    """Revenue of the top-k orders from one customer segment — NO
-    driver-side fact reads (customer and orders both grow with sf):
+_SEMI_EMPTY = pa.table({'o_orderkey': pa.array([], pa.int64()),
+                        'obucket': pa.array([], pa.int64())})
 
-      1. customer is filtered DISTRIBUTED to segment custkeys;
-      2. orders is reduced by a hash-partitioned ``left_semi``
-         ``Dataset.join`` against those custkeys (all-to-all over key
-         columns only);
-      3. lineitem is partial-aggregated per (block, orderkey) — the
-         combiner — then globally grouped to per-order revenue, so the
-         groupby shuffle moves combiner rows, never raw lineitems
-         (aggregate-before-join: the join's left side is orders-sized,
-         not lineitem-sized);
-      4. per-order revenue ⋈ filtered orders via a second ``left_semi``
-         hash join, then a tiny global sort+limit.
+_TOPK_EMPTY = pa.table({'o_orderkey': pa.array([], pa.int64()),
+                        'rev_raw': pa.array([], pa.float64())})
+
+
+def top_orders_revenue(sf_dir, segment='BUILDING', topk=10, num_buckets=64):
+    """Revenue of the top-k orders from one customer segment — NO
+    driver-side fact reads (customer and orders both grow with sf), and
+    no per-key map_groups tax (~50µs of Python+Arrow per group would be
+    paid once per ORDER): every exchange is hash-BUCKETED
+    (key & (num_buckets-1)) and per-bucket work is C++ (is_in semi
+    filter, Arrow group_by, sort).  ``num_buckets`` scales with the
+    cluster, not the data.
+
+      1. customer is filtered DISTRIBUTED to segment custkeys; the key
+         rows union with (o_custkey, o_orderkey) rows and ONE bucketed
+         groupby co-partitions them — a local ``is_in`` semi-filter
+         emits the qualifying orderkeys (co-partition pattern, cf.
+         dedup.minhash_near_dup / events_asof_orders);
+      2. lineitem is partial-aggregated per (block, orderkey) — the
+         combiner — so the second exchange moves combiner rows, never
+         raw lineitems; the qualifying orderkeys ride the same bucketed
+         exchange (rev_sum=null marks a key row);
+      3. per bucket: Arrow group_by folds partials to per-order revenue,
+         the semi-filter applies, and a PER-BUCKET top-k (rev desc,
+         orderkey asc — the global ordering restricted to the bucket,
+         so bucket-local top-k is a superset of the global winners in
+         that bucket) caps the final sort at num_buckets × k rows.
     """
+    nb = num_buckets
     cust = ray.data.read_parquet(table_path(sf_dir, 'customer'),
                                  columns=['c_custkey', 'c_mktsegment'])
 
     def seg_keys(batch: pa.Table) -> pa.Table:
-        m = pc.equal(batch.column('c_mktsegment'), segment)
-        return pa.table({'c_custkey': batch.filter(m).column('c_custkey')})
+        keys = batch.filter(pc.equal(batch.column('c_mktsegment'),
+                                     segment)).column('c_custkey')
+        return pa.table({
+            'key': keys,
+            'o_orderkey': pa.nulls(len(keys), pa.int64()),
+            'bucket': pa.array(keys.to_numpy() & (nb - 1), pa.int64()),
+        })
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'key': batch.column('o_custkey'),
+            'o_orderkey': batch.column('o_orderkey'),
+            'bucket': pa.array(batch.column('o_custkey').to_numpy() & (nb - 1),
+                               pa.int64()),
+        })
+
+    def semi_orders(group: pa.Table) -> pa.Table:
+        is_key = pc.is_null(group.column('o_orderkey'))
+        keyset = group.filter(is_key).column('key')
+        hits = group.filter(pc.invert(is_key))
+        hits = hits.filter(pc.is_in(hits.column('key'), value_set=keyset))
+        if hits.num_rows == 0:
+            return _SEMI_EMPTY
+        ok = hits.column('o_orderkey')
+        return pa.table({'o_orderkey': ok,
+                         'obucket': pa.array(ok.to_numpy() & (nb - 1),
+                                             pa.int64())})
 
     custkeys = cust.map_batches(seg_keys, batch_format='pyarrow',
                                 zero_copy_batch=True)
     orders = ray.data.read_parquet(table_path(sf_dir, 'orders'),
                                    columns=['o_orderkey', 'o_custkey'])
-    orders_f = orders.join(custkeys, 'left_semi', num_partitions,
-                           on=('o_custkey',), right_on=('c_custkey',))
+    orders_f = custkeys.union(
+        orders.map_batches(order_rows, batch_format='pyarrow',
+                           zero_copy_batch=True)
+    ).groupby('bucket').map_groups(semi_orders, batch_format='pyarrow')
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({'o_orderkey': batch.column('o_orderkey'),
+                         'rev_sum': pa.nulls(batch.num_rows, pa.float64()),
+                         'obucket': batch.column('obucket')})
 
     def partial(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(batch.column('l_extendedprice'),
                           pc.subtract(pa.scalar(1.0), batch.column('l_discount')))
         t = pa.table({'o_orderkey': batch.column('l_orderkey'), 'rev': rev})
         g = t.group_by('o_orderkey').aggregate([('rev', 'sum')])
-        return g.rename_columns(['o_orderkey', 'rev_sum'])
+        g = g.rename_columns(['o_orderkey', 'rev_sum'])
+        return g.append_column(
+            'obucket', pa.array(g.column('o_orderkey').to_numpy() & (nb - 1),
+                                pa.int64()))
 
-    def final(group: pa.Table) -> pa.Table:
-        return pa.table({
-            'o_orderkey': group.column('o_orderkey').slice(0, 1),
-            'rev_raw': pa.array([pc.sum(group.column('rev_sum')).as_py() or 0.0],
-                                pa.float64()),
-        })
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        is_key = pc.is_null(group.column('rev_sum'))
+        keyset = group.filter(is_key).column('o_orderkey')
+        parts = group.filter(pc.invert(is_key))
+        parts = parts.filter(pc.is_in(parts.column('o_orderkey'),
+                                      value_set=keyset))
+        if parts.num_rows == 0:
+            return _TOPK_EMPTY
+        per_order = parts.group_by('o_orderkey').aggregate([('rev_sum', 'sum')])
+        per_order = per_order.rename_columns(['o_orderkey', 'rev_raw'])
+        top = per_order.sort_by([('rev_raw', 'descending'),
+                                 ('o_orderkey', 'ascending')]).slice(0, topk)
+        return top.select(['o_orderkey', 'rev_raw'])
 
     li = ray.data.read_parquet(table_path(sf_dir, 'lineitem'),
                                columns=['l_orderkey', 'l_extendedprice', 'l_discount'])
-    per_order = (li.map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
-                   .groupby('o_orderkey').map_groups(final, batch_format='pyarrow'))
-    seg_rev = per_order.join(orders_f.select_columns(['o_orderkey']),
-                             'left_semi', num_partitions, on=('o_orderkey',))
-    top = seg_rev.sort(['rev_raw', 'o_orderkey'],
-                       descending=[True, False]).limit(topk)
+    per_bucket = orders_f.map_batches(key_rows, batch_format='pyarrow',
+                                      zero_copy_batch=True).union(
+        li.map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
+    ).groupby('obucket').map_groups(bucket_topk, batch_format='pyarrow')
+    top = per_bucket.sort(['rev_raw', 'o_orderkey'],
+                          descending=[True, False]).limit(topk)
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
