@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'simhash_near_dup': dedup.simhash_near_dup,           # rows-only
         # similarity search
         'embedding_dup_pairs': similarity.embedding_dup_pairs,
+        'embedding_dup_pairs_blocked': similarity.embedding_dup_pairs_blocked,
         'ann_topk': similarity.ann_topk,
         'ann_topk_lsh': similarity.ann_topk_lsh,
         'ann_topk_ivf': similarity.ann_topk_ivf,
@@ -230,6 +231,15 @@ WHERE len(a.s) > 0 AND len(b.s) > 0
       / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
 """,
         'embedding_dup_pairs': """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             * 10000 + 0.5) / 10000 AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.42
+""",
+        # exact-equivalent by construction (same pairs, same float math),
+        # so the blocked variant shares the all-pairs oracle verbatim
+        'embedding_dup_pairs_blocked': """
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
        floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
              * 10000 + 0.5) / 10000 AS cos

@@ -4,7 +4,10 @@
 - ``embedding_dup_pairs`` — cosine near-dup pairs: each batch does ONE
   float64 matmul against a broadcast (ray.put once) corpus matrix.  The
   broadcast side is the documented scale assumption: a 10^9×64-float32
-  matrix is 256 GB — beyond that, swap for the IVF variant below.
+  matrix is 256 GB — beyond that, use ``embedding_dup_pairs_blocked``.
+- ``embedding_dup_pairs_blocked`` — the same exact pairs with no
+  broadcast and no driver-side read: bucket-pair blocking (block-nested
+  cross product) over one bucketed groupby.
 - ``ann_topk``            — brute-force cosine top-k: per-batch partial
   top-k (numpy argpartition) → per-query groupby merges partials.  This is
   the exact baseline the approximate variants are judged against.
@@ -23,7 +26,8 @@ import ray.data
 
 from .common import round_half_up, table_path, pool
 
-__all__ = ['embedding_dup_pairs', 'ann_topk', 'ann_topk_lsh', 'ann_topk_ivf']
+__all__ = ['embedding_dup_pairs', 'embedding_dup_pairs_blocked',
+           'ann_topk', 'ann_topk_lsh', 'ann_topk_ivf']
 
 
 def _read_embeddings(sf_dir):
@@ -81,6 +85,82 @@ def embedding_dup_pairs(sf_dir, threshold=0.42):
     return _read_embeddings(sf_dir).map_batches(
         _DupPairs, fn_constructor_args=(ref, threshold),
         batch_format='pyarrow', concurrency=pool(), zero_copy_batch=True)
+
+
+def _pair_block_rows(K):
+    """Replicate each vector to its K bucket-pair groups.  Bucket =
+    ``vec_id & (K-1)``; a vector in bucket i joins every group
+    ``(min(i,j), max(i,j))`` — so any unordered pair of vectors meets in
+    exactly ONE group (the one keyed by their two buckets), and the
+    diagonal group (i,i) holds bucket i once for the within-bucket pairs."""
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch.column('vec_id').to_numpy(zero_copy_only=False)
+        own = ids & (K - 1)
+        idx = np.repeat(np.arange(n), K)
+        partner = np.tile(np.arange(K, dtype=np.int64), n)
+        o = own[idx]
+        lo = np.minimum(o, partner)
+        hi = np.maximum(o, partner)
+        out = batch.take(pa.array(idx, pa.int64()))
+        out = out.append_column('pkey', pa.array(lo * K + hi, pa.int64()))
+        return out.append_column('side', pa.array(o, pa.int64()))
+    return fn
+
+
+def _block_cross(threshold):
+    """Per bucket-pair group: ONE float64 cross matmul, threshold filter,
+    canonical (a < b) pair order.  Same float math as the broadcast
+    :class:`_DupPairs` kernel, so the emitted cosines are bit-identical."""
+    def fn(group: pa.Table) -> pa.Table:
+        side = group.column('side').to_numpy(zero_copy_only=False)
+        ids, mat = _batch_matrix(group)
+        us = np.unique(side)
+        if len(us) == 1:                       # diagonal: within-bucket pairs
+            sims = mat @ mat.T
+            iu, ju = np.nonzero(sims >= threshold)
+            keep = ids[iu] < ids[ju]           # each pair once, no self-match
+            a = ids[iu[keep]]
+            b = ids[ju[keep]]
+            cos = sims[iu[keep], ju[keep]]
+        else:                                  # cross-bucket pairs
+            m0 = side == us[0]
+            m1 = ~m0
+            sims = mat[m0] @ mat[m1].T
+            r, c = np.nonzero(sims >= threshold)
+            a0 = ids[m0][r]
+            b0 = ids[m1][c]
+            a = np.minimum(a0, b0)
+            b = np.maximum(a0, b0)
+            cos = sims[r, c]
+        return pa.table({
+            'vec_id_a': pa.array(a, pa.int64()),
+            'vec_id_b': pa.array(b, pa.int64()),
+            'cos': pa.array(round_half_up(cos, 4), pa.float64()),
+        })
+    return fn
+
+
+def embedding_dup_pairs_blocked(sf_dir, threshold=0.42, num_buckets=4):
+    """Exact cosine near-dup pairs with NO broadcast and NO driver-side
+    corpus read — the scale path for exact all-pairs (same output and
+    oracle as :func:`embedding_dup_pairs`).
+
+    Block-nested cross product: each vector is replicated to its
+    ``K = num_buckets`` bucket-pair groups (``K`` rows per vector), one
+    bucketed groupby co-partitions every pair's two buckets, and each of
+    the ``K(K+1)/2`` groups runs one vectorized cross matmul.  Memory per
+    task is two bucket slices (≈ 2·n/K rows), not the corpus: at 10⁹×64
+    float32 (256 GB — the broadcast variant's documented ceiling) a
+    K=1024 blocking holds ~500 MB per group and shuffles K·n rows of
+    (id, vector) ≈ 2 TB across the cluster, which streams.  Total compute
+    is still O(n²) — inherent to *exact* all-pairs; the subquadratic
+    paths remain :func:`ann_topk_lsh` / :func:`ann_topk_ivf`."""
+    rows = _read_embeddings(sf_dir).map_batches(
+        _pair_block_rows(num_buckets), batch_format='pyarrow',
+        zero_copy_batch=True)
+    return rows.groupby('pkey').map_groups(_block_cross(threshold),
+                                           batch_format='pyarrow')
 
 
 def _topk_ties(scores, ids, k):

@@ -45,6 +45,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 'fingerprint_md5',
                   'dedup_exact', 'ngram_jaccard_pairs', 'embedding_dup_pairs',
+                  'embedding_dup_pairs_blocked',
                   'ann_topk', 'q1_pricing', 'top_orders_revenue',
                   'customers_per_region', 'supplier_balance_by_nation',
                   'events_by_type', 'events_sessionize', 'events_windowed',
