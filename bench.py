@@ -23,6 +23,7 @@ NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32') or '32')
 # Queries timed alongside the headline (representative of each op family).
 BENCH_QUERIES = ['q1_pricing', 'events_by_type', 'dedup_exact',
                  'doc_token_stats', 'minhash_near_dup', 'embedding_dup_pairs',
+                 'embedding_dup_pairs_blocked', 'top_orders_revenue',
                  'ann_topk', 'events_sessionize', 'extract_metrics']
 
 

@@ -164,6 +164,12 @@ class ExtractSpans(object):
         })
 
 
+def shard_of(bucket, num_buckets, num_shards):
+    """Contiguous bucket-range → spill shard mapping (works elementwise on
+    numpy arrays too)."""
+    return bucket * num_shards // num_buckets
+
+
 class ExtractAndSpill(ExtractTurns):
     """Extract + external-shuffle spill in one actor stage.
 
@@ -173,34 +179,57 @@ class ExtractAndSpill(ExtractTurns):
     compaction stage can prune row groups via parquet min/max stats.
     Returns one tiny stat row per block — the object store never carries
     the shuffled payload, and there is no global barrier operator.
+
+    The spill dir is SHARDED by contiguous bucket range
+    (``shard-XXX/`` = buckets ``[s·B/S, (s+1)·B/S)``): each block writes
+    one file per non-empty shard (cheap slices of the already-sorted
+    table), and a compaction task lists/footer-scans ONLY its bucket's
+    shard.  At 100 TB (~400k spill blocks) an unsharded dir makes every
+    compact task scan 400k footers; with S shards it scans 400k/S.  Pick
+    S so footer-scan time ≪ bucket read time (S ≈ 64–1024 at that scale);
+    file count per block grows by ≤ S, so keep S ≪ rows-per-block.
     """
 
-    def __init__(self, spill_dir, num_buckets, payload_lru=None):
+    def __init__(self, spill_dir, num_buckets, payload_lru=None, num_shards=1):
         super().__init__(payload_lru=payload_lru)
         self.spill_dir = spill_dir
         self.num_buckets = num_buckets
+        self.num_shards = num_shards
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib
         import os
+        import numpy as np
         import pyarrow.parquet as pq
         out = super().__call__(batch)
         ordered = out.sort_by([('bucket', 'ascending'),
                                ('conv_id', 'ascending'),
                                ('turn_idx', 'ascending')])
-        rg = max(32, ordered.num_rows // max(1, self.num_buckets))
         # Deterministic spill name = content hash of the batch's row keys:
         # a Ray-retried task OVERWRITES its own prior (possibly published)
-        # spill file via os.replace instead of duplicating rows under a
+        # spill files via os.replace instead of duplicating rows under a
         # fresh random name.  (conv_id, turn_idx) is unique per row, so
-        # disjoint batches can never collide.
+        # disjoint batches can never collide; the same batch always has
+        # the same non-empty shard set, so no orphan from the first try.
         key = hashlib.md5()
         key.update('\x00'.join(ordered.column('conv_id').to_pylist()).encode('utf-8'))
         key.update(ordered.column('turn_idx').to_numpy(zero_copy_only=False).tobytes())
-        fname = os.path.join(self.spill_dir, 'spill-%s.parquet' % key.hexdigest())
-        tmp = fname + '.tmp'
-        pq.write_table(ordered, tmp, row_group_size=rg)
-        os.replace(tmp, fname)
+        digest = key.hexdigest()
+        buckets_per_shard = max(1, self.num_buckets // self.num_shards)
+        shards = shard_of(
+            ordered.column('bucket').to_numpy(zero_copy_only=False).astype(np.int64),
+            self.num_buckets, self.num_shards)
+        present, starts = np.unique(shards, return_index=True)
+        bounds = np.append(starts, len(shards))
+        for i, s in enumerate(present):                # zero-copy slices of
+            part = ordered.slice(bounds[i], bounds[i + 1] - bounds[i])
+            rg = max(32, part.num_rows // buckets_per_shard)
+            sdir = os.path.join(self.spill_dir, 'shard-%03d' % s)
+            os.makedirs(sdir, exist_ok=True)
+            fname = os.path.join(sdir, 'spill-%s.parquet' % digest)
+            tmp = fname + '.tmp'
+            pq.write_table(part, tmp, row_group_size=rg)
+            os.replace(tmp, fname)
         import pyarrow.compute as pc
         failures = pc.sum(pc.cast(pc.invert(ordered.column('decode_ok')),
                                   pa.int64())).as_py() or 0

@@ -13,9 +13,11 @@ Dataflow (all Ray Data, streaming executor, no driver-side row loops):
            rows flow downstream
   Stage B (map-only, one task per bucket):
     from_items(buckets) → map_batches(compact)     # parquet predicate
-           read of one bucket across all spill files (row-group pruning
-           via bucket min/max stats) → in-bucket (conv_id, turn_idx)
-           sort → atomic tmp+rename part file → one lineage row
+           read of one bucket across ITS SHARD's spill files (spill dir
+           is sharded by contiguous bucket range; row-group pruning via
+           bucket min/max stats within the shard) → in-bucket
+           (conv_id, turn_idx) sort → atomic tmp+rename part file →
+           one lineage row
 
 Shuffle accounting: the all-to-all exchange is EXTERNAL — through the
 shared filesystem, like Spark's shuffle files — so no Ray AllToAll
@@ -94,9 +96,13 @@ def build_spans_dataset(input_path, batch_size=64, concurrency=None):
                           zero_copy_batch=True)
 
 
-def _make_bucket_compactor(spill_dir, out_dir):
-    """Stage B UDF: compact one bucket from the spill files — predicate
-    read with row-group pruning, in-bucket sort, atomic publish."""
+def _make_bucket_compactor(spill_dir, out_dir, num_buckets=None, num_shards=1):
+    """Stage B UDF: compact one bucket from the spill files — per-shard
+    file listing, predicate read with row-group pruning, in-bucket sort,
+    atomic publish.  ``num_buckets=None`` keeps the legacy unsharded
+    layout (all spill files at the dir root)."""
+    from .extract_stage import shard_of
+
     def compact(batch: pa.Table) -> pa.Table:
         import glob
         import pyarrow.compute as pc
@@ -114,10 +120,33 @@ def _make_bucket_compactor(spill_dir, out_dir):
         # discovery would pick up and fail on (ArrowInvalid for every
         # compact task).  The retried task re-publishes under the same
         # deterministic name, so .tmp leftovers are always superseded.
-        files = sorted(glob.glob(os.path.join(spill_dir, 'spill-*.parquet')))
-        dset = pads.dataset(files, format='parquet')
+        # Only the BUCKET'S OWN SHARD is listed — the whole point of the
+        # sharded layout: footer scans are O(files/num_shards) per task.
+        dsets = {}
+
+        def shard_dset(bucket):
+            if num_buckets is None:
+                sdir = spill_dir
+            else:
+                s = shard_of(bucket, num_buckets, num_shards)
+                sdir = os.path.join(spill_dir, 'shard-%03d' % s)
+            if sdir not in dsets:
+                files = sorted(glob.glob(os.path.join(sdir, 'spill-*.parquet')))
+                dsets[sdir] = pads.dataset(files, format='parquet') \
+                    if files else None
+            return dsets[sdir]
+
         for bucket in batch.column('bucket').to_pylist():
             t0 = time.perf_counter()
+            dset = shard_dset(bucket)
+            if dset is None:
+                out['bucket'].append(bucket)
+                out['rows'].append(0)
+                out['decode_failures'].append(0)
+                out['span_count'].append(0)
+                out['wall_s'].append(time.perf_counter() - t0)
+                out['file'].append('')
+                continue
             tbl = dset.to_table(filter=pads.field('bucket') == bucket)
             ordered = tbl.sort_by([('conv_id', 'ascending'),
                                    ('turn_idx', 'ascending')])
@@ -149,7 +178,8 @@ def _make_bucket_compactor(spill_dir, out_dir):
 
 
 def run_extraction(input_path, out_dir, num_buckets=64, batch_size=None,
-                   concurrency=None, resume=True, payload_lru=None):
+                   concurrency=None, resume=True, payload_lru=None,
+                   num_shards=None):
     """Run the full pipeline; returns a summary dict (job metrics)."""
     import glob
     import shutil
@@ -193,9 +223,12 @@ def run_extraction(input_path, out_dir, num_buckets=64, batch_size=None,
     # vars set after ray.init never reach the (raylet-spawned) actors
     if payload_lru is None:
         payload_lru = int(os.environ.get('GRAFT_PAYLOAD_LRU', '4096'))
+    if num_shards is None:
+        num_shards = int(os.environ.get('GRAFT_SPILL_SHARDS', '4'))
+    num_shards = max(1, min(num_shards, num_buckets))
     stats = ds.map_batches(ExtractAndSpill,
                            fn_constructor_args=(spill_dir, num_buckets,
-                                                payload_lru),
+                                                payload_lru, num_shards),
                            batch_format='pyarrow', batch_size=batch_size,
                            concurrency=concurrency, zero_copy_batch=True,
                            **extra)
@@ -209,7 +242,7 @@ def run_extraction(input_path, out_dir, num_buckets=64, batch_size=None,
         items = ray.data.from_items([{'bucket': b} for b in todo],
                                     override_num_blocks=len(todo))
         manifest_ds = items.map_batches(
-            _make_bucket_compactor(spill_dir, out_dir),
+            _make_bucket_compactor(spill_dir, out_dir, num_buckets, num_shards),
             batch_format='pyarrow', batch_size=None)
         new_rows = manifest_ds.take_all()      # one row per bucket
 

@@ -218,14 +218,52 @@ def test_spill_retry_overwrites_not_duplicates(tmp_path):
     stage = ExtractAndSpill(spill, 4)
     out1 = stage(batch)
     out2 = stage(batch)                 # the retry
-    files = glob.glob(os.path.join(spill, 'spill-*.parquet'))
+    files = glob.glob(os.path.join(spill, 'shard-*', 'spill-*.parquet'))
     assert len(files) == 1              # overwritten, not duplicated
     assert pq.read_table(files[0]).num_rows == batch.num_rows
     assert out1.column('rows')[0].as_py() == out2.column('rows')[0].as_py()
 
     # a DIFFERENT batch must land in a different file
     stage(batch.slice(0, 10))
-    assert len(glob.glob(os.path.join(spill, 'spill-*.parquet'))) == 2
+    assert len(glob.glob(os.path.join(spill, 'shard-*', 'spill-*.parquet'))) == 2
+
+
+def test_sharded_spill_compacts_from_own_shard_only(tmp_path):
+    """With num_shards > 1 every spill block splits into per-bucket-range
+    shard dirs and a compaction task lists ONLY its bucket's shard — a
+    corrupt file in ANOTHER shard must not be read at all (at 100 TB this
+    is what keeps per-task footer scans at files/num_shards)."""
+    import pyarrow as pa
+    from engine.rayjob.extract_stage import ExtractAndSpill, assign_bucket, shard_of
+    from engine.rayjob.pipeline import _make_bucket_compactor
+
+    d = str(tmp_path / 'corpus')
+    generate_transcripts(d, n_convs=8, seed=17, rows_per_file=200)
+    src = glob.glob(os.path.join(d, '*.parquet'))[0]
+    batch = assign_bucket(4)(pq.read_table(
+        src, columns=['conv_id', 'turn_idx', 'text']))
+
+    spill = str(tmp_path / 'spill')
+    out = str(tmp_path / 'out')
+    os.makedirs(spill)
+    os.makedirs(out)
+    stage = ExtractAndSpill(spill, 4, num_shards=2)
+    stage(batch)
+
+    # every shard file holds only its own bucket range
+    for f in glob.glob(os.path.join(spill, 'shard-*', 'spill-*.parquet')):
+        s = int(os.path.basename(os.path.dirname(f)).split('-')[1])
+        for b in set(pq.read_table(f, columns=['bucket']).column('bucket').to_pylist()):
+            assert shard_of(b, 4, 2) == s
+
+    # poison the OTHER shard with a corrupt PUBLISHED file: compacting
+    # buckets 0-1 (shard 0) must never open it
+    with open(os.path.join(spill, 'shard-001', 'spill-poison.parquet'), 'wb') as f:
+        f.write(b'PAR1 not parquet')
+    compact = _make_bucket_compactor(spill, out, num_buckets=4, num_shards=2)
+    manifest = compact(pa.table({'bucket': pa.array([0, 1], pa.int32())}))
+    want = sum(1 for b in batch.column('bucket').to_pylist() if b in (0, 1))
+    assert sum(manifest.column('rows').to_pylist()) == want
 
 
 def test_compactor_ignores_tmp_files(tmp_path):
