@@ -34,7 +34,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .common import round_half_up, table_path, pool
+from .common import round_half_up, table_path, read_table, pool
 
 __all__ = ['dedup_exact', 'dedup_exact_payloads', 'ngram_jaccard_pairs',
            'minhash_near_dup', 'simhash_near_dup', 'shingle_set']
@@ -108,8 +108,8 @@ def dedup_exact(sf_dir):
             'n_copies': pa.array([pc.sum(group.column('cnt')).as_py()], pa.int64()),
         })
 
-    ds = ray.data.read_parquet(table_path(sf_dir, 'documents'),
-                               columns=['doc_id', 'text'])
+    ds = read_table(sf_dir, 'documents', columns=['doc_id', 'text'],
+                    min_blocks=pool()[1])
     return (ds.map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
               .groupby('fp').map_groups(final, batch_format='pyarrow'))
 
@@ -187,8 +187,8 @@ def ngram_jaccard_pairs(sf_dir, threshold=0.8, k=3, block_col='lang'):
             'jac': pa.array(round_half_up(out_j, 6) if out_j else [], pa.float64()),
         })
 
-    ds = ray.data.read_parquet(table_path(sf_dir, 'documents'),
-                               columns=['doc_id', 'text', block_col])
+    ds = read_table(sf_dir, 'documents', columns=['doc_id', 'text', block_col],
+                    min_blocks=pool()[1])
     return ds.groupby(block_col).map_groups(pairs, batch_format='pyarrow')
 
 
@@ -430,8 +430,8 @@ def minhash_near_dup(sf_dir, threshold=0.8, k=3, num_buckets=64):
     """
     if num_buckets & (num_buckets - 1):
         raise ValueError('num_buckets must be a power of two')
-    docs = ray.data.read_parquet(table_path(sf_dir, 'documents'),
-                                 columns=['doc_id', 'text'])
+    docs = read_table(sf_dir, 'documents', columns=['doc_id', 'text'],
+                      min_blocks=pool()[1])
     band_rows = docs.map_batches(_make_signatures(k, num_buckets),
                                  batch_format='pyarrow',
                                  zero_copy_batch=True)
@@ -490,8 +490,8 @@ def simhash_near_dup(sf_dir, max_hamming=3):
     Pigeonhole guarantee: any pair within Hamming ≤ 3 over 64 bits agrees on
     at least one of the 4 chunks → exact recall for the advertised radius.
     """
-    docs = ray.data.read_parquet(table_path(sf_dir, 'documents'),
-                                 columns=['doc_id', 'text'])
+    docs = read_table(sf_dir, 'documents', columns=['doc_id', 'text'],
+                      min_blocks=pool()[1])
     rows = docs.map_batches(_SimhashStage, batch_format='pyarrow',
                             concurrency=pool(), zero_copy_batch=True)
 

@@ -16,7 +16,7 @@ import pyarrow as pa
 
 import ray.data
 
-from .common import round_half_up, table_path, pool
+from .common import round_half_up, table_path, read_table, pool
 
 __all__ = ['synthesize_media', 'DecodeMedia', 'decode_media_features',
            'ResizeMedia', 'resize_media', 'resized_features',
@@ -91,8 +91,8 @@ def synthesize_media(sf_dir):
             'meta_channels': pa.array(cs, pa.int32()),
         })
 
-    ds = ray.data.read_parquet(table_path(sf_dir, 'documents'),
-                               columns=['doc_id', 'text'])
+    ds = read_table(sf_dir, 'documents', columns=['doc_id', 'text'],
+                    min_blocks=pool()[1])
     return ds.map_batches(make, batch_format='pyarrow', zero_copy_batch=True)
 
 

@@ -24,7 +24,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from .common import BroadcastLookup, round_half_up, table_path, read_small_table, pool
+from .common import (BroadcastLookup, round_half_up, table_path,
+                     read_small_table, read_table, pool)
 
 __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'supplier_balance_by_nation', 'events_by_type', 'events_sessionize',
@@ -71,8 +72,8 @@ def q1_pricing(sf_dir):
             'count_order': pa.array([cnt], pa.int64()),
         })
 
-    ds = ray.data.read_parquet(
-        table_path(sf_dir, 'lineitem'),
+    ds = read_table(
+        sf_dir, 'lineitem',
         columns=['l_returnflag', 'l_linestatus', 'l_quantity',
                  'l_extendedprice', 'l_discount', 'l_shipdate'])
     return (ds.map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
@@ -112,7 +113,7 @@ def top_orders_revenue(sf_dir, segment='BUILDING', topk=10, num_buckets=64):
          that bucket) caps the final sort at num_buckets × k rows.
     """
     nb = num_buckets
-    cust = ray.data.read_parquet(table_path(sf_dir, 'customer'),
+    cust = read_table(sf_dir, 'customer',
                                  columns=['c_custkey', 'c_mktsegment'])
 
     def seg_keys(batch: pa.Table) -> pa.Table:
@@ -146,7 +147,7 @@ def top_orders_revenue(sf_dir, segment='BUILDING', topk=10, num_buckets=64):
 
     custkeys = cust.map_batches(seg_keys, batch_format='pyarrow',
                                 zero_copy_batch=True)
-    orders = ray.data.read_parquet(table_path(sf_dir, 'orders'),
+    orders = read_table(sf_dir, 'orders',
                                    columns=['o_orderkey', 'o_custkey'])
     orders_f = custkeys.union(
         orders.map_batches(order_rows, batch_format='pyarrow',
@@ -182,7 +183,7 @@ def top_orders_revenue(sf_dir, segment='BUILDING', topk=10, num_buckets=64):
                                  ('o_orderkey', 'ascending')]).slice(0, topk)
         return top.select(['o_orderkey', 'rev_raw'])
 
-    li = ray.data.read_parquet(table_path(sf_dir, 'lineitem'),
+    li = read_table(sf_dir, 'lineitem',
                                columns=['l_orderkey', 'l_extendedprice', 'l_discount'])
     per_bucket = orders_f.map_batches(key_rows, batch_format='pyarrow',
                                       zero_copy_batch=True).union(
@@ -229,7 +230,7 @@ def customers_per_region(sf_dir):
                                     pa.int64()),
         })
 
-    ds = ray.data.read_parquet(table_path(sf_dir, 'customer'),
+    ds = read_table(sf_dir, 'customer',
                                columns=['c_nationkey'])
     return (ds.map_batches(_MapThroughDims, fn_constructor_args=(ref,),
                            batch_format='pyarrow', concurrency=pool(),
@@ -262,7 +263,7 @@ def supplier_balance_by_nation(sf_dir):
             'n_suppliers': pa.array([cnt], pa.int64()),
         })
 
-    ds = ray.data.read_parquet(table_path(sf_dir, 'supplier'),
+    ds = read_table(sf_dir, 'supplier',
                                columns=['s_nationkey', 's_acctbal'])
     return (ds.map_batches(_NationName, fn_constructor_args=(ref,),
                            batch_format='pyarrow', concurrency=pool(),
@@ -293,7 +294,7 @@ def events_by_type(sf_dir):
             'n_users': pa.array([users], pa.int64()),
         })
 
-    ds = ray.data.read_parquet(table_path(sf_dir, 'events'),
+    ds = read_table(sf_dir, 'events',
                                columns=['event_type', 'value', 'user_id'])
     return (ds.map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
               .groupby('event_type').map_groups(final, batch_format='pyarrow'))
@@ -315,7 +316,7 @@ def events_sessionize(sf_dir, gap_s=1800):
             'n_sessions': pa.array([n_sessions], pa.int64()),
         })
 
-    ds = ray.data.read_parquet(table_path(sf_dir, 'events'),
+    ds = read_table(sf_dir, 'events',
                                columns=['user_id', 'ts'])
     return ds.groupby('user_id').map_groups(sessions, batch_format='pyarrow')
 
@@ -345,7 +346,7 @@ def events_windowed(sf_dir):
             'sum_value': pa.array(round_half_up([v], 2), pa.float64()),
         })
 
-    ds = ray.data.read_parquet(table_path(sf_dir, 'events'),
+    ds = read_table(sf_dir, 'events',
                                columns=['event_type', 'ts', 'value'])
     return (ds.map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
               .groupby(['event_type', 'window_start'])
@@ -399,9 +400,9 @@ def events_asof_orders(sf_dir):
             'asof_orderdate': odate.cast(pa.timestamp('us')),
         })
 
-    events = ray.data.read_parquet(table_path(sf_dir, 'events'),
+    events = read_table(sf_dir, 'events',
                                    columns=['event_id', 'user_id', 'ts'])
-    orders = ray.data.read_parquet(table_path(sf_dir, 'orders'),
+    orders = read_table(sf_dir, 'orders',
                                    columns=['o_custkey', 'o_orderdate'])
     both = events.map_batches(ev_side, batch_format='pyarrow',
                               zero_copy_batch=True) \
@@ -416,7 +417,7 @@ def top_parts(sf_dir, topk=10):
         return batch.sort_by([('p_retailprice', 'descending'),
                               ('p_partkey', 'ascending')]).slice(0, topk)
 
-    ds = ray.data.read_parquet(table_path(sf_dir, 'part'),
+    ds = read_table(sf_dir, 'part',
                                columns=['p_partkey', 'p_name', 'p_retailprice'])
     return (ds.map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
               .sort(['p_retailprice', 'p_partkey'], descending=[True, False])

@@ -24,15 +24,15 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .common import round_half_up, table_path, pool
+from .common import round_half_up, table_path, read_table, pool
 
 __all__ = ['embedding_dup_pairs', 'embedding_dup_pairs_blocked',
            'ann_topk', 'ann_topk_lsh', 'ann_topk_ivf']
 
 
 def _read_embeddings(sf_dir):
-    return ray.data.read_parquet(table_path(sf_dir, 'embeddings'),
-                                 columns=['vec_id', 'embedding'])
+    return read_table(sf_dir, 'embeddings',
+                      columns=['vec_id', 'embedding'], min_blocks=pool()[1])
 
 
 def _batch_matrix(batch):

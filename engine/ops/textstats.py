@@ -16,7 +16,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from .common import round_half_up, table_path
+from .common import round_half_up, table_path, read_table
 
 __all__ = ['doc_token_stats', 'doc_quality', 'lang_id', 'fingerprint_md5',
            'fingerprint_winnow', 'doc_token_bpe', 'TOKEN_RE', 'BPE_RE',
@@ -45,7 +45,7 @@ LANG_MARKERS = [
 
 
 def _read_docs(sf_dir, columns):
-    return ray.data.read_parquet(table_path(sf_dir, 'documents'), columns=columns)
+    return read_table(sf_dir, 'documents', columns=columns)
 
 
 def _count_re(col, pattern):
