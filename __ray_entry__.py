@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_by_type': relational.events_by_type,
         'events_sessionize': relational.events_sessionize,
         'events_windowed': relational.events_windowed,
+        'events_windowed_sliding': relational.events_windowed_sliding,
         'events_asof_orders': relational.events_asof_orders,
         'top_parts': relational.top_parts,
         # multimodal plumbing (stub codecs; features oracle-checked)
@@ -320,6 +321,16 @@ SELECT event_type, date_trunc('day', ts) AS window_start,
        count(*)::BIGINT AS n_events,
        floor(sum(value) * 100 + 0.5) / 100 AS sum_value
 FROM events GROUP BY event_type, date_trunc('day', ts)
+""",
+        # hopping 3-day/1-day windows: an event belongs to the 3 windows
+        # starting at day, day-1, day-2 (same replication the map stage does)
+        'events_windowed_sliding': """
+SELECT event_type,
+       date_trunc('day', ts) - k * INTERVAL 1 DAY AS window_start,
+       count(*)::BIGINT AS n_events,
+       floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+FROM events CROSS JOIN range(0, 3) t(k)
+GROUP BY event_type, date_trunc('day', ts) - k * INTERVAL 1 DAY
 """,
         'events_asof_orders': """
 SELECT e.event_id, e.user_id, o.o_orderdate AS asof_orderdate

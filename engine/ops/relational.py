@@ -29,7 +29,8 @@ from .common import (BroadcastLookup, round_half_up, table_path,
 
 __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'supplier_balance_by_nation', 'events_by_type', 'events_sessionize',
-           'events_windowed', 'events_asof_orders', 'top_parts']
+           'events_windowed', 'events_windowed_sliding', 'events_asof_orders',
+           'top_parts']
 
 Q1_CUTOFF = '1998-09-02'
 
@@ -348,6 +349,56 @@ def events_windowed(sf_dir):
 
     ds = read_table(sf_dir, 'events',
                                columns=['event_type', 'ts', 'value'])
+    return (ds.map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
+              .groupby(['event_type', 'window_start'])
+              .map_groups(final, batch_format='pyarrow'))
+
+
+_DAY_US = 86_400_000_000
+
+
+def events_windowed_sliding(sf_dir, size_days=3, slide_days=1):
+    """SLIDING (hopping) windowed aggregate per event type: windows of
+    ``size_days`` advancing every ``slide_days`` (size must be a multiple
+    of slide).  Same derived-key shape as the tumbling variant — an event
+    belongs to exactly ``size/slide`` windows, so the map stage REPLICATES
+    each row into its windows (vectorized int arithmetic on the epoch),
+    partial-aggregates per (type, window_start) within the batch, and the
+    groupby shuffle again moves combiner rows only: the shuffle grows by
+    the window overlap factor applied to COMBINER rows (distinct keys per
+    block), never to raw events."""
+    if size_days % slide_days:
+        raise ValueError('size_days must be a multiple of slide_days')
+    nwin = size_days // slide_days
+    slide_us = slide_days * _DAY_US
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column('ts').cast(pa.int64()).to_numpy(zero_copy_only=False)
+        anchor = (ts // slide_us) * slide_us  # latest window containing ts
+        parts = []
+        for kk in range(nwin):
+            parts.append(pa.table({
+                'event_type': batch.column('event_type'),
+                'window_start': pa.array(anchor - kk * slide_us, pa.int64()),
+                'value': batch.column('value'),
+            }))
+        t = pa.concat_tables(parts)
+        g = t.group_by(['event_type', 'window_start']).aggregate(
+            [('value', 'sum'), ('value', 'count')])
+        return g.rename_columns(['event_type', 'window_start', 'v_sum', 'cnt'])
+
+    def final(group: pa.Table) -> pa.Table:
+        v = pc.sum(group.column('v_sum')).as_py() or 0.0
+        n = pc.sum(group.column('cnt')).as_py() or 0
+        return pa.table({
+            'event_type': group.column('event_type').slice(0, 1),
+            'window_start': group.column('window_start').slice(0, 1)
+                                 .cast(pa.timestamp('us')),
+            'n_events': pa.array([n], pa.int64()),
+            'sum_value': pa.array(round_half_up([v], 2), pa.float64()),
+        })
+
+    ds = read_table(sf_dir, 'events', columns=['event_type', 'ts', 'value'])
     return (ds.map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
               .groupby(['event_type', 'window_start'])
               .map_groups(final, batch_format='pyarrow'))
