@@ -301,25 +301,44 @@ def events_by_type(sf_dir):
               .groupby('event_type').map_groups(final, batch_format='pyarrow'))
 
 
-def events_sessionize(sf_dir, gap_s=1800):
+def events_sessionize(sf_dir, gap_s=1800, num_buckets=64):
     """Per-user sessionization: sort by ts within user, session break when
-    the gap exceeds ``gap_s`` — per-key ordered window via map_groups."""
+    the gap exceeds ``gap_s``.
+
+    BUCKETED, not per-user: grouping on raw user_id pays the ~50µs
+    map_groups Python+Arrow tax once per USER (billions of groups at
+    corpus scale).  Instead the groupby key is ``user_id & (nb-1)`` and
+    each bucket sessionizes ALL its users in one vectorized pass — a
+    lexsort by (user, ts), one boolean break vector (user change OR gap
+    exceeded), and a C++ ``group_by(user).sum/count`` fold."""
     gap_us = gap_s * 1_000_000
+    nb = num_buckets
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = batch.column('user_id').to_numpy(zero_copy_only=False) & (nb - 1)
+        return batch.append_column('bucket', pa.array(b, pa.int64()))
 
     def sessions(group: pa.Table) -> pa.Table:
-        ordered = group.sort_by([('ts', 'ascending')])
-        ts = ordered.column('ts').cast(pa.int64()).to_numpy(zero_copy_only=False)
-        n = len(ts)
-        n_sessions = 1 + int((np.diff(ts) > gap_us).sum()) if n else 0
-        return pa.table({
-            'user_id': ordered.column('user_id').slice(0, 1),
-            'n_events': pa.array([n], pa.int64()),
-            'n_sessions': pa.array([n_sessions], pa.int64()),
-        })
+        uid = group.column('user_id').to_numpy(zero_copy_only=False)
+        ts = group.column('ts').cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_user = np.empty(len(uid), np.bool_)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        brk = new_user | (np.diff(ts, prepend=ts[0]) > gap_us)
+        t = pa.table({'user_id': pa.array(uid, pa.int64()),
+                      'brk': pa.array(brk.astype(np.int64), pa.int64())})
+        g = t.group_by('user_id').aggregate([('brk', 'count'), ('brk', 'sum')])
+        g = g.rename_columns(['user_id', 'n_events', 'n_sessions'])
+        return pa.table({'user_id': g.column('user_id'),
+                         'n_events': g.column('n_events').cast(pa.int64()),
+                         'n_sessions': g.column('n_sessions')})
 
-    ds = read_table(sf_dir, 'events',
-                               columns=['user_id', 'ts'])
-    return ds.groupby('user_id').map_groups(sessions, batch_format='pyarrow')
+    ds = read_table(sf_dir, 'events', columns=['user_id', 'ts'])
+    return (ds.map_batches(add_bucket, batch_format='pyarrow',
+                           zero_copy_batch=True)
+              .groupby('bucket').map_groups(sessions, batch_format='pyarrow'))
 
 
 def events_windowed(sf_dir):
@@ -404,62 +423,78 @@ def events_windowed_sliding(sf_dir, size_days=3, slide_days=1):
               .map_groups(final, batch_format='pyarrow'))
 
 
-def events_asof_orders(sf_dir):
+def events_asof_orders(sf_dir, num_buckets=64):
     """As-of join: each event matched to the latest order date of the same
     customer at-or-before the event time (events.user_id = orders.o_custkey,
     o_orderdate <= ts).
 
     Both sides are FACT tables, so neither may be read driver-side or
-    broadcast.  Shape: map each side onto a unified (key, event_id, ts_us,
-    odate_us) schema, ``union`` the two streams, and co-partition with ONE
-    ``groupby(key).map_groups`` — every group holds one customer's events
-    AND orders, where the as-of is a vectorized searchsorted.  Skew is
-    bounded by the busiest single customer (the same bound any key-
-    partitioned as-of join has); a hotter key would take the salted
+    broadcast.  Shape: map each side onto a unified (key, event_id, time)
+    schema, ``union`` the two streams, and co-partition with ONE BUCKETED
+    ``groupby(key & (nb-1)).map_groups`` — grouping on the raw key would
+    pay the ~50µs map_groups tax per CUSTOMER (billions of groups at
+    corpus scale).  Each bucket resolves ALL its customers in one
+    vectorized pass: lexsort by (key, time, is_event — orders first at
+    equal time, making the match inclusive), forward-fill the index of
+    the last order row with ``np.maximum.accumulate``, then null out
+    fills whose key differs (an event whose customer has no earlier order
+    picks up a previous customer's fill; key rows are contiguous under
+    the sort, so a cross-key fill can only happen when the customer has
+    no own earlier order — exactly the rows that must be null).  Skew is
+    bounded by the busiest single bucket; a hot key would take the salted
     two-phase variant (split events by salt, replicate that key's orders).
     """
+    nb = num_buckets
+
     def ev_side(batch: pa.Table) -> pa.Table:
+        keys = batch.column('user_id')
         return pa.table({
-            'key': batch.column('user_id'),
+            'key': keys,
             'event_id': batch.column('event_id'),
-            'ts_us': batch.column('ts').cast(pa.int64()),
-            'odate_us': pa.nulls(batch.num_rows, pa.int64()),
+            'time': batch.column('ts').cast(pa.int64()),
+            'bucket': pa.array(
+                keys.to_numpy(zero_copy_only=False) & (nb - 1), pa.int64()),
         })
 
     def ord_side(batch: pa.Table) -> pa.Table:
+        keys = batch.column('o_custkey')
         return pa.table({
-            'key': batch.column('o_custkey'),
+            'key': keys,
             'event_id': pa.nulls(batch.num_rows, pa.int64()),
-            'ts_us': pa.nulls(batch.num_rows, pa.int64()),
-            'odate_us': batch.column('o_orderdate').cast(pa.int64()),
+            'time': batch.column('o_orderdate').cast(pa.int64()),
+            'bucket': pa.array(
+                keys.to_numpy(zero_copy_only=False) & (nb - 1), pa.int64()),
         })
 
     def asof(group: pa.Table) -> pa.Table:
-        ev = group.filter(pc.is_valid(group.column('event_id')))
-        dates = np.sort(group.column('odate_us').drop_null()
-                        .to_numpy(zero_copy_only=False))
-        ts = ev.column('ts_us').to_numpy(zero_copy_only=False)
-        if len(dates):
-            j = np.searchsorted(dates, ts, side='right') - 1
-            taken = dates[np.maximum(j, 0)]
-            odate = pa.array(taken, pa.int64(), mask=(j < 0))
-        else:
-            odate = pa.nulls(len(ts), pa.int64())
+        key = group.column('key').to_numpy(zero_copy_only=False)
+        eid = pc.fill_null(group.column('event_id'), -1) \
+            .to_numpy(zero_copy_only=False)
+        time = group.column('time').to_numpy(zero_copy_only=False)
+        is_event = eid >= 0
+        order = np.lexsort((is_event, time, key))
+        k2, t2, ev2 = key[order], time[order], is_event[order]
+        fill = np.maximum.accumulate(
+            np.where(~ev2, np.arange(len(k2)), -1))
+        pos = np.nonzero(ev2)[0]
+        li = fill[pos]
+        ok = (li >= 0) & (k2[np.maximum(li, 0)] == k2[pos])
+        odate = pa.array(t2[np.maximum(li, 0)], pa.int64(), mask=~ok)
         return pa.table({
-            'event_id': ev.column('event_id'),
-            'user_id': ev.column('key'),
+            'event_id': pa.array(eid[order][pos], pa.int64()),
+            'user_id': pa.array(k2[pos], pa.int64()),
             'asof_orderdate': odate.cast(pa.timestamp('us')),
         })
 
     events = read_table(sf_dir, 'events',
-                                   columns=['event_id', 'user_id', 'ts'])
+                        columns=['event_id', 'user_id', 'ts'])
     orders = read_table(sf_dir, 'orders',
-                                   columns=['o_custkey', 'o_orderdate'])
+                        columns=['o_custkey', 'o_orderdate'])
     both = events.map_batches(ev_side, batch_format='pyarrow',
                               zero_copy_batch=True) \
         .union(orders.map_batches(ord_side, batch_format='pyarrow',
                                   zero_copy_batch=True))
-    return both.groupby('key').map_groups(asof, batch_format='pyarrow')
+    return both.groupby('bucket').map_groups(asof, batch_format='pyarrow')
 
 
 def top_parts(sf_dir, topk=10):
