@@ -85,71 +85,88 @@ def _jaccard(sa, sb):
 
 # ---------------------------------------------------------------- exact dedup
 
-def dedup_exact(sf_dir):
+def dedup_exact(sf_dir, num_buckets=64):
     """Survivor (min doc_id) + copy count per distinct text.
 
     Partial aggregation inside map_batches (Arrow group_by combiner) keeps
     the shuffle payload at one row per distinct hash per block — at 100 TB
-    the md5-keyed groupby moves combiner output, never raw text.
+    the keyed groupby moves combiner output, never raw text.  The exchange
+    is BUCKETED on the hash (``md5 & (nb-1)``), not the raw fp: grouping
+    by raw fp would pay the ~50µs map_groups tax per DISTINCT DOCUMENT
+    (billions of groups); per bucket one C++ ``group_by(fp)`` folds all
+    its fps at once.
     """
     import hashlib
+    nb = num_buckets
 
     def partial(batch: pa.Table) -> pa.Table:
-        fps = pa.array([hashlib.md5(t.encode('utf-8')).hexdigest()
-                        for t in batch.column('text').to_pylist()], pa.string())
-        t = pa.table({'fp': fps, 'doc_id': batch.column('doc_id')})
-        g = t.group_by('fp').aggregate([('doc_id', 'min'), ('doc_id', 'count')])
-        return g.rename_columns(['fp', 'doc_id_min', 'cnt'])
+        digs = [hashlib.md5(t.encode('utf-8')).digest()
+                for t in batch.column('text').to_pylist()]
+        fps = pa.array([d.hex() for d in digs], pa.string())
+        bks = pa.array([d[0] & (nb - 1) for d in digs], pa.int64())
+        t = pa.table({'fp': fps, 'bucket': bks, 'doc_id': batch.column('doc_id')})
+        g = t.group_by(['fp', 'bucket']).aggregate(
+            [('doc_id', 'min'), ('doc_id', 'count')])
+        return g.rename_columns(['fp', 'bucket', 'doc_id_min', 'cnt'])
 
     def final(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        g = group.group_by('fp').aggregate(
+            [('doc_id_min', 'min'), ('cnt', 'sum')])
         return pa.table({
-            'doc_id': pa.array([pc.min(group.column('doc_id_min')).as_py()], pa.int64()),
-            'n_copies': pa.array([pc.sum(group.column('cnt')).as_py()], pa.int64()),
+            'doc_id': g.column('doc_id_min_min').cast(pa.int64()),
+            'n_copies': g.column('cnt_sum').cast(pa.int64()),
         })
 
     ds = read_table(sf_dir, 'documents', columns=['doc_id', 'text'],
                     min_blocks=pool()[1])
     return (ds.map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
-              .groupby('fp').map_groups(final, batch_format='pyarrow'))
+              .groupby('bucket').map_groups(final, batch_format='pyarrow'))
 
 
-def dedup_exact_payloads(corpus_dir):
+def dedup_exact_payloads(corpus_dir, num_buckets=64):
     """Exact dedup over the TRANSCRIPTS corpus payloads (corpus hygiene on
     the flagship input): distinct payload fingerprints + copy counts +
-    first (conv_id, turn_idx) survivor.  Same combiner-then-groupby shape
-    as :func:`dedup_exact`, keyed on md5 of the PDF payload — at 10^12
-    turns this is the stage that caps re-extraction of repeated payloads.
+    first (conv_id, turn_idx) survivor.  Same bucketed combiner-then-
+    groupby shape as :func:`dedup_exact`, keyed on md5 of the PDF payload
+    — at 10^12 turns this is the stage that caps re-extraction of
+    repeated payloads, and the per-fp fold runs inside each bucket's C++
+    ``group_by``, never as a per-fp Python group.
     """
     import hashlib
+    nb = num_buckets
 
     def partial(batch: pa.Table) -> pa.Table:
-        fps = pa.array([hashlib.md5(t.encode('utf-8')).hexdigest()
-                        for t in batch.column('text').to_pylist()], pa.string())
-        t = pa.table({'fp': fps,
+        digs = [hashlib.md5(t.encode('utf-8')).digest()
+                for t in batch.column('text').to_pylist()]
+        fps = pa.array([d.hex() for d in digs], pa.string())
+        bks = pa.array([d[0] & (nb - 1) for d in digs], pa.int64())
+        t = pa.table({'fp': fps, 'bucket': bks,
                       'conv_id': batch.column('conv_id'),
                       'turn_idx': batch.column('turn_idx')})
         g = t.sort_by([('fp', 'ascending'), ('conv_id', 'ascending'),
                        ('turn_idx', 'ascending')]) \
-             .group_by('fp', use_threads=False) \
+             .group_by(['fp', 'bucket'], use_threads=False) \
              .aggregate([('conv_id', 'first'), ('turn_idx', 'first'),
                          ('fp', 'count')])
-        return g.rename_columns(['fp', 'conv_id', 'turn_idx', 'n_copies'])
+        return g.rename_columns(['fp', 'bucket', 'conv_id', 'turn_idx',
+                                 'n_copies'])
 
     def final(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        ordered = group.sort_by([('conv_id', 'ascending'), ('turn_idx', 'ascending')])
+        g = group.sort_by([('fp', 'ascending'), ('conv_id', 'ascending'),
+                           ('turn_idx', 'ascending')]) \
+                 .group_by('fp', use_threads=False) \
+                 .aggregate([('conv_id', 'first'), ('turn_idx', 'first'),
+                             ('n_copies', 'sum')])
         return pa.table({
-            'fp': ordered.column('fp').slice(0, 1),
-            'conv_id': ordered.column('conv_id').slice(0, 1),
-            'turn_idx': ordered.column('turn_idx').slice(0, 1),
-            'n_copies': pa.array([pc.sum(group.column('n_copies')).as_py()],
-                                 pa.int64()),
+            'fp': g.column('fp'),
+            'conv_id': g.column('conv_id_first'),
+            'turn_idx': g.column('turn_idx_first'),
+            'n_copies': g.column('n_copies_sum').cast(pa.int64()),
         })
 
     ds = ray.data.read_parquet(corpus_dir, columns=['conv_id', 'turn_idx', 'text'])
     return (ds.map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
-              .groupby('fp').map_groups(final, batch_format='pyarrow'))
+              .groupby('bucket').map_groups(final, batch_format='pyarrow'))
 
 
 # ------------------------------------------------------- exact n-gram Jaccard
