@@ -249,10 +249,6 @@ def _make_signatures(k, nb):
     return signatures
 
 
-def _dedupe_pairs(group: pa.Table) -> pa.Table:
-    return group.slice(0, 1)
-
-
 _PAIRS_EMPTY = pa.table({'doc_id_a': pa.array([], pa.int64()),
                          'doc_id_b': pa.array([], pa.int64())})
 
@@ -501,36 +497,86 @@ class _SimhashStage:
                          'sig': pa.array(sigs, pa.int64())})
 
 
-def simhash_near_dup(sf_dir, max_hamming=3):
+_POP8 = np.array([bin(i).count('1') for i in range(256)], dtype=np.uint8)
+
+_SIMPAIRS_EMPTY = pa.table({'doc_id_a': pa.array([], pa.int64()),
+                            'doc_id_b': pa.array([], pa.int64()),
+                            'hamming': pa.array([], pa.int64())})
+
+
+def _popcount64(x):
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count): byte
+    view + 256-entry lookup table."""
+    b = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8)
+    return _POP8[b].reshape(len(x), 8).sum(axis=1).astype(np.int64)
+
+
+def simhash_near_dup(sf_dir, max_hamming=3, num_buckets=64):
     """SimHash near-dup: pairs sharing a 16-bit chunk, Hamming ≤ max_hamming.
 
     Pigeonhole guarantee: any pair within Hamming ≤ 3 over 64 bits agrees on
     at least one of the 4 chunks → exact recall for the advertised radius.
+
+    Both exchanges are hash-BUCKETED (cf. minhash_near_dup): grouping on
+    raw chunk_key (up to 4·2^16 near-singleton groups) or on the raw pair
+    (one group per candidate) pays the ~50µs map_groups tax per group;
+    per bucket the chunk sweep is a C++ sort + numpy boundary scan with a
+    LUT popcount over the XOR matrix, and pair dedup is one Arrow
+    ``group_by``.
     """
+    nb = num_buckets
     docs = read_table(sf_dir, 'documents', columns=['doc_id', 'text'],
                       min_blocks=pool()[1])
     rows = docs.map_batches(_SimhashStage, batch_format='pyarrow',
                             concurrency=pool(), zero_copy_batch=True)
 
-    def pairs(group: pa.Table) -> pa.Table:
-        seen = {}
-        for did, sig in zip(group.column('doc_id').to_pylist(),
-                            group.column('sig').to_pylist()):
-            seen[did] = sig
-        ids = sorted(seen)
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                x = (seen[ids[i]] ^ seen[ids[j]]) & ((1 << 64) - 1)
-                h = bin(x).count('1')
-                if h <= max_hamming:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_h.append(h)
-        return pa.table({'doc_id_a': pa.array(out_a, pa.int64()),
-                         'doc_id_b': pa.array(out_b, pa.int64()),
-                         'hamming': pa.array(out_h, pa.int64())})
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = batch.column('chunk_key').to_numpy(zero_copy_only=False) & (nb - 1)
+        return batch.append_column('bucket', pa.array(b, pa.int64()))
 
-    cand = rows.groupby('chunk_key').map_groups(pairs, batch_format='pyarrow')
-    return cand.groupby(['doc_id_a', 'doc_id_b']).map_groups(
-        _dedupe_pairs, batch_format='pyarrow')
+    def pairs_bucket(group: pa.Table) -> pa.Table:
+        t = group.sort_by([('chunk_key', 'ascending'), ('doc_id', 'ascending')])
+        keys = t.column('chunk_key').to_numpy()
+        ids = t.column('doc_id').to_numpy()
+        # signed storage is sig - 2^63: the int64 BIT PATTERN equals the
+        # raw uint64 signature with the top bit flipped, and the flip
+        # cancels under XOR — so XOR of the views is XOR of signatures
+        sigs = t.column('sig').to_numpy().view(np.uint64)
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], keys.size]
+        hot = np.flatnonzero(ends - starts >= 2)
+        out_a, out_b, out_h = [], [], []
+        for gi in hot:
+            d = ids[starts[gi]:ends[gi]]
+            sg = sigs[starts[gi]:ends[gi]]
+            ia, ib = np.triu_indices(d.size, k=1)
+            h = _popcount64(sg[ia] ^ sg[ib])
+            m = h <= max_hamming
+            out_a.append(d[ia][m])
+            out_b.append(d[ib][m])
+            out_h.append(h[m])
+        if not out_a:
+            return _SIMPAIRS_EMPTY
+        tbl = pa.table({'doc_id_a': pa.array(np.concatenate(out_a), pa.int64()),
+                        'doc_id_b': pa.array(np.concatenate(out_b), pa.int64()),
+                        'hamming': pa.array(np.concatenate(out_h), pa.int64())})
+        g = tbl.group_by(['doc_id_a', 'doc_id_b']).aggregate([('hamming', 'min')])
+        return g.rename_columns(['doc_id_a', 'doc_id_b', 'hamming'])
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column('doc_id_a').to_numpy(zero_copy_only=False)
+        b = batch.column('doc_id_b').to_numpy(zero_copy_only=False)
+        pb = ((a * 1000003) ^ b) & (nb - 1)
+        return batch.append_column('pbucket', pa.array(pb, pa.int64()))
+
+    def dedupe_bucket(group: pa.Table) -> pa.Table:
+        g = group.group_by(['doc_id_a', 'doc_id_b']).aggregate(
+            [('hamming', 'min')])
+        return g.rename_columns(['doc_id_a', 'doc_id_b', 'hamming'])
+
+    cand = rows.map_batches(add_bucket, batch_format='pyarrow',
+                            zero_copy_batch=True) \
+        .groupby('bucket').map_groups(pairs_bucket, batch_format='pyarrow')
+    return cand.map_batches(add_pair_bucket, batch_format='pyarrow',
+                            zero_copy_batch=True) \
+        .groupby('pbucket').map_groups(dedupe_bucket, batch_format='pyarrow')
