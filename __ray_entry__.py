@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_windowed': relational.events_windowed,
         'events_windowed_sliding': relational.events_windowed_sliding,
         'events_asof_orders': relational.events_asof_orders,
+        'events_range_orders': relational.events_range_orders,
         'top_parts': relational.top_parts,
         # multimodal plumbing (stub codecs; features oracle-checked)
         'multimodal_features': multimodal.decode_media_features,
@@ -331,6 +332,14 @@ SELECT event_type,
        floor(sum(value) * 100 + 0.5) / 100 AS sum_value
 FROM events CROSS JOIN range(0, 3) t(k)
 GROUP BY event_type, date_trunc('day', ts) - k * INTERVAL 1 DAY
+""",
+        'events_range_orders': """
+SELECT o.o_orderkey, o.o_custkey, count(e.ts)::BIGINT AS n_events
+FROM orders o LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+GROUP BY o.o_orderkey, o.o_custkey
 """,
         'events_asof_orders': """
 SELECT e.event_id, e.user_id, o.o_orderdate AS asof_orderdate

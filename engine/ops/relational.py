@@ -8,13 +8,21 @@ Patterns demonstrated (each is the 100 TB-shape of the operation):
 - *Broadcast join*: TRUE dimension tables (region/nation — small by
   schema) are read driver-side, turned into flat lookup dicts, ``ray.put``
   ONCE, and fetched once per actor.  Fact-sized sides (customer, orders)
-  are NEVER read driver-side: they go through hash-partitioned
-  ``Dataset.join`` (top_orders_revenue) or a co-partitioned
-  union+groupby (events_asof_orders).
-- *Predicate/column pruning at the read*: ``columns=`` + parquet ``filter=``
-  so only needed row groups leave storage.
-- *Sessionize*: per-key ordered window logic via ``groupby.map_groups``.
-- *Top-k*: partial per-block top-k before the tiny global sort.
+  are NEVER read driver-side: they ride the *bucketed co-partition*
+  pattern — union the sides into one null-padded schema, ONE
+  ``groupby(key & (nb-1))`` exchange, vectorized C++/numpy resolution per
+  bucket (top_orders_revenue, events_asof_orders, events_range_orders).
+  Grouping on the RAW key would pay ~50µs of map_groups Python+Arrow tax
+  per key — billions of groups at corpus scale.
+- *Predicate/column pruning at the read* (``columns=``), and read blocks
+  sized by BYTES (common.read_table) so exchange task counts track data.
+- *Sessionize / as-of / range join*: ordered per-key logic resolved for a
+  whole bucket at once (lexsort + break vectors / forward-fill /
+  prefix-count differences).
+- *Windowed aggregates*: tumbling and sliding window keys DERIVED in the
+  map stage; shuffles move combiner rows only.
+- *Top-k*: partial per-block (and per-bucket) top-k before the tiny
+  global sort.
 """
 
 import numpy as np
@@ -30,7 +38,7 @@ from .common import (BroadcastLookup, round_half_up, table_path,
 __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'supplier_balance_by_nation', 'events_by_type', 'events_sessionize',
            'events_windowed', 'events_windowed_sliding', 'events_asof_orders',
-           'top_parts']
+           'events_range_orders', 'top_parts']
 
 Q1_CUTOFF = '1998-09-02'
 
@@ -495,6 +503,91 @@ def events_asof_orders(sf_dir, num_buckets=64):
         .union(orders.map_batches(ord_side, batch_format='pyarrow',
                                   zero_copy_batch=True))
     return both.groupby('bucket').map_groups(asof, batch_format='pyarrow')
+
+
+def events_range_orders(sf_dir, window_days=7, num_buckets=64):
+    """Range join: per order, the number of same-customer events with
+    ``o_orderdate <= ts < o_orderdate + window_days`` (events.user_id =
+    orders.o_custkey).
+
+    Both sides are facts; same bucketed co-partition shape as the as-of
+    join, with counts derived by PREFIX-COUNT DIFFERENCES so the whole
+    bucket resolves in one vectorized pass and no per-key state exists:
+    union the event rows with TWO probe rows per order (window start,
+    window end), lexsort by (key, time, is_event — probes before events
+    at equal time, making the start inclusive and the end exclusive),
+    take the exclusive running count of event rows, and subtract the two
+    probe positions' counts.  Both probes of an order share its key, so
+    every row between them belongs to the same key and the global prefix
+    count needs no per-key reset."""
+    nb = num_buckets
+    win_us = window_days * _DAY_US
+
+    def ev_side(batch: pa.Table) -> pa.Table:
+        keys = batch.column('user_id')
+        n = batch.num_rows
+        return pa.table({
+            'key': keys,
+            'time': batch.column('ts').cast(pa.int64()),
+            'o_orderkey': pa.nulls(n, pa.int64()),
+            'probe_hi': pa.nulls(n, pa.int64()),
+            'bucket': pa.array(
+                keys.to_numpy(zero_copy_only=False) & (nb - 1), pa.int64()),
+        })
+
+    def ord_side(batch: pa.Table) -> pa.Table:
+        keys = batch.column('o_custkey')
+        t0 = batch.column('o_orderdate').cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        b = keys.to_numpy(zero_copy_only=False) & (nb - 1)
+        lo = pa.table({
+            'key': keys, 'time': pa.array(t0, pa.int64()),
+            'o_orderkey': batch.column('o_orderkey'),
+            'probe_hi': pa.array(np.zeros(len(t0), np.int64), pa.int64()),
+            'bucket': pa.array(b, pa.int64()),
+        })
+        hi = pa.table({
+            'key': keys, 'time': pa.array(t0 + win_us, pa.int64()),
+            'o_orderkey': batch.column('o_orderkey'),
+            'probe_hi': pa.array(np.ones(len(t0), np.int64), pa.int64()),
+            'bucket': pa.array(b, pa.int64()),
+        })
+        return pa.concat_tables([lo, hi])
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        key = group.column('key').to_numpy(zero_copy_only=False)
+        time = group.column('time').to_numpy(zero_copy_only=False)
+        okey = pc.fill_null(group.column('o_orderkey'), -1) \
+            .to_numpy(zero_copy_only=False)
+        hi = pc.fill_null(group.column('probe_hi'), 0) \
+            .to_numpy(zero_copy_only=False)
+        is_event = okey < 0
+        order = np.lexsort((is_event, time, key))
+        ev2 = is_event[order]
+        # exclusive running count of event rows at each position
+        cum = np.cumsum(ev2) - ev2
+        pos = np.nonzero(~ev2)[0]
+        ok2, hi2 = okey[order][pos], hi[order][pos]
+        counts = cum[pos]
+        po = np.lexsort((hi2, ok2))          # (order, lo, hi) triples
+        ok3 = ok2[po].reshape(-1, 2)[:, 0]
+        c = counts[po].reshape(-1, 2)
+        return pa.table({
+            'o_orderkey': pa.array(ok3, pa.int64()),
+            'o_custkey': pa.array(key[order][pos][po].reshape(-1, 2)[:, 0],
+                                  pa.int64()),
+            'n_events': pa.array(c[:, 1] - c[:, 0], pa.int64()),
+        })
+
+    events = read_table(sf_dir, 'events', columns=['user_id', 'ts'])
+    orders = read_table(sf_dir, 'orders',
+                        columns=['o_orderkey', 'o_custkey', 'o_orderdate'])
+    both = events.map_batches(ev_side, batch_format='pyarrow',
+                              zero_copy_batch=True) \
+        .union(orders.map_batches(ord_side, batch_format='pyarrow',
+                                  zero_copy_batch=True))
+    return both.groupby('bucket').map_groups(count_bucket,
+                                             batch_format='pyarrow')
 
 
 def top_parts(sf_dir, topk=10):

@@ -50,7 +50,7 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'customers_per_region', 'supplier_balance_by_nation',
                   'events_by_type', 'events_sessionize', 'events_windowed',
                   'events_windowed_sliding',
-                  'events_asof_orders', 'top_parts',
+                  'events_asof_orders', 'events_range_orders', 'top_parts',
                   'fingerprint_winnow', 'multimodal_features',
                   'ann_topk_lsh', 'ann_topk_ivf',
                   'minhash_near_dup', 'simhash_near_dup',
