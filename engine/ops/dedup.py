@@ -478,23 +478,19 @@ def _simhash64(text):
     return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
-class _SimhashStage:
-    def __init__(self):
-        pass
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        keys, ids, sigs = [], [], []
-        for did, text in zip(batch.column('doc_id').to_pylist(),
-                             batch.column('text').to_pylist()):
-            sh = _simhash64(text)
-            for c in range(_SIM_CHUNKS):
-                chunk = (sh >> (16 * c)) & 0xFFFF
-                keys.append((c << 16) | chunk)
-                ids.append(did)
-                sigs.append(sh - (1 << 63))  # store as signed int64
-        return pa.table({'chunk_key': pa.array(keys, pa.int64()),
-                         'doc_id': pa.array(ids, pa.int64()),
-                         'sig': pa.array(sigs, pa.int64())})
+def _simhash_rows(batch: pa.Table) -> pa.Table:
+    keys, ids, sigs = [], [], []
+    for did, text in zip(batch.column('doc_id').to_pylist(),
+                         batch.column('text').to_pylist()):
+        sh = _simhash64(text)
+        for c in range(_SIM_CHUNKS):
+            chunk = (sh >> (16 * c)) & 0xFFFF
+            keys.append((c << 16) | chunk)
+            ids.append(did)
+            sigs.append(sh - (1 << 63))  # store as signed int64
+    return pa.table({'chunk_key': pa.array(keys, pa.int64()),
+                     'doc_id': pa.array(ids, pa.int64()),
+                     'sig': pa.array(sigs, pa.int64())})
 
 
 _POP8 = np.array([bin(i).count('1') for i in range(256)], dtype=np.uint8)
@@ -527,8 +523,8 @@ def simhash_near_dup(sf_dir, max_hamming=3, num_buckets=64):
     nb = num_buckets
     docs = read_table(sf_dir, 'documents', columns=['doc_id', 'text'],
                       min_blocks=pool()[1])
-    rows = docs.map_batches(_SimhashStage, batch_format='pyarrow',
-                            concurrency=pool(), zero_copy_batch=True)
+    rows = docs.map_batches(_simhash_rows, batch_format='pyarrow',
+                            zero_copy_batch=True)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         b = batch.column('chunk_key').to_numpy(zero_copy_only=False) & (nb - 1)

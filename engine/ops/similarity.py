@@ -58,17 +58,34 @@ def _corpus_matrix(sf_dir):
     return _batch_matrix(tbl)
 
 
-class _DupPairs:
-    def __init__(self, ref, threshold):
-        self.ids, self.mat = ray.get(ref)
-        self.threshold = threshold
+_BCAST_CACHE = {}
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+
+def _fetch_broadcast(ref):
+    """Per-worker-process cache of a ``ray.put`` broadcast value.
+
+    The broadcast stages here hold NO mutable state, so a plain TASK pool
+    (which fuses with the read and skips the ~2 s actor-pool spin-up) is
+    the right compute strategy — each worker fetches the object from its
+    node's plasma store once and reuses it across tasks.  Bounded: one
+    entry per live broadcast; dropped with the worker."""
+    hit = _BCAST_CACHE.get(ref)
+    if hit is None:
+        hit = _BCAST_CACHE[ref] = ray.get(ref)
+        if len(_BCAST_CACHE) > 8:                     # stale refs from past jobs
+            for k in list(_BCAST_CACHE)[:-4]:
+                del _BCAST_CACHE[k]
+    return hit
+
+
+def _dup_pairs_fn(ref, threshold):
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, mat = _fetch_broadcast(ref)
         bids, bmat = _batch_matrix(batch)
-        sims = bmat @ self.mat.T                      # (nb, N) one matmul
-        rows, cols = np.nonzero(sims >= self.threshold)
+        sims = bmat @ mat.T                           # (nb, N) one matmul
+        rows, cols = np.nonzero(sims >= threshold)
         a = bids[rows]
-        b = self.ids[cols]
+        b = ids[cols]
         keep = a < b                                  # each pair once, a < b
         a, b = a[keep], b[keep]
         cos = sims[rows[keep], cols[keep]]
@@ -77,14 +94,15 @@ class _DupPairs:
             'vec_id_b': pa.array(b, pa.int64()),
             'cos': pa.array(round_half_up(cos, 4), pa.float64()),
         })
+    return fn
 
 
 def embedding_dup_pairs(sf_dir, threshold=0.42):
     """All embedding pairs with cosine ≥ threshold (exact, oracle-checked)."""
     ref = ray.put(_corpus_matrix(sf_dir))
     return _read_embeddings(sf_dir).map_batches(
-        _DupPairs, fn_constructor_args=(ref, threshold),
-        batch_format='pyarrow', concurrency=pool(), zero_copy_batch=True)
+        _dup_pairs_fn(ref, threshold),
+        batch_format='pyarrow', zero_copy_batch=True)
 
 
 def _pair_block_rows(K):
@@ -181,24 +199,20 @@ def _topk_ties(scores, ids, k):
     return cand[order[:k]]
 
 
-class _PartialTopK:
+def _partial_topk_fn(ref, k0):
     """Per-batch candidates: for each query, the batch's k best corpus rows
     — the combiner that keeps the per-query groupby shuffle tiny."""
-
-    def __init__(self, ref, k):
-        self.qids, self.qmat = ray.get(ref)
-        self.k = k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def fn(batch: pa.Table) -> pa.Table:
+        qids, qmat = _fetch_broadcast(ref)
         bids, bmat = _batch_matrix(batch)
-        sims = self.qmat @ bmat.T                     # (Q, nb)
+        sims = qmat @ bmat.T                          # (Q, nb)
         # take k+1 so dropping a self-match can never evict a true top-k row
-        k = min(self.k + 1, sims.shape[1])
+        k = min(k0 + 1, sims.shape[1])
         out_q, out_n, out_s = [], [], []
         for qi in range(sims.shape[0]):
             cand = _topk_ties(sims[qi], bids, k)
-            mask = bids[cand] != self.qids[qi]        # exclude self-match
-            out_q.extend([self.qids[qi]] * int(mask.sum()))
+            mask = bids[cand] != qids[qi]             # exclude self-match
+            out_q.extend([qids[qi]] * int(mask.sum()))
             out_n.extend(bids[cand][mask].tolist())
             out_s.extend(sims[qi, cand][mask].tolist())
         return pa.table({
@@ -206,6 +220,7 @@ class _PartialTopK:
             'neighbor_id': pa.array(out_n, pa.int64()),
             'score_raw': pa.array(out_s, pa.float64()),
         })
+    return fn
 
 
 def _final_topk(k):
@@ -238,8 +253,8 @@ def ann_topk(sf_dir, n_queries=16, k=5):
     """Exact cosine top-k of queries (vec_id < n_queries) over the corpus."""
     ref = ray.put(_query_matrix(sf_dir, n_queries))
     partial = _read_embeddings(sf_dir).map_batches(
-        _PartialTopK, fn_constructor_args=(ref, k),
-        batch_format='pyarrow', concurrency=pool(), zero_copy_batch=True)
+        _partial_topk_fn(ref, k),
+        batch_format='pyarrow', zero_copy_batch=True)
     return partial.groupby('query_id').map_groups(_final_topk(k),
                                                   batch_format='pyarrow')
 
@@ -257,34 +272,26 @@ def _bucket_of(mat, planes):
     return (bits.astype(np.int64) * (1 << np.arange(_LSH_PLANES))).sum(axis=1)
 
 
-class _LshPartial:
+def _lsh_partial_fn(ref, k0):
     """Approximate partial top-k: only corpus rows in a query's LSH
     bucket(s) compete.  Multi-probe (own bucket + all 1-bit flips) trades a
     constant factor of extra candidates for much better recall — the probe
-    set covers (1+planes)/2^planes of the corpus instead of 1/2^planes."""
-
-    def __init__(self, ref, k):
-        self.qids, self.qmat = ray.get(ref)
-        self.k = k
-        self.planes = _lsh_planes(self.qmat.shape[1])
-        qb = _bucket_of(self.qmat, self.planes)
-        self.qprobes = [
-            {int(b)} | {int(b) ^ (1 << p) for p in range(_LSH_PLANES)}
-            for b in qb]
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    set covers (1+planes)/2^planes of the corpus instead of 1/2^planes.
+    Planes and probe sets are derived DRIVER-side and ride the broadcast."""
+    def fn(batch: pa.Table) -> pa.Table:
+        qids, qmat, planes, qprobes = _fetch_broadcast(ref)
         bids, bmat = _batch_matrix(batch)
-        bbuckets = _bucket_of(bmat, self.planes)
+        bbuckets = _bucket_of(bmat, planes)
         out_q, out_n, out_s = [], [], []
-        for qi in range(len(self.qids)):
-            mask = np.isin(bbuckets, list(self.qprobes[qi])) & (bids != self.qids[qi])
+        for qi in range(len(qids)):
+            mask = np.isin(bbuckets, list(qprobes[qi])) & (bids != qids[qi])
             if not mask.any():
                 continue
             cids = bids[mask]
-            sims = bmat[mask] @ self.qmat[qi]
-            k = min(self.k, len(cids))
+            sims = bmat[mask] @ qmat[qi]
+            k = min(k0, len(cids))
             top = _topk_ties(sims, cids, k)
-            out_q.extend([self.qids[qi]] * k)
+            out_q.extend([qids[qi]] * k)
             out_n.extend(cids[top].tolist())
             out_s.extend(sims[top].tolist())
         return pa.table({
@@ -292,14 +299,20 @@ class _LshPartial:
             'neighbor_id': pa.array(out_n, pa.int64()),
             'score_raw': pa.array(out_s, pa.float64()),
         })
+    return fn
 
 
 def ann_topk_lsh(sf_dir, n_queries=16, k=5):
     """LSH-bucketed approximate top-k (scale path; rows-only check)."""
-    ref = ray.put(_query_matrix(sf_dir, n_queries))
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    planes = _lsh_planes(qmat.shape[1])
+    qb = _bucket_of(qmat, planes)
+    qprobes = [{int(b)} | {int(b) ^ (1 << p) for p in range(_LSH_PLANES)}
+               for b in qb]
+    ref = ray.put((qids, qmat, planes, qprobes))
     partial = _read_embeddings(sf_dir).map_batches(
-        _LshPartial, fn_constructor_args=(ref, k),
-        batch_format='pyarrow', concurrency=pool(), zero_copy_batch=True)
+        _lsh_partial_fn(ref, k),
+        batch_format='pyarrow', zero_copy_batch=True)
     return partial.groupby('query_id').map_groups(_final_topk(k),
                                                   batch_format='pyarrow')
 
@@ -332,31 +345,25 @@ def _kmeans(mat, nlist, iters=10, seed=0):
     return cent
 
 
-class _IvfPartial:
+def _ivf_partial_fn(ref, k0):
     """IVF probe: batch rows compete only when their nearest centroid is in
     the query's nprobe-centroid list — per batch work O(N·nlist) assignment
-    plus O(candidates) scoring."""
-
-    def __init__(self, ref, k, nprobe):
-        (self.qids, self.qmat), self.cent = ray.get(ref)
-        self.k = k
-        qsims = self.qmat @ self.cent.T                         # (Q, nlist)
-        # stable: ties keep ascending centroid index (= oracle's ci ASC)
-        self.qprobes = np.argsort(-qsims, axis=1, kind='stable')[:, :nprobe]
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    plus O(candidates) scoring.  Centroids and probe lists are derived
+    DRIVER-side and ride the broadcast."""
+    def fn(batch: pa.Table) -> pa.Table:
+        qids, qmat, cent, qprobes = _fetch_broadcast(ref)
         bids, bmat = _batch_matrix(batch)
-        assign = (bmat @ self.cent.T).argmax(axis=1)            # (nb,)
+        assign = (bmat @ cent.T).argmax(axis=1)                 # (nb,)
         out_q, out_n, out_s = [], [], []
-        for qi in range(len(self.qids)):
-            mask = np.isin(assign, self.qprobes[qi]) & (bids != self.qids[qi])
+        for qi in range(len(qids)):
+            mask = np.isin(assign, qprobes[qi]) & (bids != qids[qi])
             if not mask.any():
                 continue
             cids = bids[mask]
-            sims = bmat[mask] @ self.qmat[qi]
-            k = min(self.k, len(cids))
+            sims = bmat[mask] @ qmat[qi]
+            k = min(k0, len(cids))
             top = _topk_ties(sims, cids, k)
-            out_q.extend([self.qids[qi]] * k)
+            out_q.extend([qids[qi]] * k)
             out_n.extend(cids[top].tolist())
             out_s.extend(sims[top].tolist())
         return pa.table({
@@ -364,6 +371,7 @@ class _IvfPartial:
             'neighbor_id': pa.array(out_n, pa.int64()),
             'score_raw': pa.array(out_s, pa.float64()),
         })
+    return fn
 
 
 def ann_topk_ivf(sf_dir, n_queries=16, k=5, nlist=16, nprobe=4):
@@ -374,9 +382,12 @@ def ann_topk_ivf(sf_dir, n_queries=16, k=5, nlist=16, nprobe=4):
     qids, qmat = _query_matrix(sf_dir, n_queries)
     _, train = _train_matrix(sf_dir)
     cent = _kmeans(train, nlist)
-    ref = ray.put(((qids, qmat), cent))
+    qsims = qmat @ cent.T                                       # (Q, nlist)
+    # stable: ties keep ascending centroid index (= oracle's ci ASC)
+    qprobes = np.argsort(-qsims, axis=1, kind='stable')[:, :nprobe]
+    ref = ray.put((qids, qmat, cent, qprobes))
     partial = _read_embeddings(sf_dir).map_batches(
-        _IvfPartial, fn_constructor_args=(ref, k, nprobe),
-        batch_format='pyarrow', concurrency=pool(), zero_copy_batch=True)
+        _ivf_partial_fn(ref, k),
+        batch_format='pyarrow', zero_copy_batch=True)
     return partial.groupby('query_id').map_groups(_final_topk(k),
                                                   batch_format='pyarrow')
