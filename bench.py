@@ -139,9 +139,12 @@ def main_default():
 
 
 # The scaling corpus must carry enough work that fixed pipeline startup
-# (~5-8 s: actor-pool spawn + first-exec worker imports) stays <10% of the
-# 32-cpu wall — at sf0.1 that means ~48× the default corpus (~1.8M turns).
-SCALING_SF_MULT = int(os.environ.get('GRAFT_SCALING_SF_MULT', '48'))
+# (~5-8 s: actor-pool spawn + first-exec worker imports) stays ≪5% of the
+# 32-cpu wall.  At mult=48 the 32-leg is only ~90 s and startup costs ~6
+# efficiency points (measured 0.65 vs 0.78-0.90 at mult=192 in adjacent
+# host windows); mult=192 (7.3M turns, 32-leg ≈ 280 s) is the canonical
+# size recorded in BASELINE.md.
+SCALING_SF_MULT = int(os.environ.get('GRAFT_SCALING_SF_MULT', '192'))
 
 
 def _pin_cpus(n):
@@ -175,38 +178,58 @@ def main_child(num_cpus):
     ray.shutdown()
 
 
+# Shared-tenancy host noise swings a SINGLE 8-vs-32 pair by ±20% in
+# window lengths of minutes-to-hours (identical code measured 0.44-0.90
+# across a day).  GRAFT_SCALING_PAIRS>1 runs interleaved pairs and
+# reports the MEDIAN with every sample — use for evidence sessions;
+# default 1 keeps the standard run at one mult=192 pair (~20 min).
+SCALING_PAIRS = int(os.environ.get('GRAFT_SCALING_PAIRS', '1'))
+
+
+def _run_child(cpus):
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), '--child', str(cpus)],
+        capture_output=True, text=True, timeout=3600,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    line = [l for l in proc.stdout.splitlines()
+            if l.startswith('CHILD_RESULT ')]
+    if not line:
+        sys.stderr.write(proc.stdout + proc.stderr)
+        raise RuntimeError('child run at %d cpus produced no result' % cpus)
+    return json.loads(line[-1][len('CHILD_RESULT '):])
+
+
 def main_scaling():
-    results = {}
-    for cpus in (8, 32):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), '--child', str(cpus)],
-            capture_output=True, text=True, timeout=3600,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-        line = [l for l in proc.stdout.splitlines()
-                if l.startswith('CHILD_RESULT ')]
-        if not line:
-            sys.stderr.write(proc.stdout + proc.stderr)
-            raise RuntimeError('child run at %d cpus produced no result' % cpus)
-        results[cpus] = json.loads(line[-1][len('CHILD_RESULT '):])
-    t8 = results[8]['turns_per_sec']
-    t32 = results[32]['turns_per_sec']
+    pairs = []
+    for _ in range(max(1, SCALING_PAIRS)):
+        r8 = _run_child(8)
+        r32 = _run_child(32)
+        pairs.append((r8, r32))
+    effs = sorted((r32['turns_per_sec'] / r8['turns_per_sec']) / 4.0
+                  for r8, r32 in pairs)
+    # report the throughput legs of the MEDIAN pair alongside all samples
+    by_eff = sorted(pairs, key=lambda p:
+                    (p[1]['turns_per_sec'] / p[0]['turns_per_sec']))
+    r8, r32 = by_eff[len(by_eff) // 2]
     sf = os.path.basename(os.path.normpath(SF_DIR)).lstrip('sf')
     print(json.dumps({
         'metric': 'scaling_efficiency',
-        'value': round((t32 / t8) / 4.0, 4),
+        'value': round(effs[len(effs) // 2], 4),
         'unit': 'ratio',
-        'turns_per_sec_8': round(t8, 1),
-        'turns_per_sec_32': round(t32, 1),
-        'wall_s_8': round(results[8]['wall_s'], 3),
-        'wall_s_32': round(results[32]['wall_s'], 3),
-        'stage_a_s': {'8': results[8]['stage_a_s'], '32': results[32]['stage_a_s']},
-        'stage_b_s': {'8': results[8]['stage_b_s'], '32': results[32]['stage_b_s']},
-        'rows': results[8]['rows'],
+        'samples': [round(e, 4) for e in effs],
+        'pairs': len(pairs),
+        'turns_per_sec_8': round(r8['turns_per_sec'], 1),
+        'turns_per_sec_32': round(r32['turns_per_sec'], 1),
+        'wall_s_8': round(r8['wall_s'], 3),
+        'wall_s_32': round(r32['wall_s'], 3),
+        'stage_a_s': {'8': r8['stage_a_s'], '32': r32['stage_a_s']},
+        'stage_b_s': {'8': r8['stage_b_s'], '32': r32['stage_b_s']},
+        'rows': r8['rows'],
         'sf': sf,
         'sf_mult': SCALING_SF_MULT,
         'sf_effective': '%g' % (float(sf) * SCALING_SF_MULT),
         'num_cpus': [8, 32],
-        'pinned': [results[8].get('pinned'), results[32].get('pinned')],
+        'pinned': [r8.get('pinned'), r32.get('pinned')],
     }))
 
 
