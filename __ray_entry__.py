@@ -84,7 +84,8 @@ def _extract_metrics(sf_dir: str) -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from engine.ops import dedup, relational, similarity, textstats, multimodal
+    from engine.ops import (dedup, relational, similarity, textstats,
+                            multimodal, sampling)
 
     return {
         # flagship extraction (non-SQL: PDF interpretation) — rows-only check
@@ -98,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'lang_id': textstats.lang_id,
         'fingerprint_md5': textstats.fingerprint_md5,
         'fingerprint_winnow': textstats.fingerprint_winnow,
+        'sample_stratified': sampling.sample_stratified,
         # dedup
         'dedup_exact': dedup.dedup_exact,
         'dedup_exact_payloads': _dedup_payloads,      # rows-only (transcripts)
@@ -152,6 +154,18 @@ def oracle_sql() -> dict[str, str]:
     except Exception:
         pass   # oracle sf dir absent: those stay rows-only
     return generated | {
+        'sample_stratified': """
+WITH s AS (
+  SELECT doc_id, lang,
+         (md5_number_lower(doc_id::VARCHAR) & 9223372036854775807)::BIGINT AS skey
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, skey,
+         row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id)::BIGINT AS sample_rank
+  FROM s
+)
+SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 50
+""",
         'doc_token_stats': r"""
 SELECT doc_id,
        len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,

@@ -1,0 +1,75 @@
+"""Deterministic sampling operators over the ``documents`` table.
+
+``sample_stratified`` — per-group (lang) deterministic hash sample: keep
+the ``per_group`` documents with the smallest ``md5(doc_id)`` sort key.
+Hash-ordered sampling is the scale-correct pattern for training-data
+subsetting: it needs no global count, no reservoir state and no
+coordination — every task can score rows independently, and the same
+rows are selected no matter how the input is partitioned (unlike
+``Dataset.random_sample``, which is partition-dependent).  The per-block
+partial top-N combiner keeps the groupby shuffle at ``per_group`` rows
+per (lang, block); the group count (langs) is small by schema, so the
+final fold per group key is cheap.
+
+Sort key parity with the DuckDB oracle: ``md5_number_lower(doc_id text)``
+masked to 63 bits — the same rule as textstats fingerprints.
+"""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .common import read_table
+
+__all__ = ['sample_stratified']
+
+_MASK63 = (1 << 63) - 1
+
+
+def _sort_keys(doc_ids):
+    """63-bit md5-based sample key per doc_id (oracle-shared)."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:16],
+                        'little') & _MASK63 for d in doc_ids),
+        dtype=np.int64, count=len(doc_ids))
+
+
+def sample_stratified(sf_dir, per_group=50, group_col='lang'):
+    """Per-``group_col`` deterministic sample of ``per_group`` documents
+    (smallest md5 sort key, doc_id as tie-break)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_numpy(zero_copy_only=False)
+        keys = _sort_keys(ids)
+        t = pa.table({
+            'doc_id': batch.column('doc_id'),
+            group_col: batch.column(group_col),
+            'skey': pa.array(keys, pa.int64()),
+        })
+        # per-block, per-group top-N: sort once, take first N of each group
+        t = t.sort_by([(group_col, 'ascending'), ('skey', 'ascending'),
+                       ('doc_id', 'ascending')])
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        ends = np.r_[starts[1:], len(g)]
+        keep = np.concatenate([
+            np.arange(s, min(s + per_group, e))
+            for s, e in zip(starts, ends)]) if len(g) else np.empty(0, np.int64)
+        return t.take(pa.array(keep, pa.int64()))
+
+    def final(group: pa.Table) -> pa.Table:
+        ordered = group.sort_by([('skey', 'ascending'),
+                                 ('doc_id', 'ascending')]).slice(0, per_group)
+        n = ordered.num_rows
+        return pa.table({
+            'doc_id': ordered.column('doc_id'),
+            group_col: ordered.column(group_col),
+            'sample_rank': pa.array(np.arange(1, n + 1), pa.int64()),
+        })
+
+    ds = read_table(sf_dir, 'documents', columns=['doc_id', group_col])
+    return (ds.map_batches(partial, batch_format='pyarrow',
+                           zero_copy_batch=True)
+              .groupby(group_col).map_groups(final, batch_format='pyarrow'))

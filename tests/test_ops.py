@@ -51,7 +51,7 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'events_by_type', 'events_sessionize', 'events_windowed',
                   'events_windowed_sliding',
                   'events_asof_orders', 'events_range_orders', 'top_parts',
-                  'fingerprint_winnow', 'multimodal_features',
+                  'fingerprint_winnow', 'sample_stratified', 'multimodal_features',
                   'ann_topk_lsh', 'ann_topk_ivf',
                   'minhash_near_dup', 'simhash_near_dup',
                   'multimodal_resize_stats', 'multimodal_frame_stats']
