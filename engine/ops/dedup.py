@@ -103,7 +103,10 @@ def dedup_exact(sf_dir, num_buckets=64):
         digs = [hashlib.md5(t.encode('utf-8')).digest()
                 for t in batch.column('text').to_pylist()]
         fps = pa.array([d.hex() for d in digs], pa.string())
-        bks = pa.array([d[0] & (nb - 1) for d in digs], pa.int64())
+        # two digest bytes: a single byte silently caps effective buckets at
+        # 256 (empty buckets above that — skewed exchange at cluster scale)
+        bks = pa.array([int.from_bytes(d[:2], 'little') & (nb - 1)
+                        for d in digs], pa.int64())
         t = pa.table({'fp': fps, 'bucket': bks, 'doc_id': batch.column('doc_id')})
         g = t.group_by(['fp', 'bucket']).aggregate(
             [('doc_id', 'min'), ('doc_id', 'count')])
@@ -139,7 +142,8 @@ def dedup_exact_payloads(corpus_dir, num_buckets=64):
         digs = [hashlib.md5(t.encode('utf-8')).digest()
                 for t in batch.column('text').to_pylist()]
         fps = pa.array([d.hex() for d in digs], pa.string())
-        bks = pa.array([d[0] & (nb - 1) for d in digs], pa.int64())
+        bks = pa.array([int.from_bytes(d[:2], 'little') & (nb - 1)
+                        for d in digs], pa.int64())
         t = pa.table({'fp': fps, 'bucket': bks,
                       'conv_id': batch.column('conv_id'),
                       'turn_idx': batch.column('turn_idx')})
@@ -171,15 +175,27 @@ def dedup_exact_payloads(corpus_dir, num_buckets=64):
 
 # ------------------------------------------------------- exact n-gram Jaccard
 
-def ngram_jaccard_pairs(sf_dir, threshold=0.8, k=3, block_col='lang'):
+def ngram_jaccard_pairs(sf_dir, threshold=0.8, k=3, block_col='lang',
+                        max_block_rows=200_000):
     """All pairs within a blocking key with word-k-gram Jaccard ≥ threshold.
 
     Exact (no approximation) → DuckDB-oracle-verifiable.  The per-group
     O(n²) loop is the documented partitioning assumption: blocks must fit a
     worker (true for per-language blocks only at test scale; the scale path
-    is minhash_near_dup).
+    is minhash_near_dup).  That contract is ENFORCED, not assumed: a block
+    over ``max_block_rows`` raises loudly (no silent cap, no silent OOM)
+    and names the discovery-tier alternative.
     """
     def pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows > max_block_rows:
+            key = group.column(block_col)[0].as_py()
+            raise ValueError(
+                "ngram_jaccard_pairs: block %s=%r has %d rows "
+                "(> max_block_rows=%d); the exact O(n^2) verify tier only "
+                "handles worker-sized blocks — use minhash_near_dup as the "
+                "discovery tier for blocks this large, or raise "
+                "max_block_rows explicitly."
+                % (block_col, key, group.num_rows, max_block_rows))
         ids = group.column('doc_id').to_pylist()
         texts = group.column('text').to_pylist()
         sets = [shingle_set(t, k) for t in texts]
@@ -267,33 +283,59 @@ _VERIFIED_EMPTY = pa.table({
 })
 
 
-def _emit_pairs_bucket(group: pa.Table) -> pa.Table:
+def _make_emit_pairs_bucket(max_band_docs=None):
     """One call per HASH BUCKET of band keys (NOT per band — per-band
     map_groups costs ~50µs of Python/Arrow per group, and bands are
     near-singleton, so 160k groups burned 8 s at sf0.1 where this sweep
     takes milliseconds).  Sort by band_key (C++), find group boundaries
     with numpy, emit pairs only for multi-doc bands, dedupe (a, b) within
     the bucket via Arrow group_by (cross-bucket duplicates of a pair are
-    folded later, in the attach stage's distinct)."""
-    t = group.sort_by([('band_key', 'ascending'), ('doc_id', 'ascending')])
-    keys = t.column('band_key').to_numpy()
-    ids = t.column('doc_id').to_numpy()
-    if keys.size == 0:
-        return _PAIRS_EMPTY
-    starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
-    ends = np.r_[starts[1:], keys.size]
-    hot = np.flatnonzero(ends - starts >= 2)
-    out_a, out_b = [], []
-    for gi in hot:
-        d = ids[starts[gi]:ends[gi]]      # sorted, unique within a band
-        ia, ib = np.triu_indices(d.size, k=1)
-        out_a.append(d[ia])
-        out_b.append(d[ib])
-    if not out_a:
-        return _PAIRS_EMPTY
-    tbl = pa.table({'doc_id_a': pa.array(np.concatenate(out_a), pa.int64()),
-                    'doc_id_b': pa.array(np.concatenate(out_b), pa.int64())})
-    return tbl.group_by(['doc_id_a', 'doc_id_b']).aggregate([])
+    folded later, in the attach stage's distinct).
+
+    Band-size telemetry makes the documented O(m²)-per-band corner
+    OBSERVABLE: the max band size per bucket is logged, and with
+    ``max_band_docs`` set, bands beyond it are skipped with a loud
+    logged drop count (never a silent cap — default None drops nothing,
+    preserving oracle parity)."""
+    def emit(group: pa.Table) -> pa.Table:
+        import logging
+        log = logging.getLogger('engine.ops.dedup')
+        t = group.sort_by([('band_key', 'ascending'), ('doc_id', 'ascending')])
+        keys = t.column('band_key').to_numpy()
+        ids = t.column('doc_id').to_numpy()
+        if keys.size == 0:
+            return _PAIRS_EMPTY
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], keys.size]
+        sizes = ends - starts
+        max_band = int(sizes.max())
+        if max_band >= 1000:
+            log.warning('minhash band telemetry: bucket max band size %d '
+                        '(%d bands >= 1000) — O(m^2) pair emission; run '
+                        'exact dedup first to cap m', max_band,
+                        int((sizes >= 1000).sum()))
+        hot = np.flatnonzero(sizes >= 2)
+        if max_band_docs is not None:
+            over = hot[sizes[hot] > max_band_docs]
+            if over.size:
+                dropped = int((sizes[over] * (sizes[over] - 1) // 2).sum())
+                log.error('minhash: SKIPPING %d bands over max_band_docs=%d '
+                          '(~%d candidate pairs dropped; near-dups may be '
+                          'missed — run exact dedup first or raise the cap)',
+                          over.size, max_band_docs, dropped)
+                hot = hot[sizes[hot] <= max_band_docs]
+        out_a, out_b = [], []
+        for gi in hot:
+            d = ids[starts[gi]:ends[gi]]      # sorted, unique within a band
+            ia, ib = np.triu_indices(d.size, k=1)
+            out_a.append(d[ia])
+            out_b.append(d[ib])
+        if not out_a:
+            return _PAIRS_EMPTY
+        tbl = pa.table({'doc_id_a': pa.array(np.concatenate(out_a), pa.int64()),
+                        'doc_id_b': pa.array(np.concatenate(out_b), pa.int64())})
+        return tbl.group_by(['doc_id_a', 'doc_id_b']).aggregate([])
+    return emit
 
 
 def _make_explode_pair_sides(nb):
@@ -408,7 +450,8 @@ def _make_bucket_verifier(threshold, k):
     return verify
 
 
-def minhash_near_dup(sf_dir, threshold=0.8, k=3, num_buckets=64):
+def minhash_near_dup(sf_dir, threshold=0.8, k=3, num_buckets=64,
+                     max_band_docs=None):
     """MinHash+LSH near-dup discovery, exact-verified — FULLY DISTRIBUTED.
 
     Shuffle accounting (three groupby exchanges, no driver-side candidate
@@ -436,10 +479,13 @@ def minhash_near_dup(sf_dir, threshold=0.8, k=3, num_buckets=64):
     per query at small scale).  The bucketed co-partition moves the same
     bytes with one fewer exchange and no per-group Python tax.
 
-    Known O(n²) corner, documented: a band holding m docs emits m(m-1)/2
-    candidate pairs (exact-duplicate clusters land in the same band for
-    all 32 bands).  Run exact dedup first — its survivors cap m at the
-    near-dup (not exact-dup) cluster size.
+    Known O(n²) corner, documented AND observable: a band holding m docs
+    emits m(m-1)/2 candidate pairs (exact-duplicate clusters land in the
+    same band for all 32 bands).  Run exact dedup first — its survivors
+    cap m at the near-dup (not exact-dup) cluster size.  The pair-emit
+    stage logs max-band-size telemetry, and ``max_band_docs`` optionally
+    skips oversized bands with a loud logged drop count (default None:
+    nothing dropped).
     """
     if num_buckets & (num_buckets - 1):
         raise ValueError('num_buckets must be a power of two')
@@ -448,8 +494,8 @@ def minhash_near_dup(sf_dir, threshold=0.8, k=3, num_buckets=64):
     band_rows = docs.map_batches(_make_signatures(k, num_buckets),
                                  batch_format='pyarrow',
                                  zero_copy_batch=True)
-    cand = band_rows.groupby('bucket').map_groups(_emit_pairs_bucket,
-                                                  batch_format='pyarrow')
+    cand = band_rows.groupby('bucket').map_groups(
+        _make_emit_pairs_bucket(max_band_docs), batch_format='pyarrow')
     sides = cand.map_batches(_make_explode_pair_sides(num_buckets),
                              batch_format='pyarrow', zero_copy_batch=True)
     doc_side = docs.map_batches(_make_doc_side_rows(num_buckets),

@@ -208,21 +208,19 @@ FROM r WHERE rank <= {k}
            ebucket=_bucket_expr('ee', plane_lists))
 
 
-def _head_matrix(path, max_train):
-    """First ``max_train`` rows of an embeddings parquet in FILE ORDER —
-    the pq twin of similarity._train_matrix's Dataset.take_batch (Ray reads
-    parquet blocks in file order, so the head sample is identical)."""
+def _sample_matrix(path, max_train):
+    """The ``max_train`` rows with the smallest md5(vec_id) sample key, in
+    (skey, vec_id) order — the pq twin of similarity._train_matrix's
+    distributed hash-order sample (same key function, same tie-break, so
+    the training matrix is row-for-row identical)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
-    from .similarity import _batch_matrix
-    pf = pq.ParquetFile(path)
-    batches, got = [], 0
-    for b in pf.iter_batches(columns=['vec_id', 'embedding']):
-        batches.append(b)
-        got += b.num_rows
-        if got >= max_train:
-            break
-    tbl = pa.Table.from_batches(batches).slice(0, max_train)
+    from .similarity import _batch_matrix, _sample_keys
+    tbl = pq.read_table(path, columns=['vec_id', 'embedding'])
+    keys = _sample_keys(tbl.column('vec_id').to_numpy(zero_copy_only=False))
+    tbl = tbl.append_column('skey', pa.array(keys, pa.int64()))
+    tbl = tbl.sort_by([('skey', 'ascending'),
+                       ('vec_id', 'ascending')]).slice(0, max_train)
     return _batch_matrix(tbl)
 
 
@@ -230,12 +228,12 @@ def ivf_oracle_sql(sf_dir=None, n_queries=16, k=5, nlist=16, nprobe=4,
                    max_train=65536):
     """Full SQL re-derivation of ann_topk_ivf.  The coarse quantizer is
     data-dependent, so the oracle trains the SAME deterministic k-means on
-    the SAME bounded head sample at build time and inlines the centroids
-    as literals — valid for the sf dir the driver compares at."""
+    the SAME bounded md5-keyed sample at build time and inlines the
+    centroids as literals — valid for the sf dir the driver compares at."""
     from .similarity import _kmeans
     sf_dir = sf_dir or _oracle_sf_dir()
     path = os.path.join(sf_dir, 'embeddings.parquet')
-    _, train = _head_matrix(path, max_train)
+    _, train = _sample_matrix(path, max_train)
     cent = _kmeans(train, nlist)
     cent_rows = ',\n    '.join('(%d, %s)' % (ci, _dlist(cent[ci]))
                                for ci in range(nlist))

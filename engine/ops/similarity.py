@@ -126,15 +126,27 @@ def _pair_block_rows(K):
     return fn
 
 
-def _block_cross(threshold):
+def _block_cross(threshold, K):
     """Per bucket-pair group: ONE float64 cross matmul, threshold filter,
     canonical (a < b) pair order.  Same float math as the broadcast
-    :class:`_DupPairs` kernel, so the emitted cosines are bit-identical."""
+    :class:`_DupPairs` kernel, so the emitted cosines are bit-identical.
+
+    Diagonal-vs-cross is decided from the group KEY (``pkey = i*K + j``),
+    never from which sides happen to be present: a cross group whose
+    partner bucket is empty must emit NOTHING — inferring "diagonal" from
+    a single observed side would re-emit bucket i's within-bucket pairs
+    (already produced by the true (i,i) group) whenever any bucket is
+    empty, likelier the larger K gets."""
+    _empty = pa.table({'vec_id_a': pa.array([], pa.int64()),
+                       'vec_id_b': pa.array([], pa.int64()),
+                       'cos': pa.array([], pa.float64())})
+
     def fn(group: pa.Table) -> pa.Table:
+        pkey = group.column('pkey')[0].as_py()
+        i, j = divmod(pkey, K)
         side = group.column('side').to_numpy(zero_copy_only=False)
         ids, mat = _batch_matrix(group)
-        us = np.unique(side)
-        if len(us) == 1:                       # diagonal: within-bucket pairs
+        if i == j:                             # diagonal: within-bucket pairs
             sims = mat @ mat.T
             iu, ju = np.nonzero(sims >= threshold)
             keep = ids[iu] < ids[ju]           # each pair once, no self-match
@@ -142,8 +154,10 @@ def _block_cross(threshold):
             b = ids[ju[keep]]
             cos = sims[iu[keep], ju[keep]]
         else:                                  # cross-bucket pairs
-            m0 = side == us[0]
-            m1 = ~m0
+            m0 = side == i
+            m1 = side == j
+            if not m0.any() or not m1.any():   # partner bucket empty
+                return _empty
             sims = mat[m0] @ mat[m1].T
             r, c = np.nonzero(sims >= threshold)
             a0 = ids[m0][r]
@@ -177,7 +191,7 @@ def embedding_dup_pairs_blocked(sf_dir, threshold=0.42, num_buckets=4):
     rows = _read_embeddings(sf_dir).map_batches(
         _pair_block_rows(num_buckets), batch_format='pyarrow',
         zero_copy_batch=True)
-    return rows.groupby('pkey').map_groups(_block_cross(threshold),
+    return rows.groupby('pkey').map_groups(_block_cross(threshold, num_buckets),
                                            batch_format='pyarrow')
 
 
@@ -240,13 +254,14 @@ def _final_topk(k):
 
 
 def _query_matrix(sf_dir, n_queries):
-    import pyarrow.parquet as pq
-    import pyarrow.compute as pc
+    """Driver-side load of the (tiny) query matrix.  The vec_id filter is
+    pushed into the parquet scan (``pyarrow.dataset`` row-group pruning via
+    min/max stats) — O(matching row groups), never a full-table read."""
     import pyarrow.dataset as pads
-    tbl = pq.read_table(table_path(sf_dir, 'embeddings'),
-                        columns=['vec_id', 'embedding'])
-    tbl = tbl.filter(pc.less(tbl.column('vec_id'), n_queries))
-    return _batch_matrix(tbl)
+    dset = pads.dataset(table_path(sf_dir, 'embeddings'), format='parquet')
+    tbl = dset.to_table(columns=['vec_id', 'embedding'],
+                        filter=pads.field('vec_id') < n_queries)
+    return _batch_matrix(tbl.sort_by('vec_id'))
 
 
 def ann_topk(sf_dir, n_queries=16, k=5):
@@ -317,13 +332,42 @@ def ann_topk_lsh(sf_dir, n_queries=16, k=5):
                                                   batch_format='pyarrow')
 
 
+_MASK63 = (1 << 63) - 1
+
+
+def _sample_keys(ids):
+    """63-bit md5 sample key per vec_id (the sampling.py pattern; shared
+    verbatim with the oracle builder so both sides pick the same rows)."""
+    import hashlib
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(str(int(v)).encode()).digest()[8:16],
+                        'little') & _MASK63 for v in ids),
+        dtype=np.int64, count=len(ids))
+
+
 def _train_matrix(sf_dir, max_train=65536):
-    """Bounded training sample for the IVF coarse quantizer: the first
-    ``max_train`` corpus rows via ``Dataset.take_batch`` — the read is
-    O(max_train) blocks regardless of corpus size (never a full driver-side
-    corpus load; at test scale the corpus is smaller than the bound, so the
-    sample IS the corpus and results are unchanged)."""
-    tbl = _read_embeddings(sf_dir).take_batch(max_train, batch_format='pyarrow')
+    """Bounded, ORDER-INDEPENDENT training sample for the IVF coarse
+    quantizer: the ``max_train`` corpus rows with the smallest seeded
+    md5(vec_id) key.  Unlike a head sample this is unbiased under any
+    time/label file ordering, and unlike ``Dataset.take_batch`` it does not
+    depend on block completion order — the same rows in the same order come
+    back no matter how the input is partitioned.  Distributed shape:
+    per-block partial top-``max_train`` combiner → sort/limit over the
+    reduced rows → one driver-side re-sort of ≤ max_train rows."""
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = _sample_keys(batch.column('vec_id').to_numpy(zero_copy_only=False))
+        t = batch.append_column('skey', pa.array(keys, pa.int64()))
+        if t.num_rows > max_train:
+            t = t.sort_by([('skey', 'ascending'),
+                           ('vec_id', 'ascending')]).slice(0, max_train)
+        return t
+
+    reduced = _read_embeddings(sf_dir).map_batches(
+        partial, batch_format='pyarrow', zero_copy_batch=True)
+    tbl = reduced.sort(['skey', 'vec_id']).limit(max_train) \
+                 .take_batch(max_train, batch_format='pyarrow')
+    # take_batch does not guarantee block order — one tiny deterministic sort
+    tbl = tbl.sort_by([('skey', 'ascending'), ('vec_id', 'ascending')])
     return _batch_matrix(tbl)
 
 
@@ -376,9 +420,9 @@ def _ivf_partial_fn(ref, k0):
 
 def ann_topk_ivf(sf_dir, n_queries=16, k=5, nlist=16, nprobe=4):
     """IVF approximate top-k (inverted-file index à la FAISS IVF-Flat):
-    deterministic k-means coarse quantizer trained on a BOUNDED sample
-    (``_train_matrix``: O(max_train) read, not the corpus), nprobe-cell
-    probing (rows-only check; the scale path alongside LSH)."""
+    deterministic k-means coarse quantizer trained on a BOUNDED,
+    order-independent md5-keyed sample (``_train_matrix`` — unbiased under
+    any file ordering), nprobe-cell probing (the scale path alongside LSH)."""
     qids, qmat = _query_matrix(sf_dir, n_queries)
     _, train = _train_matrix(sf_dir)
     cent = _kmeans(train, nlist)

@@ -21,6 +21,19 @@ from engine.pdfcore.extract import SharedFontState, extract_turn
 __all__ = ['ExtractTurns', 'assign_bucket', 'make_done_filter']
 
 
+def _payload_key(payload):
+    """LRU cache key: md5 of the payload CONTENT.  bytes payloads hash
+    their own bytes (a shared constant key would silently serve another
+    payload's extraction); None gets a distinct sentinel (extract_turn(None)
+    is a constant, so one shared entry is correct there)."""
+    import hashlib
+    if isinstance(payload, str):
+        return hashlib.md5(payload.encode('utf-8', 'replace')).digest()
+    if isinstance(payload, (bytes, bytearray)):
+        return hashlib.md5(payload).digest()
+    return b'\x00none-payload'
+
+
 def pin_arrow_threads():
     """pyarrow defaults BOTH its CPU and IO pools to the machine core count
     PER PROCESS — a full actor pool means cores² threads thrashing the box
@@ -54,9 +67,7 @@ class ExtractTurns(object):
             r = extract_turn(payload, self.shared)
             return (r['text'], r['n_spans'], r['n_pages'],
                     r['decode_ok'], r['error'])
-        import hashlib
-        key = hashlib.md5(payload.encode('utf-8', 'replace')
-                          if isinstance(payload, str) else b'\x00').digest()
+        key = _payload_key(payload)
         hit = self._lru.get(key)
         if hit is not None:
             self._lru.move_to_end(key)
@@ -123,9 +134,7 @@ class ExtractSpans(object):
         if self._lru is None:
             return extract_turn(payload, self.shared,
                                 collect_spans=True)['spans'] or ()
-        import hashlib
-        key = hashlib.md5(payload.encode('utf-8', 'replace')
-                          if isinstance(payload, str) else b'\x00').digest()
+        key = _payload_key(payload)
         hit = self._lru.get(key)
         if hit is not None:
             self._lru.move_to_end(key)
