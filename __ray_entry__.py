@@ -36,7 +36,12 @@ def entry() -> Any:
 
 def _extract_fulltext(sf_dir: str) -> Any:
     from engine.rayjob.pipeline import build_extract_dataset
-    return build_extract_dataset(_transcripts_dir(sf_dir))
+    ds = build_extract_dataset(_transcripts_dir(sf_dir))
+    # 'error' stays in the pipeline output but not the oracle-compared
+    # query: the expected tables carry the reference's SEMANTIC surface
+    # (text/spans/pages/decode_ok); error strings are engine diagnostics
+    # with engine-specific wording.
+    return ds.drop_columns(['error'])
 
 
 def _extract_spans(sf_dir: str) -> Any:
@@ -88,7 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             multimodal, sampling)
 
     return {
-        # flagship extraction (non-SQL: PDF interpretation) — rows-only check
+        # flagship extraction — oracle-checked via the reference-derived
+        # expected tables (oracles.extract_oracle_sqls)
         'extract_fulltext': _extract_fulltext,
         'extract_spans': _extract_spans,
         'extract_metrics': _extract_metrics,
@@ -131,6 +137,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-checkable summaries of the resize / frame-sample math
         'multimodal_resize_stats': multimodal.resized_features,
         'multimodal_frame_stats': multimodal.frame_features,
+        # blob-level checks: md5 of every emitted payload vs the
+        # fixture-time independent recompute
+        'multimodal_resize_blobs': multimodal.resized_blob_md5,
+        'multimodal_frame_blobs': multimodal.frame_blob_md5,
     }
 
 
@@ -151,6 +161,10 @@ def oracle_sql() -> dict[str, str]:
         generated['ann_topk_lsh'] = oracles.lsh_oracle_sql(oracles.embedding_dim())
         generated['ann_topk_ivf'] = oracles.ivf_oracle_sql()
         generated['dedup_exact_payloads'] = oracles.payload_dedup_oracle_sql()
+        # flagship extraction: reference-derived expected tables → SQL joins
+        generated.update(oracles.extract_oracle_sqls())
+        # multimodal blob md5s vs fixture-time independent recompute
+        generated.update(oracles.mm_blob_oracle_sqls())
     except Exception:
         pass   # oracle sf dir absent: those stay rows-only
     return generated | {

@@ -21,6 +21,7 @@ from .common import round_half_up, table_path, read_table, pool
 __all__ = ['synthesize_media', 'DecodeMedia', 'decode_media_features',
            'ResizeMedia', 'resize_media', 'resized_features',
            'FrameSample', 'sample_frames', 'FrameFeatures', 'frame_features',
+           'resized_blob_md5', 'frame_blob_md5',
            'MEDIA_SCHEMA', 'FEATURES_SCHEMA']
 
 _MAGIC = b'MMV1'
@@ -311,3 +312,41 @@ def sample_frames(sf_dir, stride=4, batch_size=64):
         FrameSample, fn_constructor_args=(stride,),
         batch_format='pyarrow', batch_size=batch_size,
         concurrency=pool(), zero_copy_batch=True)
+
+
+def _md5_hex(blobs):
+    import hashlib
+    return pa.array([hashlib.md5(b).hexdigest() for b in blobs], pa.string())
+
+
+def resized_blob_md5(sf_dir, target_w=16, target_h=16, batch_size=64):
+    """BLOB-level check of resize_media: md5 of every emitted payload (the
+    bytes themselves, not just the stats) — compared against the
+    independently recomputed fixture md5s (oracles.mm_blob_oracle_sqls).
+    SQL has no BLOB md5, so the digest is emitted as a hex column."""
+    def digest(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'media_id': batch.column('media_id'),
+            'kind': batch.column('kind'),
+            'width': batch.column('meta_width'),
+            'height': batch.column('meta_height'),
+            'channels': batch.column('meta_channels'),
+            'payload_md5': _md5_hex(batch.column('payload').to_pylist()),
+        })
+    return resize_media(sf_dir, target_w, target_h, batch_size).map_batches(
+        digest, batch_format='pyarrow', zero_copy_batch=True)
+
+
+def frame_blob_md5(sf_dir, stride=4, batch_size=64):
+    """BLOB-level check of sample_frames: md5 + byte length of every
+    emitted frame container."""
+    def digest(batch: pa.Table) -> pa.Table:
+        blobs = batch.column('frame').to_pylist()
+        return pa.table({
+            'media_id': batch.column('media_id'),
+            'frame_idx': batch.column('frame_idx'),
+            'byte_len': pa.array([len(b) for b in blobs], pa.int64()),
+            'frame_md5': _md5_hex(blobs),
+        })
+    return sample_frames(sf_dir, stride, batch_size).map_batches(
+        digest, batch_format='pyarrow', zero_copy_batch=True)

@@ -36,11 +36,13 @@ conversation parallelizes exactly like a million one-turn conversations
 and no salting is needed where it matters most.  The only key-grouped
 stage is per-bucket compaction, where a conversation's rows all land in
 one crc32 bucket: skew there is capped at the size of the single largest
-conversation.  If single conversations ever exceed a healthy bucket
-(~hundreds of MB), the escape hatch is a salted spill key
-``(conv_id, turn_idx // K)`` plus a per-conversation merge of the K-run
-sorted files at compaction — a documented extension, deliberately not the
-default because it buys nothing until that threshold.
+conversation.  If a bucket exceeds ``GRAFT_COMPACT_MAX_ROWS`` (a single
+conversation bigger than a healthy bucket, or many medium ones),
+compaction switches to the IMPLEMENTED escape hatch ``_compact_chunked``:
+a narrow key-column probe, then sorted (conv_id, turn_idx) key-range
+windows streamed through one ParquetWriter — byte-identical output with
+per-task memory O(window), equivalent to splitting the spill key by
+``(conv_id, turn_idx // window)`` without touching the spill format.
 """
 
 import os
@@ -96,6 +98,55 @@ def build_spans_dataset(input_path, batch_size=64, concurrency=None):
                           zero_copy_batch=True)
 
 
+def _compact_chunked(dset, base_filter, keys, tmp_path, max_rows):
+    """External merge compaction for a bucket whose rows exceed
+    ``max_rows`` (single giant conversation, or many medium ones): sort
+    the narrow key table, cut it into ≤ max_rows windows ALONG the sorted
+    order, and stream each window — an exact half-open (conv_id, turn_idx)
+    key-range predicate read, sorted in memory — through one ParquetWriter.
+    Window boundaries may split a conversation mid-run; the composite-key
+    range predicate keeps each row in exactly one window, so the
+    concatenation of sorted windows along sorted boundaries IS the fully
+    sorted bucket — byte-identical output to the in-memory path, with
+    per-task memory O(max_rows) regardless of conversation size.  (This
+    implements the giant-conversation escape hatch: the spill format is
+    untouched, the split key is effectively (conv_id, turn_idx // window).)
+    """
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    skeys = keys.sort_by([('conv_id', 'ascending'), ('turn_idx', 'ascending')])
+    convs = skeys.column('conv_id')
+    turns = skeys.column('turn_idx')
+    n = skeys.num_rows
+    rows = failures = spans = 0
+    writer = None
+    try:
+        for start in range(0, n, max_rows):
+            lo_c, lo_t = convs[start].as_py(), turns[start].as_py()
+            end = min(start + max_rows, n) - 1
+            hi_c, hi_t = convs[end].as_py(), turns[end].as_py()
+            f_lo = (pads.field('conv_id') > lo_c) | (
+                (pads.field('conv_id') == lo_c) & (pads.field('turn_idx') >= lo_t))
+            f_hi = (pads.field('conv_id') < hi_c) | (
+                (pads.field('conv_id') == hi_c) & (pads.field('turn_idx') <= hi_t))
+            chunk = dset.to_table(filter=base_filter & f_lo & f_hi)
+            ordered = chunk.sort_by([('conv_id', 'ascending'),
+                                     ('turn_idx', 'ascending')])
+            ordered = ordered.drop_columns(['bucket'])
+            if writer is None:
+                writer = pq.ParquetWriter(tmp_path, ordered.schema)
+            writer.write_table(ordered)
+            rows += ordered.num_rows
+            failures += pc.sum(pc.cast(pc.invert(ordered.column('decode_ok')),
+                                       pa.int64())).as_py() or 0
+            spans += pc.sum(ordered.column('n_spans')).as_py() or 0
+    finally:
+        if writer is not None:
+            writer.close()
+    return rows, failures, spans
+
+
 def _make_bucket_compactor(spill_dir, out_dir, num_buckets=None, num_shards=1):
     """Stage B UDF: compact one bucket from the spill files — per-shard
     file listing, predicate read with row-group pruning, in-bucket sort,
@@ -136,6 +187,7 @@ def _make_bucket_compactor(spill_dir, out_dir, num_buckets=None, num_shards=1):
                     if files else None
             return dsets[sdir]
 
+        max_rows = int(os.environ.get('GRAFT_COMPACT_MAX_ROWS', '2000000'))
         for bucket in batch.column('bucket').to_pylist():
             t0 = time.perf_counter()
             dset = shard_dset(bucket)
@@ -147,21 +199,38 @@ def _make_bucket_compactor(spill_dir, out_dir, num_buckets=None, num_shards=1):
                 out['wall_s'].append(time.perf_counter() - t0)
                 out['file'].append('')
                 continue
-            tbl = dset.to_table(filter=pads.field('bucket') == bucket)
-            ordered = tbl.sort_by([('conv_id', 'ascending'),
-                                   ('turn_idx', 'ascending')])
-            ordered = ordered.drop_columns(['bucket'])
+            # Skew escape hatch (the north rule's giant-conversation case):
+            # probe the bucket's KEY columns first (two narrow columns —
+            # cheap even when the payload column is huge).  At or under
+            # max_rows the whole bucket sorts in memory as before; above
+            # it, _compact_chunked streams sorted (conv_id, turn_idx)
+            # windows through one ParquetWriter so per-task memory is
+            # O(max_rows), not O(largest conversation).
+            flt = pads.field('bucket') == bucket
+            keys = dset.to_table(filter=flt, columns=['conv_id', 'turn_idx'])
             fname = ''
-            if ordered.num_rows:
+            if keys.num_rows == 0:
+                rows, failures, spans = 0, 0, 0
+            else:
                 fname = 'part-%05d.parquet' % bucket
                 tmp = os.path.join(out_dir, '_tmp-%s' % fname)
-                pq.write_table(ordered, tmp)
+                if keys.num_rows <= max_rows:
+                    tbl = dset.to_table(filter=flt)
+                    ordered = tbl.sort_by([('conv_id', 'ascending'),
+                                           ('turn_idx', 'ascending')])
+                    ordered = ordered.drop_columns(['bucket'])
+                    pq.write_table(ordered, tmp)
+                    rows = ordered.num_rows
+                    failures = pc.sum(pc.cast(
+                        pc.invert(ordered.column('decode_ok')),
+                        pa.int64())).as_py() or 0
+                    spans = pc.sum(ordered.column('n_spans')).as_py() or 0
+                else:
+                    rows, failures, spans = _compact_chunked(
+                        dset, flt, keys, tmp, max_rows)
                 os.replace(tmp, os.path.join(out_dir, fname))  # atomic publish
-            failures = pc.sum(pc.cast(pc.invert(ordered.column('decode_ok')),
-                                      pa.int64())).as_py() or 0
-            spans = pc.sum(ordered.column('n_spans')).as_py() or 0
             out['bucket'].append(bucket)
-            out['rows'].append(ordered.num_rows)
+            out['rows'].append(rows)
             out['decode_failures'].append(failures)
             out['span_count'].append(spans)
             out['wall_s'].append(time.perf_counter() - t0)

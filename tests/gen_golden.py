@@ -3,10 +3,14 @@
 Usage: python tests/gen_golden.py
 
 Writes tests/golden/pdf_text/{variant}.json with:
-  {variant, corrupt, pages|null, error|null, events: [[x,y,unicode], ...]}
+  {variant, corrupt, pages|null, error|null,
+   events: [[page, x, y, unicode, cid, width], ...]}
 
-``events`` are the oracle's 'glyph draw' callbacks with exact float reprs —
-a float-determinism check stronger than text equality (SURVEY.md §7.3).
+``events`` are the oracle's 'glyph draw' callbacks with exact float reprs
+(x, y, width) — a float-determinism check stronger than text equality
+(SURVEY.md §7.3).  ``page`` is the 0-based index of completed pages at
+draw time (incremented at the reference's 'page end' callback), matching
+the engine's span page numbering (extract.py).
 """
 
 import io
@@ -42,10 +46,14 @@ def oracle_run(pdf_bytes):
                 # Second pass: capture 'glyph draw' events with exact floats.
 
                 p2 = pypdfproc.PDF(path)
+                page_no = [0]
                 def cb2(s, action, page, *args):
                     if action == 'glyph draw':
                         (x, y), g = args[0], args[1]
-                        events.append([repr(x), repr(y), g.unicode])
+                        events.append([page_no[0], repr(x), repr(y),
+                                       g.unicode, g.cid, repr(g.width)])
+                    elif action == 'page end':
+                        page_no[0] += 1
                     elif action == 'change font':
                         # side effect GetFullText relies on: width synthesis
                         p2.GetFontWidths(p2.GetFont(page, args[0]))

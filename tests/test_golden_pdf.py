@@ -26,17 +26,22 @@ def test_variant_matches_oracle(path, shared_fonts):
     pdf = build_variant(g['variant'])
     r = extract_turn(pdf, shared_fonts, collect_spans=True)
 
+    got = [[pg, repr(x), repr(y), u, cid, repr(w)]
+           for (pg, x, y, u, cid, w) in r['spans']]
+
     if g['corrupt']:
         assert r['decode_ok'] is False
         assert r['text'] == ("".join(g['pages']) if g['pages'] is not None else "")
+        # spans drawn before the failure must still match the reference
+        assert got == (g['events'] or [])
         return
 
     assert r['decode_ok'] is True, r['error']
     assert r['pages'] == g['pages']
     assert r['text'] == "".join(g['pages'])
 
-    # Exact float parity of glyph positions (repr-compared)
-    got = [[repr(x), repr(y), u] for (_pg, x, y, u, _cid, _w) in r['spans']]
+    # Exact parity of every glyph draw: page index, float positions
+    # (repr-compared), unicode, cid, width
     assert got == g['events']
 
 

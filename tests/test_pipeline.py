@@ -320,3 +320,96 @@ def test_payload_lru_identical_output_and_hits(tmp_path):
     out_p = plain(batch)
     assert out_c.equals(out_p)
     assert cached.lru_hits >= base.num_rows        # second copy all hits
+
+
+def test_expected_tables_match_engine_per_variant(tmp_path, shared_fonts):
+    """The reference-derived expected tables (ensure_expected — built from
+    the committed goldens, never from the engine) must agree with the
+    engine kernel on every distinct payload: this is the bridge that makes
+    the driver's extract_* oracle joins a REAL independent check."""
+    import hashlib
+    import sys
+    import pyarrow.parquet as pq
+    from engine.rayjob.transcripts import ensure_expected
+    from engine.pdfcore.extract import extract_turn
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from gen_pdf import VARIANTS, build_variant
+
+    corpus = str(tmp_path / 'corpus')
+    os.makedirs(corpus)
+    exp_dir = ensure_expected(corpus)
+    turns = pq.read_table(os.path.join(exp_dir, 'expected_turns.parquet'))
+    spans = pq.read_table(os.path.join(exp_dir, 'expected_spans.parquet'))
+    by_fp = {r['fp']: r for r in turns.to_pylist()}
+    spans_by_fp = {}
+    for r in spans.to_pylist():
+        spans_by_fp.setdefault(r['fp'], []).append(r)
+
+    assert len(by_fp) == len(VARIANTS)
+    total_spans = 0
+    for vid in sorted(VARIANTS):
+        payload = build_variant(vid).decode('latin-1')
+        fp = hashlib.md5(payload.encode('utf-8')).hexdigest()
+        r = extract_turn(payload, shared_fonts, collect_spans=True)
+        e = by_fp[fp]
+        assert r['text'] == e['text'], vid
+        assert r['n_spans'] == e['n_spans'], vid
+        assert r['n_pages'] == e['n_pages'], vid
+        assert r['decode_ok'] == e['decode_ok'], vid
+        got = [(pg, x, y, u, cid, w) for (pg, x, y, u, cid, w) in r['spans']]
+        want = [(s['page'], s['x'], s['y'], s['unicode'], s['cid'], s['width'])
+                for s in spans_by_fp.get(fp, [])]
+        assert got == want, vid          # exact float64, page, cid, width
+        total_spans += len(want)
+    assert total_spans == spans.num_rows
+
+
+def test_chunked_compaction_identical_output(ray_session, tmp_path_factory,
+                                             monkeypatch):
+    """Skew escape hatch: with GRAFT_COMPACT_MAX_ROWS far below the bucket
+    size (one conversation much larger than the chunk window), the external
+    merge compaction must produce byte-identical parts, manifest counts and
+    ordering to the in-memory path."""
+    from engine.rayjob.pipeline import run_extraction
+    from engine.rayjob.transcripts import generate_transcripts
+    import pyarrow as pa
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from gen_pdf import build_variant
+
+    d = str(tmp_path_factory.mktemp('chunk_corpus'))
+    generate_transcripts(d, n_convs=12, seed=23, rows_per_file=150,
+                         long_conv_frac=0.0)
+    payload = build_variant('V02').decode('latin-1')
+    giant = 90                        # >> the 16-row window below
+    pq.write_table(pa.table({
+        'conv_id': pa.array(['conv-giant'] * giant, pa.string()),
+        'turn_idx': pa.array(list(range(giant)), pa.int32()),
+        'role': pa.array(['user'] * giant, pa.string()),
+        'text': pa.array([payload] * giant, pa.string()),
+        'tool': pa.array([''] * giant, pa.string()),
+        'ts': pa.array([1735689600000000 + i for i in range(giant)],
+                       pa.timestamp('us')),
+    }), os.path.join(d, 'part-giant.parquet'))
+
+    out_mem = str(tmp_path_factory.mktemp('out_mem'))
+    s1 = run_extraction(d, out_mem, num_buckets=4, batch_size=32,
+                        concurrency=2, resume=False)
+
+    monkeypatch.setenv('GRAFT_COMPACT_MAX_ROWS', '16')
+    out_chk = str(tmp_path_factory.mktemp('out_chk'))
+    s2 = run_extraction(d, out_chk, num_buckets=4, batch_size=32,
+                        concurrency=2, resume=False)
+
+    assert s1['rows_out'] == s2['rows_out']
+    assert s1['decode_failures'] == s2['decode_failures']
+    assert s1['span_count'] == s2['span_count']
+    p1 = sorted(os.path.basename(p)
+                for p in glob.glob(os.path.join(out_mem, 'part-*.parquet')))
+    p2 = sorted(os.path.basename(p)
+                for p in glob.glob(os.path.join(out_chk, 'part-*.parquet')))
+    assert p1 == p2
+    for name in p1:
+        a = pq.read_table(os.path.join(out_mem, name))
+        b = pq.read_table(os.path.join(out_chk, name))
+        assert a.equals(b), name       # same rows, same order, same schema
