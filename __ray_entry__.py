@@ -90,7 +90,7 @@ def _extract_metrics(sf_dir: str) -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from engine.ops import (dedup, relational, similarity, textstats,
-                            multimodal, sampling)
+                            multimodal, sampling, clusters)
 
     return {
         # flagship extraction — oracle-checked via the reference-derived
@@ -105,13 +105,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'lang_id': textstats.lang_id,
         'fingerprint_md5': textstats.fingerprint_md5,
         'fingerprint_winnow': textstats.fingerprint_winnow,
+        'token_frequencies': textstats.token_frequencies,
         'sample_stratified': sampling.sample_stratified,
         # dedup
         'dedup_exact': dedup.dedup_exact,
         'dedup_exact_payloads': _dedup_payloads,      # rows-only (transcripts)
         'ngram_jaccard_pairs': dedup.ngram_jaccard_pairs,
-        'minhash_near_dup': dedup.minhash_near_dup,           # rows-only
-        'simhash_near_dup': dedup.simhash_near_dup,           # rows-only
+        'minhash_near_dup': dedup.minhash_near_dup,
+        'simhash_near_dup': dedup.simhash_near_dup,
+        'dedup_clusters': clusters.dedup_clusters,
         # similarity search
         'embedding_dup_pairs': similarity.embedding_dup_pairs,
         'embedding_dup_pairs_blocked': similarity.embedding_dup_pairs_blocked,
@@ -154,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
         'multimodal_features': oracles.multimodal_features_oracle_sql(),
         'minhash_near_dup': oracles.minhash_oracle_sql(),
         'simhash_near_dup': oracles.simhash_oracle_sql(),
+        'dedup_clusters': oracles.clusters_oracle_sql(),
         'multimodal_resize_stats': oracles.multimodal_resized_oracle_sql(),
         'multimodal_frame_stats': oracles.multimodal_frames_oracle_sql(),
     }
@@ -239,6 +242,18 @@ WITH s AS (
 SELECT doc_id, pred_lang, lang, (pred_lang = lang) AS is_match FROM p
 """,
         'fingerprint_md5': "SELECT doc_id, md5(text) AS fp FROM documents",
+        'token_frequencies': r"""
+WITH t AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents
+), g AS (
+  SELECT token, count(*)::BIGINT AS n_occurrences FROM t GROUP BY token
+), r AS (
+  SELECT token, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, token ASC)::BIGINT AS rank
+  FROM g
+)
+SELECT token, n_occurrences, rank FROM r WHERE rank <= 100
+""",
         'dedup_exact': """
 SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
 FROM documents GROUP BY md5(text)

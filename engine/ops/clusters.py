@@ -1,0 +1,217 @@
+"""Near-duplicate CLUSTER COLLAPSE: connected components over the
+minhash near-dup pair graph → one ``cluster_id`` (= the component's min
+doc_id) per document, survivors = cluster representatives.
+
+This is the step a training-data pipeline runs AFTER pair discovery:
+near-dup pairs are not directly actionable — A~B and B~C must collapse to
+one keep-decision even when A~C was never emitted.
+
+Distributed shape (no driver-side union-find — the pair graph on a
+boilerplate-heavy corpus is O(corpus)):
+
+1. pairs (minhash, verified) → symmetric edge list, MATERIALIZED once —
+   edges are re-read every iteration and must not re-run discovery;
+2. min-label propagation to fixpoint: each round, every node takes the
+   min of its own label and its neighbors' labels.  One round = two
+   bucketed exchanges (attach labels to edge sources, fold min per
+   node), all C++ group_by inside buckets — the same co-partition
+   pattern as minhash's attach stage.  Rounds needed = component
+   diameter in hops (near-dup components are squat in practice —
+   exact-dup clusters collapse through their min member in 2 rounds; a
+   pathological path graph of length D costs D rounds, the documented
+   worst case of plain label propagation);
+3. one final co-partition join labels ← documents so untouched docs
+   come out as singletons.
+
+Each iteration materializes the (small) label table — labels are one row
+per PAIRED doc, not per doc — so lineage stays flat and the convergence
+check (`changed` sum) doesn't re-run prior rounds.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from .common import read_table, pool
+from .dedup import minhash_near_dup
+
+__all__ = ['dedup_clusters']
+
+
+def _bucket(ids, nb):
+    return ids & (nb - 1)
+
+
+def _make_sym_edges(nb):
+    def fn(batch: pa.Table) -> pa.Table:
+        a = batch.column('doc_id_a')
+        b = batch.column('doc_id_b')
+        src = pa.chunked_array(list(a.chunks) + list(b.chunks), pa.int64())
+        dst = pa.chunked_array(list(b.chunks) + list(a.chunks), pa.int64())
+        return pa.table({
+            'src': src,
+            'dst': dst,
+            'bucket': pa.array(_bucket(src.to_numpy(), nb), pa.int64()),
+        })
+    return fn
+
+
+def _make_init_labels(nb):
+    def fn(batch: pa.Table) -> pa.Table:
+        # per-block distinct fold; the per-bucket min fold of round 1
+        # removes cross-block duplicates
+        g = batch.select(['src']).group_by('src').aggregate([])
+        ids = g.column('src')
+        return pa.table({
+            'node': ids,
+            'lbl': ids,
+            'bucket': pa.array(_bucket(ids.to_numpy(), nb), pa.int64()),
+        })
+    return fn
+
+
+def _attach_bucket(group: pa.Table) -> pa.Table:
+    """Per src-hash bucket of (edges ∪ labels): emit one candidate row
+    (node=dst, lbl=lbl(src)) per edge via a local C++ hash join."""
+    import pyarrow.compute as pc
+    is_lbl = pc.is_null(group.column('dst'))
+    labels = group.filter(is_lbl).select(['src', 'lbl']) \
+                  .rename_columns(['src', 'slbl'])
+    edges = group.filter(pc.invert(is_lbl)).select(['src', 'dst'])
+    if edges.num_rows == 0 or labels.num_rows == 0:
+        return pa.table({'node': pa.array([], pa.int64()),
+                         'lbl': pa.array([], pa.int64()),
+                         'own': pa.array([], pa.bool_())})
+    j = edges.join(labels, keys='src', join_type='inner')
+    return pa.table({'node': j.column('dst'),
+                     'lbl': j.column('slbl'),
+                     'own': pa.array(np.zeros(j.num_rows, bool), pa.bool_())})
+
+
+def _min_fold_bucket(group: pa.Table) -> pa.Table:
+    """Per node-hash bucket of (candidates ∪ own labels): new label =
+    min over all rows per node; ``changed`` = new < the own row's label."""
+    g = group.group_by('node').aggregate([('lbl', 'min')])
+    own = group.filter(group.column('own')).select(['node', 'lbl']) \
+               .rename_columns(['node', 'old'])
+    j = g.rename_columns(['node', 'new']).join(own, keys='node',
+                                               join_type='inner')
+    import pyarrow.compute as pc
+    new = j.column('new')
+    return pa.table({
+        'node': j.column('node'),
+        'lbl': new,
+        'changed': pc.cast(pc.less(new, j.column('old')), pa.int64()),
+    })
+
+
+def _make_requeue(nb):
+    def fn(batch: pa.Table) -> pa.Table:
+        node = batch.column('node')
+        return pa.table({
+            'node': node,
+            'lbl': batch.column('lbl'),
+            'bucket': pa.array(_bucket(node.to_numpy(), nb), pa.int64()),
+        })
+    return fn
+
+
+def _make_doc_rows(nb):
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id')
+        n = batch.num_rows
+        return pa.table({
+            'node': ids,
+            'lbl': pa.nulls(n, pa.int64()),
+            'is_doc': pa.array(np.ones(n, bool), pa.bool_()),
+            'bucket': pa.array(_bucket(ids.to_numpy(), nb), pa.int64()),
+        })
+    return fn
+
+
+def _finalize_bucket(group: pa.Table) -> pa.Table:
+    """Per bucket of (documents ∪ final labels): left-join labels onto the
+    doc rows; unpaired docs stay singletons (cluster_id = doc_id)."""
+    import pyarrow.compute as pc
+    is_doc = group.column('is_doc')
+    docs = group.filter(is_doc).select(['node'])
+    labels = group.filter(pc.invert(is_doc)).select(['node', 'lbl'])
+    j = docs.join(labels, keys='node', join_type='left outer')
+    cid = pc.coalesce(j.column('lbl'), j.column('node'))
+    return pa.table({
+        'doc_id': j.column('node'),
+        'cluster_id': cid,
+        'is_survivor': pc.equal(cid, j.column('node')),
+    })
+
+
+def dedup_clusters(sf_dir, threshold=0.8, k=3, num_buckets=64, max_iters=50):
+    """Connected components over minhash near-dup pairs via distributed
+    min-label propagation (see module docstring).  Returns one row per
+    document: (doc_id, cluster_id, is_survivor)."""
+    nb = num_buckets
+    width = pool()[1]
+    pairs = minhash_near_dup(sf_dir, threshold, k, num_buckets)
+    # compact the edge list to ~cluster-width blocks BEFORE iterating:
+    # minhash's bucketed output is many near-empty blocks, and every
+    # label-prop exchange pays per-BLOCK task overhead × max_iters
+    edges = pairs.map_batches(_make_sym_edges(nb), batch_format='pyarrow',
+                              zero_copy_batch=True) \
+                 .repartition(width).materialize()
+    labels = edges.map_batches(_make_init_labels(nb), batch_format='pyarrow',
+                               zero_copy_batch=True) \
+                  .groupby('bucket').map_groups(
+                      lambda g: g.group_by(['node', 'lbl', 'bucket'])
+                                 .aggregate([]),
+                      batch_format='pyarrow') \
+                  .repartition(width).materialize()
+
+    if edges.count() > 0:
+        for _ in range(max_iters):
+            # round: attach labels to edge sources, then per-node min fold
+            own = labels.map_batches(
+                lambda b: pa.table({
+                    'src': b.column('node'),
+                    'dst': pa.nulls(b.num_rows, pa.int64()),
+                    'bucket': b.column('bucket'),
+                    'lbl': b.column('lbl')}),
+                batch_format='pyarrow', zero_copy_batch=True)
+            edge_rows = edges.map_batches(
+                lambda b: b.append_column('lbl', pa.nulls(b.num_rows,
+                                                          pa.int64())),
+                batch_format='pyarrow', zero_copy_batch=True)
+            cand = own.union(edge_rows).groupby('bucket').map_groups(
+                _attach_bucket, batch_format='pyarrow')
+            own2 = labels.map_batches(
+                lambda b: pa.table({
+                    'node': b.column('node'),
+                    'lbl': b.column('lbl'),
+                    'own': pa.array(np.ones(b.num_rows, bool), pa.bool_()),
+                }), batch_format='pyarrow', zero_copy_batch=True)
+            folded = cand.union(own2).map_batches(
+                lambda b: b.append_column(
+                    'bucket', pa.array(_bucket(b.column('node').to_numpy(
+                        zero_copy_only=False), nb), pa.int64())),
+                batch_format='pyarrow').groupby('bucket').map_groups(
+                    _min_fold_bucket, batch_format='pyarrow') \
+                .repartition(width).materialize()
+            labels = folded.map_batches(_make_requeue(nb),
+                                        batch_format='pyarrow')
+            changed = folded.sum('changed') or 0
+            if not changed:
+                break
+
+    docs = read_table(sf_dir, 'documents', columns=['doc_id'],
+                      min_blocks=pool()[1])
+    doc_rows = docs.map_batches(_make_doc_rows(nb), batch_format='pyarrow',
+                                zero_copy_batch=True)
+    lbl_rows = labels.map_batches(
+        lambda b: pa.table({
+            'node': b.column('node'),
+            'lbl': b.column('lbl'),
+            'is_doc': pa.array(np.zeros(b.num_rows, bool), pa.bool_()),
+            'bucket': b.column('bucket')}),
+        batch_format='pyarrow', zero_copy_batch=True)
+    return doc_rows.union(lbl_rows).groupby('bucket').map_groups(
+        _finalize_bucket, batch_format='pyarrow')

@@ -361,6 +361,33 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {maxh}
 """.format(maxh=max_hamming)
 
 
+def clusters_oracle_sql(threshold=0.8, k=3):
+    """Connected components over the minhash near-dup pairs (the full
+    minhash oracle runs as a subquery), via a recursive transitive-closure
+    CTE: cluster_id = min reachable doc_id; docs in no pair are
+    singletons."""
+    pairs_sql = minhash_oracle_sql(threshold=threshold, k=k)
+    return """
+WITH RECURSIVE pairs AS (
+  SELECT doc_id_a, doc_id_b FROM ({pairs_sql}) mh
+), sym AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_id_b AS a, doc_id_a AS b FROM pairs
+), reach(n, m) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+), cl AS (
+  SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+)
+SELECT d.doc_id,
+       coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+       (coalesce(cl.cluster_id, d.doc_id) = d.doc_id) AS is_survivor
+FROM documents d LEFT JOIN cl USING (doc_id)
+""".format(pairs_sql=pairs_sql)
+
+
 def payload_dedup_oracle_sql(sf_dir=None):
     """dedup_exact_payloads over the TRANSCRIPTS corpus: the corpus is a
     deterministic synthesized parquet dir, so the oracle reads it by path

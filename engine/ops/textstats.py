@@ -19,7 +19,8 @@ import ray.data
 from .common import round_half_up, table_path, read_table
 
 __all__ = ['doc_token_stats', 'doc_quality', 'lang_id', 'fingerprint_md5',
-           'fingerprint_winnow', 'doc_token_bpe', 'TOKEN_RE', 'BPE_RE',
+           'fingerprint_winnow', 'doc_token_bpe', 'token_frequencies',
+           'TOKEN_RE', 'BPE_RE',
            'STOPWORD_RE', 'PUNCT_RE', 'DIGIT_RE', 'LANG_MARKERS']
 
 # Regexes shared verbatim with the DuckDB oracles (both engines are RE2).
@@ -195,3 +196,52 @@ def fingerprint_winnow(sf_dir, k=5, w=4):
         })
     return _read_docs(sf_dir, ['doc_id', 'text']).map_batches(
         fp, batch_format='pyarrow', zero_copy_batch=True)
+
+
+def token_frequencies(sf_dir, top_n=100, num_buckets=64):
+    """Global heavy-hitters: the ``top_n`` most frequent whitespace tokens
+    corpus-wide (count desc, token asc tie-break).
+
+    Scale shape: per-block Arrow ``group_by`` count combiner (shuffle
+    payload = one row per DISTINCT token per block, never raw tokens) →
+    md5-bucketed exchange → per-bucket C++ sum fold → per-bucket LOCAL
+    top_n (a token lives in exactly one bucket, so the global top_n is a
+    subset of the union of bucket top_ns) → one driver-side sort of
+    ≤ num_buckets·top_n candidate rows."""
+    nb = num_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # whitespace-split → flatten → drop the empty edge strings the
+        # split leaves — all Arrow kernels, no Python over tokens
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(batch.column('text'), pattern=r'\s+'))
+        flat = flat.filter(pc.not_equal(flat, ''))
+        g = pa.table({'token': flat}).group_by('token') \
+              .aggregate([('token', 'count')])
+        g = g.rename_columns(['token', 'cnt'])
+        keys = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode('utf-8')).digest()[:8],
+                            'little') & (nb - 1)
+             for s in g.column('token').to_pylist()),
+            dtype=np.int64, count=g.num_rows)
+        return g.append_column('bucket', pa.array(keys, pa.int64()))
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by('token').aggregate([('cnt', 'sum')])
+        g = g.rename_columns(['token', 'n_occurrences'])
+        g = g.sort_by([('n_occurrences', 'descending'),
+                       ('token', 'ascending')]).slice(0, top_n)
+        return pa.table({
+            'token': g.column('token'),
+            'n_occurrences': g.column('n_occurrences').cast(pa.int64()),
+        })
+
+    cand = _read_docs(sf_dir, ['text']).map_batches(
+        partial, batch_format='pyarrow', zero_copy_batch=True) \
+        .groupby('bucket').map_groups(fold, batch_format='pyarrow')
+    # ≤ num_buckets·top_n candidate rows: tiny, finish driver-side
+    tbl = cand.take_batch(max(1, num_buckets * top_n), batch_format='pyarrow')
+    tbl = tbl.sort_by([('n_occurrences', 'descending'),
+                       ('token', 'ascending')]).slice(0, top_n)
+    n = tbl.num_rows
+    return tbl.append_column('rank', pa.array(np.arange(1, n + 1), pa.int64()))

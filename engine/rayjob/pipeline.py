@@ -183,14 +183,20 @@ def _make_bucket_compactor(spill_dir, out_dir, num_buckets=None, num_shards=1):
                 sdir = os.path.join(spill_dir, 'shard-%03d' % s)
             if sdir not in dsets:
                 files = sorted(glob.glob(os.path.join(sdir, 'spill-*.parquet')))
-                dsets[sdir] = pads.dataset(files, format='parquet') \
-                    if files else None
+                if files:
+                    d = pads.dataset(files, format='parquet')
+                    # metadata-only shard row count (footer num_rows, no
+                    # data read): gates the skew probe so ordinary shards
+                    # keep the single-read fast path
+                    dsets[sdir] = (d, d.count_rows())
+                else:
+                    dsets[sdir] = (None, 0)
             return dsets[sdir]
 
         max_rows = int(os.environ.get('GRAFT_COMPACT_MAX_ROWS', '2000000'))
         for bucket in batch.column('bucket').to_pylist():
             t0 = time.perf_counter()
-            dset = shard_dset(bucket)
+            dset, shard_rows = shard_dset(bucket)
             if dset is None:
                 out['bucket'].append(bucket)
                 out['rows'].append(0)
@@ -199,36 +205,41 @@ def _make_bucket_compactor(spill_dir, out_dir, num_buckets=None, num_shards=1):
                 out['wall_s'].append(time.perf_counter() - t0)
                 out['file'].append('')
                 continue
-            # Skew escape hatch (the north rule's giant-conversation case):
-            # probe the bucket's KEY columns first (two narrow columns —
-            # cheap even when the payload column is huge).  At or under
-            # max_rows the whole bucket sorts in memory as before; above
-            # it, _compact_chunked streams sorted (conv_id, turn_idx)
-            # windows through one ParquetWriter so per-task memory is
-            # O(max_rows), not O(largest conversation).
+            # Skew escape hatch (the north rule's giant-conversation case).
+            # Whole SHARD under max_rows (metadata-only check, the common
+            # case): single-read in-memory sort, as always.  Otherwise
+            # probe the bucket's KEY columns (two narrow columns — cheap
+            # even when the payload column is huge) and, above max_rows,
+            # _compact_chunked streams sorted (conv_id, turn_idx) windows
+            # through one ParquetWriter: per-task memory O(max_rows), not
+            # O(largest conversation).
             flt = pads.field('bucket') == bucket
-            keys = dset.to_table(filter=flt, columns=['conv_id', 'turn_idx'])
-            fname = ''
-            if keys.num_rows == 0:
-                rows, failures, spans = 0, 0, 0
+            chunked = False
+            if shard_rows > max_rows:
+                keys = dset.to_table(filter=flt,
+                                     columns=['conv_id', 'turn_idx'])
+                chunked = keys.num_rows > max_rows
+            fname = 'part-%05d.parquet' % bucket
+            tmp = os.path.join(out_dir, '_tmp-%s' % fname)
+            if chunked:
+                rows, failures, spans = _compact_chunked(
+                    dset, flt, keys, tmp, max_rows)
+                os.replace(tmp, os.path.join(out_dir, fname))
             else:
-                fname = 'part-%05d.parquet' % bucket
-                tmp = os.path.join(out_dir, '_tmp-%s' % fname)
-                if keys.num_rows <= max_rows:
-                    tbl = dset.to_table(filter=flt)
-                    ordered = tbl.sort_by([('conv_id', 'ascending'),
-                                           ('turn_idx', 'ascending')])
-                    ordered = ordered.drop_columns(['bucket'])
+                tbl = dset.to_table(filter=flt)
+                ordered = tbl.sort_by([('conv_id', 'ascending'),
+                                       ('turn_idx', 'ascending')])
+                ordered = ordered.drop_columns(['bucket'])
+                rows = ordered.num_rows
+                if rows:
                     pq.write_table(ordered, tmp)
-                    rows = ordered.num_rows
-                    failures = pc.sum(pc.cast(
-                        pc.invert(ordered.column('decode_ok')),
-                        pa.int64())).as_py() or 0
-                    spans = pc.sum(ordered.column('n_spans')).as_py() or 0
+                    os.replace(tmp, os.path.join(out_dir, fname))
                 else:
-                    rows, failures, spans = _compact_chunked(
-                        dset, flt, keys, tmp, max_rows)
-                os.replace(tmp, os.path.join(out_dir, fname))  # atomic publish
+                    fname = ''
+                failures = pc.sum(pc.cast(
+                    pc.invert(ordered.column('decode_ok')),
+                    pa.int64())).as_py() or 0
+                spans = pc.sum(ordered.column('n_spans')).as_py() or 0
             out['bucket'].append(bucket)
             out['rows'].append(rows)
             out['decode_failures'].append(failures)

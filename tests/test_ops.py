@@ -54,13 +54,19 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'fingerprint_winnow', 'sample_stratified', 'multimodal_features',
                   'ann_topk_lsh', 'ann_topk_ivf',
                   'minhash_near_dup', 'simhash_near_dup',
-                  'multimodal_resize_stats', 'multimodal_frame_stats']
+                  'multimodal_resize_stats', 'multimodal_frame_stats',
+                  'multimodal_resize_blobs', 'multimodal_frame_blobs',
+                  'token_frequencies', 'dedup_clusters',
+                  'dedup_exact_payloads',
+                  'extract_fulltext', 'extract_spans', 'extract_metrics']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
 def test_query_matches_oracle(ray_session, oracle_con, name):
     con, entrymod = oracle_con
-    ray_df = entrymod.queries()[name](SF_DIR).to_pandas()
+    ray_df = entrymod.queries()[name](SF_DIR)
+    if not isinstance(ray_df, pd.DataFrame):
+        ray_df = ray_df.to_pandas()
     sql_df = con.execute(entrymod.oracle_sql()[name]).fetchdf()
     assert sorted(ray_df.columns) == sorted(sql_df.columns)
     assert len(ray_df) == len(sql_df)
@@ -174,3 +180,39 @@ def test_entry_smoke(ray_session):
     assert list(df.columns) == ['conv_id', 'turn_idx', 'text', 'n_spans',
                                 'n_pages', 'decode_ok', 'error']
     assert df.decode_ok.mean() > 0.9  # corrupt_frac is small
+
+
+def test_dedup_clusters_chain_collapse(ray_session, tmp_path):
+    """A~B~C near-dup CHAIN (A,C below threshold with each other) must
+    collapse into ONE cluster — the case pairwise output can't answer and
+    the reason label propagation needs >1 round; exact dups and unique
+    docs come out as 2-cluster / singleton."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from engine.ops.clusters import dedup_clusters
+
+    base = ['tok%02d' % i for i in range(24)]
+    a = ' '.join(base)
+    b = ' '.join(base[:22] + ['xx22', 'xx23'])          # ~0.83 jac vs a
+    c = ' '.join(['yy00', 'yy01'] + base[2:22] + ['xx22', 'xx23'])  # ~vs b
+    texts = [a, b, c, 'dup dup dup same text here ok fine', 
+             'dup dup dup same text here ok fine', 'totally different words']
+    d = str(tmp_path / 'docs')
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        'doc_id': pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        'text': pa.array(texts, pa.string()),
+        'lang': pa.array(['en'] * 6, pa.string()),
+    }), os.path.join(d, 'documents.parquet'))
+
+    from engine.ops.dedup import shingle_set, _jaccard
+    sa, sb, sc = (shingle_set(t, 3) for t in (a, b, c))
+    assert _jaccard(sa, sb) >= 0.8 and _jaccard(sb, sc) >= 0.8
+    assert _jaccard(sa, sc) < 0.8                        # a real chain
+
+    df = dedup_clusters(d).to_pandas().set_index('doc_id').sort_index()
+    assert df.loc[[1, 2, 3], 'cluster_id'].tolist() == [1, 1, 1]
+    assert df.loc[[4, 5], 'cluster_id'].tolist() == [4, 4]
+    assert df.loc[6, 'cluster_id'] == 6
+    assert df['is_survivor'].tolist() == [True, False, False,
+                                          True, False, True]
