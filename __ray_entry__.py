@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'fingerprint_md5': textstats.fingerprint_md5,
         'fingerprint_winnow': textstats.fingerprint_winnow,
         'token_frequencies': textstats.token_frequencies,
+        'doc_tfidf_topk': textstats.doc_tfidf_topk,
         'sample_stratified': sampling.sample_stratified,
         # dedup
         'dedup_exact': dedup.dedup_exact,
@@ -114,9 +115,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'minhash_near_dup': dedup.minhash_near_dup,
         'simhash_near_dup': dedup.simhash_near_dup,
         'dedup_clusters': clusters.dedup_clusters,
+        'corpus_clean': clusters.corpus_clean,
         # similarity search
         'embedding_dup_pairs': similarity.embedding_dup_pairs,
         'embedding_dup_pairs_blocked': similarity.embedding_dup_pairs_blocked,
+        'embedding_dup_lsh': similarity.embedding_dup_lsh,
         'ann_topk': similarity.ann_topk,
         'ann_topk_lsh': similarity.ann_topk_lsh,
         'ann_topk_ivf': similarity.ann_topk_ivf,
@@ -132,6 +135,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_asof_orders': relational.events_asof_orders,
         'events_range_orders': relational.events_range_orders,
         'top_parts': relational.top_parts,
+        'customers_inactive': relational.customers_inactive,
+        'top_orders_per_customer': relational.top_orders_per_customer,
+        'events_value_quantiles': relational.events_value_quantiles,
+        'shipping_priority': relational.shipping_priority,
         # multimodal plumbing (stub codecs; features oracle-checked)
         'multimodal_features': multimodal.decode_media_features,
         'multimodal_resize': multimodal.resize_media,       # rows-only (blobs)
@@ -157,12 +164,14 @@ def oracle_sql() -> dict[str, str]:
         'minhash_near_dup': oracles.minhash_oracle_sql(),
         'simhash_near_dup': oracles.simhash_oracle_sql(),
         'dedup_clusters': oracles.clusters_oracle_sql(),
+        'corpus_clean': oracles.corpus_clean_oracle_sql(),
         'multimodal_resize_stats': oracles.multimodal_resized_oracle_sql(),
         'multimodal_frame_stats': oracles.multimodal_frames_oracle_sql(),
     }
     try:
         generated['ann_topk_lsh'] = oracles.lsh_oracle_sql(oracles.embedding_dim())
         generated['ann_topk_ivf'] = oracles.ivf_oracle_sql()
+        generated['embedding_dup_lsh'] = oracles.dup_lsh_oracle_sql()
         generated['dedup_exact_payloads'] = oracles.payload_dedup_oracle_sql()
         # flagship extraction: reference-derived expected tables → SQL joins
         generated.update(oracles.extract_oracle_sqls())
@@ -393,5 +402,67 @@ ASOF LEFT JOIN orders o
         'top_parts': """
 SELECT p_partkey, p_name, p_retailprice FROM part
 ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10
+""",
+        'customers_inactive': """
+SELECT c_mktsegment, count(*)::BIGINT AS n_customers
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+GROUP BY c_mktsegment
+""",
+        'top_orders_per_customer': """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)::BIGINT AS rank
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM r WHERE rank <= 3
+""",
+        'events_value_quantiles': """
+SELECT event_type,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+       percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+       percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY event_type
+""",
+        'shipping_priority': """
+SELECT l.l_orderkey AS o_orderkey,
+       floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 100 AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, l.l_orderkey ASC
+LIMIT 10
+""",
+        'doc_tfidf_topk': r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, token
+), df AS (
+  SELECT token, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY token
+), n AS (
+  SELECT count(*)::DOUBLE AS n FROM documents
+), s AS (
+  SELECT tf.doc_id, tf.token, ln(n.n / df.df) * tf.tf AS score
+  FROM tf, df, n WHERE tf.token = df.token
+), r AS (
+  SELECT doc_id, token, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token ASC)::BIGINT AS rank
+  FROM s
+)
+SELECT doc_id, token,
+       floor(score * 1000000 + 0.5) / 1000000 AS score, rank
+FROM r WHERE rank <= 3
 """,
     }

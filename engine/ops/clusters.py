@@ -36,7 +36,7 @@ import ray.data
 from .common import read_table, pool
 from .dedup import minhash_near_dup
 
-__all__ = ['dedup_clusters']
+__all__ = ['dedup_clusters', 'corpus_clean']
 
 
 def _bucket(ids, nb):
@@ -215,3 +215,76 @@ def dedup_clusters(sf_dir, threshold=0.8, k=3, num_buckets=64, max_iters=50):
         batch_format='pyarrow', zero_copy_batch=True)
     return doc_rows.union(lbl_rows).groupby('bucket').map_groups(
         _finalize_bucket, batch_format='pyarrow')
+
+
+def corpus_clean(sf_dir, threshold=0.8, k=3, num_buckets=64):
+    """END-TO-END training-corpus cleaning — the composite pipeline a
+    100 TB pretraining-data run actually executes: keep documents that
+    are BOTH (a) near-dup cluster representatives (minhash pair graph →
+    connected components, :func:`dedup_clusters`) and (b) above the
+    quality gate (token count + stopword ratio, textstats.doc_quality).
+
+    Shape: the cluster side is filtered to survivors IN THE MAP STAGE
+    (shrinking the exchange to one row per kept doc), the quality side
+    is an embarrassingly-parallel scoring pass, and ONE bucketed
+    co-partition joins them — a C++ hash join per bucket, no broadcast,
+    nothing driver-side.  Output: (doc_id, lang, n_tokens,
+    stopword_ratio) of the cleaned corpus."""
+    import pyarrow.compute as pc
+    from .common import round_half_up
+    from .textstats import TOKEN_RE, STOPWORD_RE
+
+    nb = num_buckets
+
+    def quality_rows(batch: pa.Table) -> pa.Table:
+        text = batch.column('text')
+        n_tokens = pc.cast(pc.count_substring_regex(text, pattern=TOKEN_RE),
+                           pa.int64())
+        n_stop = pc.cast(pc.count_substring_regex(text, pattern=STOPWORD_RE),
+                         pa.int64())
+        nt = n_tokens.to_numpy(zero_copy_only=False)
+        st = n_stop.to_numpy(zero_copy_only=False).astype(np.float64)
+        ratio = np.where(nt > 0,
+                         round_half_up(st / np.maximum(nt, 1.0), 6), 0.0)
+        keep = (nt >= 5) & (nt <= 2000) & (ratio > 0.01)
+        t = pa.table({
+            'doc_id': batch.column('doc_id'),
+            'lang': batch.column('lang'),
+            'n_tokens': n_tokens,
+            'stopword_ratio': pa.array(ratio, pa.float64()),
+        }).filter(pa.array(keep, pa.bool_()))
+        ids = t.column('doc_id').to_numpy(zero_copy_only=False)
+        return t.append_column('bucket', pa.array(_bucket(ids, nb),
+                                                  pa.int64()))
+
+    def survivor_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column('is_survivor')).select(['doc_id'])
+        n = t.num_rows
+        ids = t.column('doc_id').to_numpy(zero_copy_only=False)
+        return pa.table({
+            'doc_id': t.column('doc_id'),
+            'lang': pa.nulls(n, pa.string()),
+            'n_tokens': pa.nulls(n, pa.int64()),
+            'stopword_ratio': pa.nulls(n, pa.float64()),
+            'bucket': pa.array(_bucket(ids, nb), pa.int64()),
+        })
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        is_surv = pc.is_null(group.column('lang'))
+        surv = group.filter(is_surv).select(['doc_id'])
+        qual = group.filter(pc.invert(is_surv)) \
+                    .select(['doc_id', 'lang', 'n_tokens', 'stopword_ratio'])
+        return qual.join(surv, keys='doc_id', join_type='inner') \
+                   .select(['doc_id', 'lang', 'n_tokens', 'stopword_ratio'])
+
+    clusters = dedup_clusters(sf_dir, threshold, k, num_buckets)
+    docs = read_table(sf_dir, 'documents',
+                      columns=['doc_id', 'text', 'lang'],
+                      min_blocks=pool()[1])
+    both = docs.map_batches(quality_rows, batch_format='pyarrow',
+                            zero_copy_batch=True) \
+        .union(clusters.map_batches(survivor_rows, batch_format='pyarrow',
+                                    zero_copy_batch=True))
+    return both.groupby('bucket').map_groups(join_bucket,
+                                             batch_format='pyarrow')

@@ -564,3 +564,63 @@ def embedding_dim(sf_dir=None):
     pf = pq.ParquetFile(path)
     b = next(pf.iter_batches(batch_size=1, columns=['embedding']))
     return len(b.column('embedding')[0])
+
+
+def dup_lsh_oracle_sql(dim=None, threshold=0.42, n_bands=8, n_planes=4):
+    """Full SQL re-derivation of embedding_dup_lsh: the seeded band
+    hyperplanes inline as literals, candidate pairs = DISTINCT pairs
+    agreeing on all sign bits of at least one band, verified with exact
+    list_cosine_similarity ≥ threshold (same float math + half-up r4 as
+    the engine's matmul kernel)."""
+    from .similarity import _dup_lsh_planes
+    dim = dim or embedding_dim()
+    planes = _dup_lsh_planes(dim, n_bands, n_planes)     # (dim, B·P)
+    band_selects = []
+    for b in range(n_bands):
+        pls = [_dlist(planes[:, b * n_planes + p]) for p in range(n_planes)]
+        band_selects.append(
+            'SELECT vec_id, ee, %d AS band, %s AS bk FROM e'
+            % (b, _bucket_expr('ee', pls)))
+    bands_sql = '\n  UNION ALL '.join(band_selects)
+    return """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings
+), bands AS (
+  {bands_sql}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id
+)
+SELECT c.va AS vec_id_a, c.vb AS vec_id_b,
+       floor(list_cosine_similarity(ea.ee, eb.ee) * 10000 + 0.5) / 10000 AS cos
+FROM cand c JOIN e ea ON ea.vec_id = c.va JOIN e eb ON eb.vec_id = c.vb
+WHERE list_cosine_similarity(ea.ee, eb.ee) >= {threshold}
+""".format(bands_sql=bands_sql, threshold=repr(threshold))
+
+
+def corpus_clean_oracle_sql(threshold=0.8, k=3):
+    """corpus_clean = dedup_clusters survivors ∩ doc_quality keepers; the
+    full clusters oracle (recursive CTE over the minhash pair subquery)
+    runs as a subquery, the quality gate replicates the doc_quality
+    oracle's integer/half-up math."""
+    cl = clusters_oracle_sql(threshold=threshold, k=k)
+    return r"""
+WITH cl AS ({cl}
+), q0 AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+         len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is|it|that|for|on|as|with|by)\b'))::BIGINT AS n_stop
+  FROM documents
+), q AS (
+  SELECT doc_id, lang, n_tokens,
+         CASE WHEN n_tokens > 0
+              THEN floor(n_stop::DOUBLE / n_tokens * 1000000 + 0.5) / 1000000
+              ELSE 0.0 END AS stopword_ratio
+  FROM q0
+)
+SELECT q.doc_id, q.lang, q.n_tokens, q.stopword_ratio
+FROM q JOIN cl ON cl.doc_id = q.doc_id
+WHERE cl.is_survivor
+  AND q.n_tokens >= 5 AND q.n_tokens <= 2000 AND q.stopword_ratio > 0.01
+""".format(cl=cl)

@@ -38,7 +38,27 @@ from .common import (BroadcastLookup, round_half_up, table_path,
 __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'supplier_balance_by_nation', 'events_by_type', 'events_sessionize',
            'events_windowed', 'events_windowed_sliding', 'events_asof_orders',
-           'events_range_orders', 'top_parts']
+           'events_range_orders', 'top_parts', 'customers_inactive',
+           'top_orders_per_customer', 'events_value_quantiles',
+           'shipping_priority']
+
+
+def rank_in_sorted_key(keys_sorted):
+    """1-based rank within each run of equal keys (keys must be sorted so
+    equal keys are contiguous).  Vectorized: run starts → forward-fill the
+    start index → rank = position - run_start + 1.  Shared by every
+    grouped-top-k stage (partial AND per-bucket) so both tiers apply the
+    identical ordering rule."""
+    n = len(keys_sorted)
+    if n == 0:
+        return np.empty(0, np.int64)
+    new = np.empty(n, np.bool_)
+    new[0] = True
+    new[1:] = keys_sorted[1:] != keys_sorted[:-1]
+    idx = np.arange(n, dtype=np.int64)
+    starts = np.where(new, idx, 0)
+    np.maximum.accumulate(starts, out=starts)
+    return idx - starts + 1
 
 Q1_CUTOFF = '1998-09-02'
 
@@ -601,3 +621,317 @@ def top_parts(sf_dir, topk=10):
     return (ds.map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
               .sort(['p_retailprice', 'p_partkey'], descending=[True, False])
               .limit(topk))
+
+
+_ANTI_EMPTY = pa.table({'c_mktsegment': pa.array([], pa.string()),
+                        'cnt': pa.array([], pa.int64())})
+
+
+def customers_inactive(sf_dir, since='1998-01-01', num_buckets=64):
+    """ANTI-JOIN: customers with NO order since ``since``, counted per
+    market segment.  Both sides are fact tables, so the shape is the
+    bucketed co-partition anti-join:
+
+      1. orders is filtered distributed (o_orderdate >= since) and
+         reduced to DISTINCT custkeys per block (the combiner — the
+         exchange moves one row per active customer per block, never raw
+         orders);
+      2. customer rows (custkey, segment) union with the key rows and ONE
+         ``groupby(custkey & (nb-1))`` co-partitions them;
+      3. per bucket: a C++ ``is_in`` INVERTED semi-filter keeps customers
+         absent from the key set, partial-counted per segment;
+      4. a tiny final groupby folds the per-bucket segment counts.
+
+    Skew: bounded by the busiest custkey bucket (keys are near-uniform —
+    custkey is a surrogate).  At 100 TB nothing is broadcast and nothing
+    is read driver-side."""
+    nb = num_buckets
+    cutoff = pa.scalar(np.datetime64(since + 'T00:00:00', 'us'),
+                       pa.timestamp('us'))
+
+    def active_keys(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.greater_equal(batch.column('o_orderdate'),
+                                             cutoff))
+        g = keep.select(['o_custkey']).group_by('o_custkey').aggregate([])
+        keys = g.column('o_custkey')
+        return pa.table({
+            'key': keys,
+            'c_mktsegment': pa.nulls(g.num_rows, pa.string()),
+            'bucket': pa.array(keys.to_numpy(zero_copy_only=False) & (nb - 1),
+                               pa.int64()),
+        })
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        keys = batch.column('c_custkey')
+        return pa.table({
+            'key': keys,
+            'c_mktsegment': batch.column('c_mktsegment'),
+            'bucket': pa.array(keys.to_numpy(zero_copy_only=False) & (nb - 1),
+                               pa.int64()),
+        })
+
+    def anti(group: pa.Table) -> pa.Table:
+        is_key = pc.is_null(group.column('c_mktsegment'))
+        keyset = group.filter(is_key).column('key')
+        cust = group.filter(pc.invert(is_key))
+        miss = cust.filter(pc.invert(pc.is_in(cust.column('key'),
+                                              value_set=keyset)))
+        if miss.num_rows == 0:
+            return _ANTI_EMPTY
+        g = miss.select(['c_mktsegment']).group_by('c_mktsegment') \
+                .aggregate([([], 'count_all')])
+        return g.rename_columns(['c_mktsegment', 'cnt'])
+
+    orders = read_table(sf_dir, 'orders', columns=['o_custkey', 'o_orderdate'])
+    cust = read_table(sf_dir, 'customer',
+                      columns=['c_custkey', 'c_mktsegment'])
+    both = orders.map_batches(active_keys, batch_format='pyarrow',
+                              zero_copy_batch=True) \
+        .union(cust.map_batches(cust_rows, batch_format='pyarrow',
+                                zero_copy_batch=True))
+    cand = both.groupby('bucket').map_groups(anti, batch_format='pyarrow')
+    # ≤ num_buckets × n_segments partial rows: finish driver-side (concat
+    # onto the schema'd empty base so an all-empty result keeps its columns
+    # — Ray drops empty blocks through a groupby)
+    parts = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables([_ANTI_EMPTY] + parts, promote_options='none')
+    g = tbl.group_by('c_mktsegment').aggregate([('cnt', 'sum')])
+    return pa.table({
+        'c_mktsegment': g.column('c_mktsegment'),
+        'n_customers': g.column('cnt_sum').cast(pa.int64()),
+    })
+
+
+def top_orders_per_customer(sf_dir, k=3, num_buckets=64):
+    """GROUPED TOP-K: each customer's ``k`` highest-value orders
+    (o_totalprice desc, o_orderkey asc).
+
+    Two-tier: a per-block PARTIAL top-k per custkey (lexsort + vectorized
+    run-rank, C++ throughout — a block's rank-≤k rows are a superset of
+    that block's contribution to the global answer) caps the exchange at
+    k rows per (customer, block); then one bucketed groupby
+    (custkey & (nb-1)) and the identical rank kernel per bucket emits the
+    final rank column.  Grouping on the raw custkey would pay the ~50µs
+    map_groups tax per customer — billions of groups at corpus scale."""
+    nb = num_buckets
+
+    def topk_rows(batch: pa.Table, with_bucket) -> pa.Table:
+        cust = batch.column('o_custkey').to_numpy(zero_copy_only=False)
+        okey = batch.column('o_orderkey').to_numpy(zero_copy_only=False)
+        price = batch.column('o_totalprice').to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, -price, cust))
+        rank = rank_in_sorted_key(cust[order])
+        keep = order[rank <= k]
+        out = pa.table({
+            'o_custkey': pa.array(cust[keep], pa.int64()),
+            'o_orderkey': pa.array(okey[keep], pa.int64()),
+            'o_totalprice': pa.array(price[keep], pa.float64()),
+            'rank': pa.array(rank[rank <= k], pa.int64()),
+        })
+        if with_bucket:
+            out = out.append_column(
+                'bucket', pa.array(cust[keep] & (nb - 1), pa.int64()))
+        return out
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return topk_rows(batch, with_bucket=True)
+
+    def bucket_final(group: pa.Table) -> pa.Table:
+        return topk_rows(group, with_bucket=False)
+
+    ds = read_table(sf_dir, 'orders',
+                    columns=['o_custkey', 'o_orderkey', 'o_totalprice'])
+    return ds.map_batches(partial, batch_format='pyarrow',
+                          zero_copy_batch=True) \
+             .groupby('bucket').map_groups(bucket_final,
+                                           batch_format='pyarrow')
+
+
+def events_value_quantiles(sf_dir, qs=(0.5, 0.9, 0.99)):
+    """EXACT per-group discrete quantiles (percentile_disc semantics: the
+    value at 1-based sorted position ceil(q·n)) of event value per type.
+
+    Combiner-first: each block folds to (type, value, count) rows — the
+    exchange moves one row per DISTINCT value per block, then each group
+    resolves from the merged value histogram (sort values, cumulative
+    counts, searchsorted per quantile).  NOTE the honest scale contract:
+    for CONTINUOUS values the distinct-value histogram is O(rows) and a
+    group's histogram must fit a worker — exact quantiles fundamentally
+    need the group's value multiset.  For heavy continuous data at 100 TB
+    use a mergeable sketch (t-digest/KLL, approximate) or a sort-based
+    global-index pass; this operator is the exact tier."""
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(['event_type', 'value']) \
+                 .aggregate([([], 'count_all')])
+        return g.rename_columns(['event_type', 'value', 'cnt'])
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by('value').aggregate([('cnt', 'sum')])
+        vals = g.column('value').to_numpy(zero_copy_only=False)
+        cnts = g.column('cnt_sum').to_numpy(zero_copy_only=False)
+        order = np.argsort(vals, kind='mergesort')
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        cols = {'event_type': group.column('event_type').slice(0, 1)}
+        for q in qs:
+            target = int(np.ceil(q * n))
+            pos = int(np.searchsorted(cum, target, side='left'))
+            cols['p%02d' % int(q * 100)] = pa.array([float(vals[pos])],
+                                                    pa.float64())
+        cols['n_events'] = pa.array([n], pa.int64())
+        return pa.table(cols)
+
+    ds = read_table(sf_dir, 'events', columns=['event_type', 'value'])
+    return ds.map_batches(partial, batch_format='pyarrow',
+                          zero_copy_batch=True) \
+             .groupby('event_type').map_groups(final, batch_format='pyarrow')
+
+
+_Q3_SEMI_EMPTY = pa.table({'o_orderkey': pa.array([], pa.int64()),
+                           'o_orderdate': pa.array([], pa.timestamp('us')),
+                           'o_orderpriority': pa.array([], pa.string()),
+                           'obucket': pa.array([], pa.int64())})
+
+_Q3_EMPTY = pa.table({'o_orderkey': pa.array([], pa.int64()),
+                      'rev_raw': pa.array([], pa.float64()),
+                      'o_orderdate': pa.array([], pa.timestamp('us')),
+                      'o_orderpriority': pa.array([], pa.string())})
+
+
+def shipping_priority(sf_dir, segment='BUILDING', cutoff='1997-06-30',
+                      topk=10, num_buckets=64):
+    """TPC-H Q3-shaped shipping priority: top-k orders by revenue among a
+    segment's orders placed before ``cutoff`` with lineitems shipped after
+    it — a THREE-WAY fact join (customer ⋈ orders ⋈ lineitem) built from
+    two chained bucketed co-partitions, no broadcast, no driver read:
+
+      1. segment custkeys ∪ date-filtered orders → bucket(custkey) →
+         per-bucket ``is_in`` semi-filter emits qualifying orders
+         CARRYING their payload columns (o_orderdate, o_orderpriority);
+      2. shipdate-filtered lineitem partial-aggregates revenue per
+         (block, orderkey) — the combiner — and rides bucket(orderkey)
+         together with the qualifying order rows (rev_sum=null marks an
+         order row);
+      3. per bucket: C++ group_by folds revenue, a hash join attaches the
+         order payload, a per-bucket top-k caps the global sort at
+         num_buckets × k rows."""
+    nb = num_buckets
+    cut = pa.scalar(np.datetime64(cutoff + 'T00:00:00', 'us'),
+                    pa.timestamp('us'))
+
+    def seg_keys(batch: pa.Table) -> pa.Table:
+        keys = batch.filter(pc.equal(batch.column('c_mktsegment'),
+                                     segment)).column('c_custkey')
+        n = len(keys)
+        return pa.table({
+            'key': keys,
+            'o_orderkey': pa.nulls(n, pa.int64()),
+            'o_orderdate': pa.nulls(n, pa.timestamp('us')),
+            'o_orderpriority': pa.nulls(n, pa.string()),
+            'bucket': pa.array(keys.to_numpy(zero_copy_only=False) & (nb - 1),
+                               pa.int64()),
+        })
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.less(batch.column('o_orderdate'), cut))
+        keys = keep.column('o_custkey')
+        return pa.table({
+            'key': keys,
+            'o_orderkey': keep.column('o_orderkey'),
+            'o_orderdate': keep.column('o_orderdate'),
+            'o_orderpriority': keep.column('o_orderpriority'),
+            'bucket': pa.array(keys.to_numpy(zero_copy_only=False) & (nb - 1),
+                               pa.int64()),
+        })
+
+    def semi_orders(group: pa.Table) -> pa.Table:
+        is_key = pc.is_null(group.column('o_orderkey'))
+        keyset = group.filter(is_key).column('key')
+        hits = group.filter(pc.invert(is_key))
+        hits = hits.filter(pc.is_in(hits.column('key'), value_set=keyset))
+        if hits.num_rows == 0:
+            return _Q3_SEMI_EMPTY
+        ok = hits.column('o_orderkey')
+        return pa.table({
+            'o_orderkey': ok,
+            'o_orderdate': hits.column('o_orderdate'),
+            'o_orderpriority': hits.column('o_orderpriority'),
+            'obucket': pa.array(ok.to_numpy(zero_copy_only=False) & (nb - 1),
+                                pa.int64()),
+        })
+
+    def order_payload(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'o_orderkey': batch.column('o_orderkey'),
+            'rev_sum': pa.nulls(batch.num_rows, pa.float64()),
+            'o_orderdate': batch.column('o_orderdate'),
+            'o_orderpriority': batch.column('o_orderpriority'),
+            'obucket': batch.column('obucket'),
+        })
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.greater(batch.column('l_shipdate'), cut))
+        rev = pc.multiply(keep.column('l_extendedprice'),
+                          pc.subtract(pa.scalar(1.0), keep.column('l_discount')))
+        t = pa.table({'o_orderkey': keep.column('l_orderkey'), 'rev': rev})
+        g = t.group_by('o_orderkey').aggregate([('rev', 'sum')])
+        g = g.rename_columns(['o_orderkey', 'rev_sum'])
+        n = g.num_rows
+        return pa.table({
+            'o_orderkey': g.column('o_orderkey'),
+            'rev_sum': g.column('rev_sum'),
+            'o_orderdate': pa.nulls(n, pa.timestamp('us')),
+            'o_orderpriority': pa.nulls(n, pa.string()),
+            'obucket': pa.array(
+                g.column('o_orderkey').to_numpy(zero_copy_only=False) & (nb - 1),
+                pa.int64()),
+        })
+
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        is_order = pc.is_null(group.column('rev_sum'))
+        orders_t = group.filter(is_order) \
+            .select(['o_orderkey', 'o_orderdate', 'o_orderpriority'])
+        parts = group.filter(pc.invert(is_order)) \
+            .select(['o_orderkey', 'rev_sum'])
+        if orders_t.num_rows == 0 or parts.num_rows == 0:
+            return _Q3_EMPTY
+        per_order = parts.group_by('o_orderkey').aggregate([('rev_sum', 'sum')])
+        per_order = per_order.rename_columns(['o_orderkey', 'rev_raw'])
+        j = per_order.join(orders_t, keys='o_orderkey', join_type='inner')
+        top = j.sort_by([('rev_raw', 'descending'),
+                         ('o_orderkey', 'ascending')]).slice(0, topk)
+        return top.select(['o_orderkey', 'rev_raw', 'o_orderdate',
+                           'o_orderpriority'])
+
+    cust = read_table(sf_dir, 'customer', columns=['c_custkey', 'c_mktsegment'])
+    orders = read_table(sf_dir, 'orders',
+                        columns=['o_orderkey', 'o_custkey', 'o_orderdate',
+                                 'o_orderpriority'])
+    qualified = cust.map_batches(seg_keys, batch_format='pyarrow',
+                                 zero_copy_batch=True) \
+        .union(orders.map_batches(order_rows, batch_format='pyarrow',
+                                  zero_copy_batch=True)) \
+        .groupby('bucket').map_groups(semi_orders, batch_format='pyarrow')
+
+    li = read_table(sf_dir, 'lineitem',
+                    columns=['l_orderkey', 'l_extendedprice', 'l_discount',
+                             'l_shipdate'])
+    per_bucket = qualified.map_batches(order_payload, batch_format='pyarrow',
+                                       zero_copy_batch=True) \
+        .union(li.map_batches(li_partial, batch_format='pyarrow',
+                              zero_copy_batch=True)) \
+        .groupby('obucket').map_groups(bucket_topk, batch_format='pyarrow')
+    top = per_bucket.sort(['rev_raw', 'o_orderkey'],
+                          descending=[True, False]).limit(topk)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'o_orderkey': batch.column('o_orderkey'),
+            'revenue': pa.array(round_half_up(
+                batch.column('rev_raw').to_numpy(zero_copy_only=False), 2),
+                pa.float64()),
+            'o_orderdate': batch.column('o_orderdate'),
+            'o_orderpriority': batch.column('o_orderpriority'),
+        })
+    return top.map_batches(finish, batch_format='pyarrow')

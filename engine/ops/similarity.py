@@ -27,7 +27,7 @@ import ray.data
 from .common import round_half_up, table_path, read_table, pool
 
 __all__ = ['embedding_dup_pairs', 'embedding_dup_pairs_blocked',
-           'ann_topk', 'ann_topk_lsh', 'ann_topk_ivf']
+           'embedding_dup_lsh', 'ann_topk', 'ann_topk_lsh', 'ann_topk_ivf']
 
 
 def _read_embeddings(sf_dir):
@@ -435,3 +435,84 @@ def ann_topk_ivf(sf_dir, n_queries=16, k=5, nlist=16, nprobe=4):
         batch_format='pyarrow', zero_copy_batch=True)
     return partial.groupby('query_id').map_groups(_final_topk(k),
                                                   batch_format='pyarrow')
+
+
+_DUP_LSH_SEED = 888
+
+
+def _dup_lsh_planes(dim, n_bands, n_planes):
+    """Seeded hyperplanes for the near-dup LSH: band ``b`` uses columns
+    ``[b·P, (b+1)·P)``.  Data-independent → inlined as literals in the
+    generated DuckDB oracle (oracles.dup_lsh_oracle_sql)."""
+    rng = np.random.RandomState(_DUP_LSH_SEED)
+    return rng.standard_normal((dim, n_bands * n_planes))
+
+
+def embedding_dup_lsh(sf_dir, threshold=0.42, n_bands=8, n_planes=4,
+                      num_buckets=64):
+    """SUBQUADRATIC cosine near-dup discovery: random-hyperplane LSH
+    banding (Charikar 2002 — the cosine analog of minhash banding)
+    generates candidate pairs, exact cosine verifies them.  Approximate
+    by construction: a true pair is found iff the two vectors agree on
+    all ``n_planes`` sign bits of at least one band (recall at cos=τ is
+    ``1-(1-p^P)^B`` with ``p = 1-θ/π``; the defaults give ~0.77 at 0.42,
+    rising steeply for tighter thresholds).  The ORACLE recomputes the
+    identical bands in SQL, so correctness is exact over the candidate
+    set — recall is a parameter choice, not an accuracy bug.
+
+    Distributed shape (the 100 TB path — compare
+    :func:`embedding_dup_pairs_blocked`, which is exact but O(n²)):
+
+      1. map: each vector emits ``n_bands`` rows keyed by
+         ``band·2^P + bucket`` (bucket = the band's sign bits) — shuffle
+         volume is n_bands × corpus, the standard LSH banding cost;
+      2. ONE groupby co-partitions each band bucket; within a group one
+         float64 matmul scores all pairs and the threshold filter +
+         canonical (a<b) order emit verified pairs.  Bucket size is
+         ~n/2^P per band — size ``n_planes`` as log2(n/target_bucket)
+         so groups fit a worker (larger P also sharpens precision);
+      3. pairs found by several bands dedupe with ONE pair-hash-bucketed
+         exchange and a C++ distinct fold (minhash's verify shape)."""
+    planes_all = None
+    nb = num_buckets
+    P = n_planes
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        nonlocal planes_all
+        ids, mat = _batch_matrix(batch)
+        if planes_all is None:
+            planes_all = _dup_lsh_planes(mat.shape[1], n_bands, P)
+        bits = (mat @ planes_all) > 0                       # (n, B·P)
+        weights = (1 << np.arange(P, dtype=np.int64))
+        parts = []
+        for b in range(n_bands):
+            bucket = bits[:, b * P:(b + 1) * P].astype(np.int64) @ weights
+            parts.append(batch.append_column(
+                'gkey', pa.array(b * (1 << P) + bucket, pa.int64())))
+        return pa.concat_tables(parts)
+
+    def group_pairs(group: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(group)
+        sims = mat @ mat.T
+        iu, ju = np.nonzero(sims >= threshold)
+        keep = ids[iu] < ids[ju]
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        cos = sims[iu[keep], ju[keep]]
+        pb = (a * 1000003 + b) & (nb - 1)
+        return pa.table({
+            'vec_id_a': pa.array(a, pa.int64()),
+            'vec_id_b': pa.array(b, pa.int64()),
+            'cos': pa.array(round_half_up(cos, 4), pa.float64()),
+            'pbucket': pa.array(pb, pa.int64()),
+        })
+
+    def distinct_fold(group: pa.Table) -> pa.Table:
+        g = group.group_by(['vec_id_a', 'vec_id_b', 'cos']).aggregate([])
+        return g.select(['vec_id_a', 'vec_id_b', 'cos'])
+
+    rows = _read_embeddings(sf_dir).map_batches(
+        band_rows, batch_format='pyarrow', zero_copy_batch=True)
+    pairs = rows.groupby('gkey').map_groups(group_pairs,
+                                            batch_format='pyarrow')
+    return pairs.groupby('pbucket').map_groups(distinct_fold,
+                                               batch_format='pyarrow')

@@ -245,3 +245,99 @@ def token_frequencies(sf_dir, top_n=100, num_buckets=64):
                        ('token', 'ascending')]).slice(0, top_n)
     n = tbl.num_rows
     return tbl.append_column('rank', pa.array(np.arange(1, n + 1), pa.int64()))
+
+
+def _explode_tokens(batch: pa.Table, cols=('text',)):
+    """(doc_id, token) rows via Arrow list kernels — no Python per token."""
+    toks = pc.split_pattern_regex(batch.column('text'), pattern=r'\s+')
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    ids = np.repeat(batch.column('doc_id').to_numpy(zero_copy_only=False),
+                    lens)
+    flat = pc.list_flatten(toks)
+    t = pa.table({'doc_id': pa.array(ids, pa.int64()), 'token': flat})
+    return t.filter(pc.not_equal(t.column('token'), ''))
+
+
+def doc_tfidf_topk(sf_dir, k=3, num_buckets=64):
+    """TF-IDF top-k terms per document: ``score = tf · ln(N / df)``,
+    ranked (score desc, token asc).
+
+    Two passes, both combiner-first:
+
+      1. document frequencies — per block: distinct (doc, token) via
+         Arrow group_by, then per-token partial counts (the exchange
+         moves one row per distinct token per block, never raw tokens);
+         an md5-bucketed groupby folds them, and the resulting VOCABULARY
+         table is collected driver-side and broadcast (``ray.put`` once).
+         Scale contract: the vocabulary — distinct tokens, NOT rows —
+         must fit one machine; natural-language vocabularies (even
+         web-scale ones, ~10⁸ tokens × (token, int64)) do.  Beyond that,
+         swap the broadcast for a token-bucketed co-partition join;
+      2. scoring — embarrassingly parallel per block, NO shuffle: per-doc
+         tf via Arrow group_by, score in float64 with the same
+         ``ln(N/df)`` expression the oracle uses, per-doc top-k via the
+         shared lexsort + run-rank kernel (relational.rank_in_sorted_key).
+
+    Output: (doc_id, token, score r6, rank)."""
+    import ray
+    from .relational import rank_in_sorted_key
+
+    nb = num_buckets
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        dt = _explode_tokens(batch).group_by(['doc_id', 'token']).aggregate([])
+        g = dt.select(['token']).group_by('token') \
+              .aggregate([([], 'count_all')])
+        g = g.rename_columns(['token', 'df'])
+        keys = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode('utf-8')).digest()[:8],
+                            'little') & (nb - 1)
+             for s in g.column('token').to_pylist()),
+            dtype=np.int64, count=g.num_rows)
+        return g.append_column('bucket', pa.array(keys, pa.int64()))
+
+    def df_fold(group: pa.Table) -> pa.Table:
+        g = group.group_by('token').aggregate([('df', 'sum')])
+        return g.rename_columns(['token', 'df'])
+
+    docs = _read_docs(sf_dir, ['doc_id', 'text'])
+    df_ds = docs.map_batches(df_partial, batch_format='pyarrow',
+                             zero_copy_batch=True) \
+        .groupby('bucket').map_groups(df_fold, batch_format='pyarrow')
+    # vocabulary-bounded (see docstring): collect + broadcast once
+    df_map = {}
+    for b in df_ds.iter_batches(batch_format='pyarrow', batch_size=None):
+        df_map.update(zip(b.column('token').to_pylist(),
+                          b.column('df').to_numpy(zero_copy_only=False)))
+    n_docs = float(read_table(sf_dir, 'documents',
+                              columns=['doc_id']).count())
+    ref = ray.put((df_map, n_docs))
+
+    def score(batch: pa.Table) -> pa.Table:
+        from .similarity import _fetch_broadcast
+        df_map_l, n = _fetch_broadcast(ref)
+        tf = _explode_tokens(batch).group_by(['doc_id', 'token']) \
+            .aggregate([([], 'count_all')])
+        tf = tf.rename_columns(['doc_id', 'token', 'tf'])
+        toks = tf.column('token').to_pylist()
+        dfs = np.fromiter((df_map_l[t] for t in toks), dtype=np.float64,
+                          count=len(toks))
+        tfv = tf.column('tf').to_numpy(zero_copy_only=False).astype(np.float64)
+        # same expression tree as the oracle: ln(N/df) * tf, in float64
+        sc = np.log(n / dfs) * tfv
+        ids = tf.column('doc_id').to_numpy(zero_copy_only=False)
+        # '<U' unicode dtype: lexsort compares by code point, matching the
+        # oracle's binary string ORDER BY for the ASCII token space
+        tok_arr = np.asarray(toks, dtype=np.str_)
+        order = np.lexsort((tok_arr, -sc, ids))
+        rank = rank_in_sorted_key(ids[order])
+        keep = order[rank <= k]
+        return pa.table({
+            'doc_id': pa.array(ids[keep], pa.int64()),
+            'token': pa.array(tok_arr[keep], pa.string()),
+            'score': pa.array(round_half_up(sc[keep], 6), pa.float64()),
+            'rank': pa.array(rank[rank <= k], pa.int64()),
+        })
+
+    return docs.map_batches(score, batch_format='pyarrow',
+                            zero_copy_batch=True)

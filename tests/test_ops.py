@@ -58,7 +58,10 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'multimodal_resize_blobs', 'multimodal_frame_blobs',
                   'token_frequencies', 'dedup_clusters',
                   'dedup_exact_payloads',
-                  'extract_fulltext', 'extract_spans', 'extract_metrics']
+                  'extract_fulltext', 'extract_spans', 'extract_metrics',
+                  'customers_inactive', 'top_orders_per_customer',
+                  'events_value_quantiles', 'shipping_priority',
+                  'doc_tfidf_topk', 'corpus_clean', 'embedding_dup_lsh']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
@@ -216,3 +219,46 @@ def test_dedup_clusters_chain_collapse(ray_session, tmp_path):
     assert df.loc[6, 'cluster_id'] == 6
     assert df['is_survivor'].tolist() == [True, False, False,
                                           True, False, True]
+
+
+def test_dup_lsh_subset_of_exact(ray_session):
+    """embedding_dup_lsh is candidate-generation + exact verify: every
+    emitted pair must appear in the exact all-pairs output with the SAME
+    cosine, and recall at the default parameters should be substantial."""
+    from engine.ops.similarity import embedding_dup_pairs, embedding_dup_lsh
+    exact = {(r['vec_id_a'], r['vec_id_b']): r['cos']
+             for r in embedding_dup_pairs(SF_DIR).take_all()}
+    lsh = {(r['vec_id_a'], r['vec_id_b']): r['cos']
+           for r in embedding_dup_lsh(SF_DIR).take_all()}
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    assert len(lsh) >= 0.4 * len(exact)   # recall floor at cos>=0.42, P=4 B=8
+
+
+def test_corpus_clean_is_survivor_and_quality(ray_session):
+    """corpus_clean == quality keepers ∩ cluster survivors, row for row."""
+    from engine.ops.clusters import dedup_clusters, corpus_clean
+    from engine.ops.textstats import doc_quality
+    surv = {r['doc_id'] for r in dedup_clusters(SF_DIR).take_all()
+            if r['is_survivor']}
+    qual = {r['doc_id'] for r in doc_quality(SF_DIR).take_all()
+            if r['is_quality']}
+    got = {r['doc_id'] for r in corpus_clean(SF_DIR).take_all()}
+    assert got == (surv & qual)
+
+
+def test_grouped_topk_rank_contract(ray_session):
+    """top_orders_per_customer: every customer has ranks 1..min(k, n_orders)
+    with prices non-increasing along rank."""
+    import collections
+    from engine.ops.relational import top_orders_per_customer
+    rows = top_orders_per_customer(SF_DIR).take_all()
+    by_cust = collections.defaultdict(list)
+    for r in rows:
+        by_cust[r['o_custkey']].append(r)
+    for cust, rs in by_cust.items():
+        rs.sort(key=lambda r: r['rank'])
+        assert [r['rank'] for r in rs] == list(range(1, len(rs) + 1))
+        prices = [r['o_totalprice'] for r in rs]
+        assert all(a >= b for a, b in zip(prices, prices[1:]))
