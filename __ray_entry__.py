@@ -90,7 +90,7 @@ def _extract_metrics(sf_dir: str) -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from engine.ops import (dedup, relational, similarity, textstats,
-                            multimodal, sampling, clusters)
+                            multimodal, sampling, clusters, sketches)
 
     return {
         # flagship extraction — oracle-checked via the reference-derived
@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'top_orders_per_customer': relational.top_orders_per_customer,
         'events_value_quantiles': relational.events_value_quantiles,
         'shipping_priority': relational.shipping_priority,
+        # cardinality sketches
+        'distinct_users_kmv': sketches.distinct_users_kmv,
         # multimodal plumbing (stub codecs; features oracle-checked)
         'multimodal_features': multimodal.decode_media_features,
         'multimodal_resize': multimodal.resize_media,       # rows-only (blobs)
@@ -156,9 +158,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from engine.ops import oracles
 
+    from engine.ops import sketches
     generated = {
         # generated oracles (hash constants / plane literals / trained
         # centroids) — see engine/ops/oracles.py for the parity rules
+        'distinct_users_kmv': sketches.kmv_oracle_sql(),
         'fingerprint_winnow': oracles.winnow_oracle_sql(),
         'multimodal_features': oracles.multimodal_features_oracle_sql(),
         'minhash_near_dup': oracles.minhash_oracle_sql(),

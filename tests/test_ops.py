@@ -61,7 +61,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'extract_fulltext', 'extract_spans', 'extract_metrics',
                   'customers_inactive', 'top_orders_per_customer',
                   'events_value_quantiles', 'shipping_priority',
-                  'doc_tfidf_topk', 'corpus_clean', 'embedding_dup_lsh']
+                  'doc_tfidf_topk', 'corpus_clean', 'embedding_dup_lsh',
+                  'distinct_users_kmv']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
@@ -262,3 +263,16 @@ def test_grouped_topk_rank_contract(ray_session):
         assert [r['rank'] for r in rs] == list(range(1, len(rs) + 1))
         prices = [r['o_totalprice'] for r in rs]
         assert all(a >= b for a, b in zip(prices, prices[1:]))
+
+
+def test_kmv_estimate_accuracy(ray_session):
+    """KMV estimate must land within the sketch's expected relative error
+    (~1/sqrt(k-1) ≈ 13% at k=64; allow 3σ) of the true distinct count."""
+    from engine.ops.sketches import distinct_users_kmv
+    from engine.ops.relational import events_by_type
+    truth = {r['event_type']: r['n_users']
+             for r in events_by_type(SF_DIR).take_all()}
+    for r in distinct_users_kmv(SF_DIR).take_all():
+        t = truth[r['event_type']]
+        assert abs(r['est_distinct'] - t) <= max(3, 0.4 * t), \
+            (r['event_type'], r['est_distinct'], t)
