@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'fingerprint_winnow': textstats.fingerprint_winnow,
         'token_frequencies': textstats.token_frequencies,
         'doc_tfidf_topk': textstats.doc_tfidf_topk,
+        'bigram_pmi_topk': textstats.bigram_pmi_topk,
         'sample_stratified': sampling.sample_stratified,
         # dedup
         'dedup_exact': dedup.dedup_exact,
@@ -468,5 +469,36 @@ WITH tok AS (
 SELECT doc_id, token,
        floor(score * 1000000 + 0.5) / 1000000 AS score, rank
 FROM r WHERE rank <= 3
+""",
+        'bigram_pmi_topk': r"""
+WITH toks AS (
+  SELECT regexp_extract_all(text, '\S+') AS tk FROM documents
+), bi AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+                               i -> tk[i] || ' ' || tk[i+1])) AS bg
+  FROM toks
+), uni AS (
+  SELECT unnest(tk) AS t FROM toks
+), uc AS (
+  SELECT t, count(*)::BIGINT AS c FROM uni GROUP BY t
+), bc AS (
+  SELECT bg, count(*)::BIGINT AS c FROM bi GROUP BY bg
+), n AS (
+  SELECT (SELECT count(*) FROM uni)::DOUBLE AS nu,
+         (SELECT count(*) FROM bi)::DOUBLE AS nb
+), s AS (
+  SELECT bg, bc.c AS c,
+         ln((bc.c::DOUBLE * n.nu) * n.nu / ((n.nb * a.c) * b.c)) AS pmi
+  FROM bc, n, uc a, uc b
+  WHERE a.t = split_part(bg, ' ', 1) AND b.t = split_part(bg, ' ', 2)
+    AND bc.c >= 5
+), r AS (
+  SELECT bg, c, pmi,
+         row_number() OVER (ORDER BY pmi DESC, bg ASC)::BIGINT AS rank
+  FROM s
+)
+SELECT bg AS bigram, c AS n_occurrences,
+       floor(pmi * 1000000 + 0.5) / 1000000 AS pmi, rank
+FROM r WHERE rank <= 50
 """,
     }

@@ -20,6 +20,7 @@ from .common import round_half_up, table_path, read_table
 
 __all__ = ['doc_token_stats', 'doc_quality', 'lang_id', 'fingerprint_md5',
            'fingerprint_winnow', 'doc_token_bpe', 'token_frequencies',
+           'doc_tfidf_topk', 'bigram_pmi_topk',
            'TOKEN_RE', 'BPE_RE',
            'STOPWORD_RE', 'PUNCT_RE', 'DIGIT_RE', 'LANG_MARKERS']
 
@@ -341,3 +342,141 @@ def doc_tfidf_topk(sf_dir, k=3, num_buckets=64):
 
     return docs.map_batches(score, batch_format='pyarrow',
                             zero_copy_batch=True)
+
+
+def bigram_pmi_topk(sf_dir, topk=50, min_support=5, num_buckets=64):
+    """Top-k adjacent-token bigrams by pointwise mutual information —
+    ``pmi = ln(c_ab·N_uni²  / (N_bi·c_a·c_b))`` with a support floor —
+    the collocation-mining pass of a corpus-analysis pipeline.
+
+    Scale shape: two combiner-first passes plus a no-shuffle scorer.
+
+      1. unigram counts: token_frequencies' bucketed fold, collected and
+         broadcast (vocabulary-bounded, like doc_tfidf_topk's df table);
+      2. bigram counts: per block, adjacent pairs come from ONE Arrow
+         ``binary_join_element_wise`` over the flattened token array
+         (masked at document boundaries — all C++, no Python per token),
+         partial-counted per block, folded per md5 bucket, MATERIALIZED
+         once (so the N_bi total and the scoring pass don't re-run it);
+         a bigram lives in exactly one bucket, so per-block top-k after
+         the fold is a superset of the global top-k;
+      3. scoring: broadcast unigram lookups + the identical float64
+         expression the oracle uses, per-block top-k, one driver-side
+         sort of ≤ blocks·topk candidate rows."""
+    import ray
+    from .relational import rank_in_sorted_key
+    from .similarity import _fetch_broadcast
+
+    nb = num_buckets
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column('text'), pattern=r'\s+')
+        flat = pc.list_flatten(toks)
+        n = len(flat)
+        if n < 2:
+            return pa.table({'bg': pa.array([], pa.string()),
+                             'cnt': pa.array([], pa.int64()),
+                             'bucket': pa.array([], pa.int64())})
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ends = np.cumsum(lens)                    # doc boundaries in flat
+        joined = pc.binary_join_element_wise(flat.slice(0, n - 1),
+                                             flat.slice(1, n - 1),
+                                             pa.scalar(' '))
+        nonempty = pc.not_equal(flat, '').to_numpy(zero_copy_only=False)
+        same_doc = np.ones(n - 1, np.bool_)
+        same_doc[ends[:-1] - 1] = False           # last token of each doc
+        mask = same_doc & nonempty[:-1] & nonempty[1:]
+        g = pa.table({'bg': joined.filter(pa.array(mask, pa.bool_()))}) \
+            .group_by('bg').aggregate([([], 'count_all')])
+        g = g.rename_columns(['bg', 'cnt'])
+        keys = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode('utf-8')).digest()[:8],
+                            'little') & (nb - 1)
+             for s in g.column('bg').to_pylist()),
+            dtype=np.int64, count=g.num_rows)
+        return g.append_column('bucket', pa.array(keys, pa.int64()))
+
+    def bigram_fold(group: pa.Table) -> pa.Table:
+        g = group.group_by('bg').aggregate([('cnt', 'sum')])
+        return g.rename_columns(['bg', 'cnt'])
+
+    docs = _read_docs(sf_dir, ['text'])
+
+    # pass 1: unigram counts (vocabulary-bounded collect + broadcast)
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(batch.column('text'), pattern=r'\s+'))
+        flat = flat.filter(pc.not_equal(flat, ''))
+        g = pa.table({'token': flat}).group_by('token') \
+              .aggregate([([], 'count_all')])
+        g = g.rename_columns(['token', 'cnt'])
+        keys = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode('utf-8')).digest()[:8],
+                            'little') & (nb - 1)
+             for s in g.column('token').to_pylist()),
+            dtype=np.int64, count=g.num_rows)
+        return g.append_column('bucket', pa.array(keys, pa.int64()))
+
+    uni_ds = docs.map_batches(uni_partial, batch_format='pyarrow',
+                              zero_copy_batch=True) \
+        .groupby('bucket').map_groups(
+            lambda g: g.group_by('token').aggregate([('cnt', 'sum')])
+                       .rename_columns(['token', 'cnt']),
+            batch_format='pyarrow')
+    uni_map = {}
+    for b in uni_ds.iter_batches(batch_format='pyarrow', batch_size=None):
+        uni_map.update(zip(b.column('token').to_pylist(),
+                           b.column('cnt').to_numpy(zero_copy_only=False)))
+    n_uni = float(sum(uni_map.values()))
+
+    # pass 2: bigram counts, folded + materialized once
+    bi_ds = docs.map_batches(bigram_partial, batch_format='pyarrow',
+                             zero_copy_batch=True) \
+        .groupby('bucket').map_groups(bigram_fold, batch_format='pyarrow') \
+        .materialize()
+    n_bi = float(bi_ds.sum('cnt') or 0)
+    ref = ray.put((uni_map, n_uni, n_bi))
+
+    def score(batch: pa.Table) -> pa.Table:
+        uni, nu, nbi = _fetch_broadcast(ref)
+        keep = batch.filter(pc.greater_equal(batch.column('cnt'),
+                                             pa.scalar(min_support)))
+        if keep.num_rows == 0:
+            return pa.table({'bigram': pa.array([], pa.string()),
+                             'n_occurrences': pa.array([], pa.int64()),
+                             'pmi_raw': pa.array([], pa.float64())})
+        bgs = keep.column('bg').to_pylist()
+        cab = keep.column('cnt').to_numpy(zero_copy_only=False) \
+                  .astype(np.float64)
+        ca = np.fromiter((uni[s.split(' ', 1)[0]] for s in bgs),
+                         dtype=np.float64, count=len(bgs))
+        cb = np.fromiter((uni[s.split(' ', 1)[1]] for s in bgs),
+                         dtype=np.float64, count=len(bgs))
+        # same expression tree as the oracle: ((c·nu)·nu) / ((nbi·ca)·cb)
+        pmi = np.log((cab * nu) * nu / ((nbi * ca) * cb))
+        t = pa.table({
+            'bigram': pa.array(np.asarray(bgs, dtype=np.str_), pa.string()),
+            'n_occurrences': keep.column('cnt').cast(pa.int64()),
+            'pmi_raw': pa.array(pmi, pa.float64()),
+        })
+        return t.sort_by([('pmi_raw', 'descending'),
+                          ('bigram', 'ascending')]).slice(0, topk)
+
+    cand = bi_ds.map_batches(score, batch_format='pyarrow',
+                             zero_copy_batch=True)
+    parts = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+    base = pa.table({'bigram': pa.array([], pa.string()),
+                     'n_occurrences': pa.array([], pa.int64()),
+                     'pmi_raw': pa.array([], pa.float64())})
+    tbl = pa.concat_tables([base] + parts, promote_options='none') \
+            .sort_by([('pmi_raw', 'descending'), ('bigram', 'ascending')]) \
+            .slice(0, topk)
+    n = tbl.num_rows
+    return pa.table({
+        'bigram': tbl.column('bigram'),
+        'n_occurrences': tbl.column('n_occurrences'),
+        'pmi': pa.array(round_half_up(
+            tbl.column('pmi_raw').to_numpy(zero_copy_only=False), 6),
+            pa.float64()),
+        'rank': pa.array(np.arange(1, n + 1), pa.int64()),
+    })
