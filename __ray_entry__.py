@@ -90,7 +90,7 @@ def _extract_metrics(sf_dir: str) -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from engine.ops import (dedup, relational, similarity, textstats,
-                            multimodal, sampling, clusters, sketches)
+                            multimodal, sampling, clusters, sketches, ingest)
 
     return {
         # flagship extraction — oracle-checked via the reference-derived
@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'shipping_priority': relational.shipping_priority,
         # cardinality sketches
         'distinct_users_kmv': sketches.distinct_users_kmv,
+        # alternate-format ingestion (NDJSON source)
+        'docs_from_jsonl': ingest.docs_from_jsonl,
         # multimodal plumbing (stub codecs; features oracle-checked)
         'multimodal_features': multimodal.decode_media_features,
         'multimodal_resize': multimodal.resize_media,       # rows-only (blobs)
@@ -178,6 +180,8 @@ def oracle_sql() -> dict[str, str]:
         generated['ann_topk_ivf'] = oracles.ivf_oracle_sql()
         generated['embedding_dup_lsh'] = oracles.dup_lsh_oracle_sql()
         generated['dedup_exact_payloads'] = oracles.payload_dedup_oracle_sql()
+        from engine.ops import ingest
+        generated['docs_from_jsonl'] = ingest.jsonl_oracle_sql()
         # flagship extraction: reference-derived expected tables → SQL joins
         generated.update(oracles.extract_oracle_sqls())
         # multimodal blob md5s vs fixture-time independent recompute

@@ -24,7 +24,10 @@ NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32') or '32')
 BENCH_QUERIES = ['q1_pricing', 'events_by_type', 'dedup_exact',
                  'doc_token_stats', 'minhash_near_dup', 'embedding_dup_pairs',
                  'embedding_dup_pairs_blocked', 'top_orders_revenue',
-                 'ann_topk', 'events_sessionize', 'extract_metrics']
+                 'ann_topk', 'events_sessionize', 'extract_metrics',
+                 # round-3 additions, one per new family
+                 'shipping_priority', 'doc_tfidf_topk', 'bigram_pmi_topk',
+                 'embedding_dup_lsh', 'distinct_users_kmv', 'corpus_clean']
 
 
 def _init_ray(num_cpus):

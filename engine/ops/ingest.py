@@ -1,0 +1,87 @@
+"""Alternate-format ingestion: newline-delimited JSON (the lingua franca
+of web-scale text corpora — Common Crawl derivatives, chat logs, API
+dumps ship as JSONL long before anyone parquet-izes them).
+
+``docs_from_jsonl`` proves the engine ingests NDJSON natively
+(``ray.data.read_json`` → pyarrow.json, zero-copy Arrow blocks, same
+downstream vectorized kernels as the parquet path) and that values
+round-trip: the query re-derives per-doc token stats from the JSONL and
+the DuckDB oracle reads the SAME file with ``read_json``.
+
+The JSONL fixture is converted once per sf_dir from documents.parquet —
+test plumbing only (a real deployment reads the JSONL it was handed); a
+``_COMPLETE`` marker keeps the conversion idempotent, mirroring
+transcripts.ensure_corpus.
+"""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .common import sf_from_dir, table_path
+
+__all__ = ['docs_from_jsonl', 'ensure_jsonl', 'jsonl_oracle_sql']
+
+_JSONL_ROOT = '/tmp/graft_jsonl'
+_VERSION = 'v1'
+
+
+def ensure_jsonl(sf_dir):
+    """documents.parquet → documents.jsonl, once per (sf, version)."""
+    import pyarrow.parquet as pq
+    out_dir = os.path.join(_JSONL_ROOT,
+                           'sf%s-%s' % (sf_from_dir(sf_dir), _VERSION))
+    marker = os.path.join(out_dir, '_COMPLETE')
+    path = os.path.join(out_dir, 'documents.jsonl')
+    if os.path.exists(marker):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    tbl = pq.read_table(table_path(sf_dir, 'documents'))
+    tmp = path + '.tmp'
+    with open(tmp, 'w', encoding='utf-8') as f:
+        for row in tbl.to_pylist():
+            f.write(json.dumps(row, ensure_ascii=False, sort_keys=True))
+            f.write('\n')
+    os.replace(tmp, path)
+    with open(marker, 'w') as f:
+        f.write(_VERSION)
+    return path
+
+
+def docs_from_jsonl(sf_dir):
+    """Per-doc token stats computed from the NDJSON corpus — the parquet
+    path's doc_token_stats shape over a different source format (JSONL
+    splits into Arrow blocks the same way; at 100 TB, shard the corpus
+    into many .jsonl files so the read parallelizes per file)."""
+    path = ensure_jsonl(sf_dir)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch.column('text')
+        n_tokens = pc.cast(pc.count_substring_regex(text, pattern=r'\S+'),
+                           pa.int64())
+        return pa.table({
+            'doc_id': batch.column('doc_id'),
+            'lang': batch.column('lang'),
+            'n_chars': batch.column('n_chars'),
+            'n_tokens': n_tokens,
+        })
+
+    ds = ray.data.read_json(path)
+    return ds.map_batches(stats, batch_format='pyarrow',
+                          zero_copy_batch=True)
+
+
+def jsonl_oracle_sql(sf_dir=None):
+    """DuckDB reads the SAME JSONL file — format parity, value parity."""
+    from .oracles import _oracle_sf_dir
+    path = ensure_jsonl(sf_dir or _oracle_sf_dir())
+    return r"""
+SELECT doc_id, lang, n_chars,
+       len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+FROM read_json('{path}', format='newline_delimited')
+""".format(path=path)

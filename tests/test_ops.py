@@ -62,7 +62,7 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'customers_inactive', 'top_orders_per_customer',
                   'events_value_quantiles', 'shipping_priority',
                   'doc_tfidf_topk', 'corpus_clean', 'embedding_dup_lsh',
-                  'distinct_users_kmv', 'bigram_pmi_topk']
+                  'distinct_users_kmv', 'bigram_pmi_topk', 'docs_from_jsonl']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
