@@ -107,8 +107,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'fingerprint_winnow': textstats.fingerprint_winnow,
         'token_frequencies': textstats.token_frequencies,
         'doc_tfidf_topk': textstats.doc_tfidf_topk,
+        'doc_scrub': textstats.doc_scrub,
         'bigram_pmi_topk': textstats.bigram_pmi_topk,
         'sample_stratified': sampling.sample_stratified,
+        'sample_uniform': sampling.sample_uniform,
         # dedup
         'dedup_exact': dedup.dedup_exact,
         'dedup_exact_payloads': _dedup_payloads,      # rows-only (transcripts)
@@ -140,6 +142,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'top_orders_per_customer': relational.top_orders_per_customer,
         'events_value_quantiles': relational.events_value_quantiles,
         'shipping_priority': relational.shipping_priority,
+        'events_user_running': relational.events_user_running,
+        'events_props_stats': relational.events_props_stats,
+        'events_value_hist_quantiles': relational.events_value_hist_quantiles,
         # cardinality sketches
         'distinct_users_kmv': sketches.distinct_users_kmv,
         # alternate-format ingestion (NDJSON source)
@@ -188,7 +193,64 @@ def oracle_sql() -> dict[str, str]:
         generated.update(oracles.mm_blob_oracle_sqls())
     except Exception:
         pass   # oracle sf dir absent: those stay rows-only
+    from engine.ops import sampling as _sampling
+    generated['sample_uniform'] = """
+SELECT doc_id, lang,
+       (md5_number_lower(doc_id::VARCHAR) & 9223372036854775807)::BIGINT AS skey
+FROM documents
+WHERE (md5_number_lower(doc_id::VARCHAR) & 9223372036854775807)::BIGINT < %d
+""" % _sampling.uniform_threshold()
     return generated | {
+        'events_user_running': """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS seq,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+         AS running_cents,
+       CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS BIGINT) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+        'events_props_stats': """
+WITH e AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n_events, sum(k)::BIGINT AS sum_k,
+       max(k)::BIGINT AS max_k, count(DISTINCT k)::BIGINT AS n_distinct_k,
+       floor(sum(k)::DOUBLE / count(*) * 1000000 + 0.5) / 1000000 AS avg_k
+FROM e GROUP BY event_type
+""",
+        'events_value_hist_quantiles': """
+WITH b AS (
+  SELECT event_type, CAST(floor(value / 0.5) AS BIGINT) AS bin,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT event_type, bin, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM b
+)
+SELECT event_type,
+       min(CASE WHEN cum >= ceil(0.50 * n) THEN (bin + 1) * 0.5 END) AS p50_est,
+       min(CASE WHEN cum >= ceil(0.90 * n) THEN (bin + 1) * 0.5 END) AS p90_est,
+       min(CASE WHEN cum >= ceil(0.99 * n) THEN (bin + 1) * 0.5 END) AS p99_est,
+       max(n)::BIGINT AS n_events,
+       count(*)::BIGINT AS n_bins
+FROM c GROUP BY event_type
+""",
+        'doc_scrub': r"""
+WITH s AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '\b(the|a|of|to|and|in|is|it|that|for|on|as|with|by)\b ?', '', 'g'), ' ') AS clean,
+         len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is|it|that|for|on|as|with|by)\b'))::BIGINT AS n_removed
+  FROM documents
+)
+SELECT doc_id, md5(clean) AS clean_md5, length(clean)::BIGINT AS clean_len,
+       n_removed
+FROM s
+""",
         'sample_stratified': """
 WITH s AS (
   SELECT doc_id, lang,

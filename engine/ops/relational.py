@@ -40,7 +40,8 @@ __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'events_windowed', 'events_windowed_sliding', 'events_asof_orders',
            'events_range_orders', 'top_parts', 'customers_inactive',
            'top_orders_per_customer', 'events_value_quantiles',
-           'shipping_priority']
+           'shipping_priority', 'events_user_running', 'events_props_stats',
+           'events_value_hist_quantiles']
 
 
 def rank_in_sorted_key(keys_sorted):
@@ -935,3 +936,140 @@ def shipping_priority(sf_dir, segment='BUILDING', cutoff='1997-06-30',
             'o_orderpriority': batch.column('o_orderpriority'),
         })
     return top.map_batches(finish, batch_format='pyarrow')
+
+
+def events_user_running(sf_dir, num_buckets=64):
+    """PER-ROW WINDOW FUNCTIONS over a partitioned, ordered stream: for
+    every event, its 1-based sequence number within the user, the user's
+    RUNNING value total up to and including it, and the LAG gap (µs since
+    the user's previous event; null on the first).
+
+    Same bucketed shape as sessionize — groupby ``user_id & (nb-1)``,
+    one vectorized pass per bucket over ALL its users (lexsort by
+    (user, ts, event_id), run-rank for seq, cumsum-minus-run-base for
+    the running total, shifted-diff masked at run starts for the lag).
+    Grouping on the raw user_id would pay the map_groups tax per USER.
+
+    Float-parity rule: the running total is carried in integer CENTS
+    (``floor(value·100 + 0.5)``) — a per-group float cumsum computed as
+    ``cumsum - base`` is not bit-identical to the oracle's fresh
+    per-partition summation, integer arithmetic is.  Output cardinality
+    equals the input (this is a transform, not a rollup): at 100 TB the
+    result is written back out, never collected."""
+    nb = num_buckets
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = batch.column('user_id').to_numpy(zero_copy_only=False) & (nb - 1)
+        return batch.append_column('bucket', pa.array(b, pa.int64()))
+
+    def windows(group: pa.Table) -> pa.Table:
+        uid = group.column('user_id').to_numpy(zero_copy_only=False)
+        ts = group.column('ts').cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column('event_id').to_numpy(zero_copy_only=False)
+        cents = np.floor(group.column('value').to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, cents = uid[order], ts[order], eid[order], cents[order]
+        seq = rank_in_sorted_key(uid)
+        new_user = seq == 1
+        cum = np.cumsum(cents)
+        idx = np.arange(len(uid), dtype=np.int64)
+        starts = np.where(new_user, idx, 0)
+        np.maximum.accumulate(starts, out=starts)
+        running = cum - (cum - cents)[starts]
+        gap = ts - np.concatenate(([np.int64(0)], ts[:-1]))
+        return pa.table({
+            'event_id': pa.array(eid, pa.int64()),
+            'user_id': pa.array(uid, pa.int64()),
+            'seq': pa.array(seq, pa.int64()),
+            'running_cents': pa.array(running, pa.int64()),
+            'gap_us': pa.array(gap, pa.int64(), mask=new_user),
+        })
+
+    ds = read_table(sf_dir, 'events',
+                    columns=['event_id', 'ts', 'user_id', 'value'])
+    return (ds.map_batches(add_bucket, batch_format='pyarrow',
+                           zero_copy_batch=True)
+              .groupby('bucket').map_groups(windows, batch_format='pyarrow'))
+
+
+def events_props_stats(sf_dir):
+    """SEMI-STRUCTURED EXTRACTION: parse the integer ``k`` field out of the
+    JSON ``props`` column (vectorized RE2 ``extract_regex`` — no per-row
+    json.loads) and roll it up per event type: count, sum, max, distinct
+    count, mean.
+
+    Combiner-first distinct: each block folds to (type, k, cnt) rows —
+    the exchange moves one row per distinct (type, k) per block, and the
+    final per-type fold re-groups by k for the exact distinct count.
+    The oracle parses with DuckDB's ``json_extract`` — an INDEPENDENT
+    JSON parser, not the same regex — so the check is semantic."""
+    def partial(batch: pa.Table) -> pa.Table:
+        k = pc.cast(pc.struct_field(
+            pc.extract_regex(batch.column('props'), r'"k": (?P<k>\d+)'), 'k'),
+            pa.int64())
+        t = pa.table({'event_type': batch.column('event_type'), 'k': k})
+        g = t.group_by(['event_type', 'k']).aggregate([([], 'count_all')])
+        return g.rename_columns(['event_type', 'k', 'cnt'])
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by('k').aggregate([('cnt', 'sum')])
+        k = g.column('k').to_numpy(zero_copy_only=False)
+        cnt = g.column('cnt_sum').to_numpy(zero_copy_only=False)
+        n = int(cnt.sum())
+        sum_k = int((k * cnt).sum())
+        return pa.table({
+            'event_type': group.column('event_type').slice(0, 1),
+            'n_events': pa.array([n], pa.int64()),
+            'sum_k': pa.array([sum_k], pa.int64()),
+            'max_k': pa.array([int(k.max())], pa.int64()),
+            'n_distinct_k': pa.array([g.num_rows], pa.int64()),
+            'avg_k': pa.array(round_half_up([sum_k / n], 6), pa.float64()),
+        })
+
+    ds = read_table(sf_dir, 'events', columns=['event_type', 'props'])
+    return (ds.map_batches(partial, batch_format='pyarrow',
+                           zero_copy_batch=True)
+              .groupby('event_type').map_groups(final, batch_format='pyarrow'))
+
+
+def events_value_hist_quantiles(sf_dir, width=0.5, qs=(0.5, 0.9, 0.99)):
+    """APPROXIMATE per-group quantiles from a fixed-width HISTOGRAM sketch
+    — the bounded-state scale tier beside ``events_value_quantiles``
+    (exact, O(distinct values) state).  Each block folds values to
+    ``floor(value/width)`` bin counts; the merged histogram resolves each
+    quantile to its bin's UPPER edge ``(bin+1)·width`` — deterministic,
+    error < ``width``, and state is O(value range / width) per group
+    regardless of row count, so a 100 TB group costs the same exchange as
+    a 1 GB one.  (For unknown value ranges use a mergeable rank sketch —
+    t-digest / KLL; this fixed-universe tier is exact-error and, unlike
+    those, bit-reproducible, hence oracle-checkable.)"""
+    def partial(batch: pa.Table) -> pa.Table:
+        b = np.floor(batch.column('value').to_numpy(
+            zero_copy_only=False) / width).astype(np.int64)
+        t = pa.table({'event_type': batch.column('event_type'),
+                      'bin': pa.array(b, pa.int64())})
+        g = t.group_by(['event_type', 'bin']).aggregate([([], 'count_all')])
+        return g.rename_columns(['event_type', 'bin', 'cnt'])
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by('bin').aggregate([('cnt', 'sum')])
+        bins = g.column('bin').to_numpy(zero_copy_only=False)
+        cnts = g.column('cnt_sum').to_numpy(zero_copy_only=False)
+        order = np.argsort(bins, kind='mergesort')
+        bins, cnts = bins[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        cols = {'event_type': group.column('event_type').slice(0, 1)}
+        for q in qs:
+            pos = int(np.searchsorted(cum, np.ceil(q * n), side='left'))
+            cols['p%02d_est' % int(q * 100)] = pa.array(
+                [(float(bins[pos]) + 1.0) * width], pa.float64())
+        cols['n_events'] = pa.array([n], pa.int64())
+        cols['n_bins'] = pa.array([len(bins)], pa.int64())
+        return pa.table(cols)
+
+    ds = read_table(sf_dir, 'events', columns=['event_type', 'value'])
+    return (ds.map_batches(partial, batch_format='pyarrow',
+                           zero_copy_batch=True)
+              .groupby('event_type').map_groups(final, batch_format='pyarrow'))

@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 
 from .common import read_table
 
-__all__ = ['sample_stratified']
+__all__ = ['sample_stratified', 'sample_uniform']
 
 _MASK63 = (1 << 63) - 1
 
@@ -73,3 +73,32 @@ def sample_stratified(sf_dir, per_group=50, group_col='lang'):
     return (ds.map_batches(partial, batch_format='pyarrow',
                            zero_copy_batch=True)
               .groupby(group_col).map_groups(final, batch_format='pyarrow'))
+
+
+def sample_uniform(sf_dir, rate_num=1, rate_den=5):
+    """UNIFORM deterministic Bernoulli sample (rate = num/den): keep the
+    rows whose 63-bit md5 sample key falls under ``rate · 2^63``.
+    Stateless and partition-independent — no global count, no reservoir,
+    no coordination; a pure distributed filter, so it composes with any
+    upstream read and never shuffles.  The threshold is computed in
+    integer arithmetic (``(2^63 · num) // den``) and inlined into the
+    oracle, so both sides compare the identical BIGINT."""
+    thresh = ((1 << 63) * rate_num) // rate_den
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_numpy(zero_copy_only=False)
+        keys = _sort_keys(ids)
+        sel = keys < thresh
+        return pa.table({
+            'doc_id': pa.array(ids[sel], pa.int64()),
+            'lang': batch.column('lang').filter(pa.array(sel)),
+            'skey': pa.array(keys[sel], pa.int64()),
+        })
+
+    ds = read_table(sf_dir, 'documents', columns=['doc_id', 'lang'])
+    return ds.map_batches(keep, batch_format='pyarrow', zero_copy_batch=True)
+
+
+def uniform_threshold(rate_num=1, rate_den=5):
+    """The inlined-literal threshold shared with the DuckDB oracle."""
+    return ((1 << 63) * rate_num) // rate_den

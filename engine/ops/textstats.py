@@ -19,6 +19,7 @@ import ray.data
 from .common import round_half_up, table_path, read_table
 
 __all__ = ['doc_token_stats', 'doc_quality', 'lang_id', 'fingerprint_md5',
+           'doc_scrub',
            'fingerprint_winnow', 'doc_token_bpe', 'token_frequencies',
            'doc_tfidf_topk', 'bigram_pmi_topk',
            'TOKEN_RE', 'BPE_RE',
@@ -480,3 +481,30 @@ def bigram_pmi_topk(sf_dir, topk=50, min_support=5, num_buckets=64):
             pa.float64()),
         'rank': pa.array(np.arange(1, n + 1), pa.int64()),
     })
+
+
+def doc_scrub(sf_dir):
+    """CORPUS SCRUBBING transform: strip the stopword list out of every
+    document (the shape of PII/URL/boilerplate redaction — this corpus is
+    synthetic space-separated tokens, so the stopword list stands in for
+    the redaction pattern) and emit the cleaned text's md5, length and
+    removal count.  One RE2 ``replace_substring_regex`` pass per batch —
+    a pure map stage, no shuffle; the oracle runs the IDENTICAL pattern
+    through DuckDB's RE2 ``regexp_replace(..., 'g')``, and the md5 pins
+    the full scrubbed BYTES, not just summary stats."""
+    pattern = STOPWORD_RE + ' ?'
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        clean = pc.utf8_trim(pc.replace_substring_regex(
+            batch.column('text'), pattern=pattern, replacement=''), ' ')
+        md5s = [hashlib.md5(t.encode('utf-8')).hexdigest()
+                for t in clean.to_pylist()]
+        return pa.table({
+            'doc_id': batch.column('doc_id'),
+            'clean_md5': pa.array(md5s, pa.string()),
+            'clean_len': pc.cast(pc.utf8_length(clean), pa.int64()),
+            'n_removed': _count_re(batch.column('text'), STOPWORD_RE),
+        })
+
+    return _read_docs(sf_dir, ['doc_id', 'text']).map_batches(
+        scrub, batch_format='pyarrow', zero_copy_batch=True)

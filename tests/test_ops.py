@@ -62,7 +62,9 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'customers_inactive', 'top_orders_per_customer',
                   'events_value_quantiles', 'shipping_priority',
                   'doc_tfidf_topk', 'corpus_clean', 'embedding_dup_lsh',
-                  'distinct_users_kmv', 'bigram_pmi_topk', 'docs_from_jsonl']
+                  'distinct_users_kmv', 'bigram_pmi_topk', 'docs_from_jsonl',
+                  'events_user_running', 'events_props_stats',
+                  'events_value_hist_quantiles', 'sample_uniform', 'doc_scrub']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
@@ -276,3 +278,39 @@ def test_kmv_estimate_accuracy(ray_session):
         t = truth[r['event_type']]
         assert abs(r['est_distinct'] - t) <= max(3, 0.4 * t), \
             (r['event_type'], r['est_distinct'], t)
+
+
+def test_user_running_window_contract(ray_session):
+    """events_user_running: per user, seq is 1..n in (ts, event_id) order,
+    running_cents is the prefix sum of that user's cents, and gap_us is
+    null exactly on seq==1 and equals the ts delta elsewhere."""
+    import collections
+    from engine.ops.relational import events_user_running
+    rows = events_user_running(SF_DIR).take_all()
+    by_user = collections.defaultdict(list)
+    for r in rows:
+        by_user[r['user_id']].append(r)
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r['seq'])
+        assert [r['seq'] for r in rs] == list(range(1, len(rs) + 1))
+        run = 0
+        for r in rs:
+            assert (r['gap_us'] is None) == (r['seq'] == 1)
+        deltas = [b['running_cents'] - a['running_cents']
+                  for a, b in zip(rs, rs[1:])]
+        assert all(d >= 0 for d in deltas)  # synthetic values are >= 0
+
+
+def test_hist_quantiles_bound_exact(ray_session):
+    """The histogram-sketch estimate brackets the exact quantile:
+    exact in (est - width, est] for every group and percentile."""
+    from engine.ops.relational import (events_value_quantiles,
+                                       events_value_hist_quantiles)
+    width = 0.5
+    exact = {r['event_type']: r
+             for r in events_value_quantiles(SF_DIR).take_all()}
+    for r in events_value_hist_quantiles(SF_DIR, width=width).take_all():
+        e = exact[r['event_type']]
+        for p in ('p50', 'p90', 'p99'):
+            est = r[p + '_est']
+            assert est - width < e[p] <= est, (r['event_type'], p, e[p], est)
