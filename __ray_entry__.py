@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_user_running': relational.events_user_running,
         'events_props_stats': relational.events_props_stats,
         'events_value_hist_quantiles': relational.events_value_hist_quantiles,
+        'user_event_pivot': relational.user_event_pivot,
+        'events_user_rolling': relational.events_user_rolling,
         # cardinality sketches
         'distinct_users_kmv': sketches.distinct_users_kmv,
         # alternate-format ingestion (NDJSON source)
@@ -210,6 +212,25 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+        'user_event_pivot': """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view,
+       count(*)::BIGINT AS n_total
+FROM events GROUP BY user_id
+""",
+        'events_user_rolling': """
+SELECT event_id, user_id,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+         AS roll_cents,
+       CAST(count(*) OVER w AS BIGINT) AS n_in_frame
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """,
         'events_props_stats': """
 WITH e AS (

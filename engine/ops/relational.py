@@ -41,7 +41,8 @@ __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'events_range_orders', 'top_parts', 'customers_inactive',
            'top_orders_per_customer', 'events_value_quantiles',
            'shipping_priority', 'events_user_running', 'events_props_stats',
-           'events_value_hist_quantiles']
+           'events_value_hist_quantiles', 'user_event_pivot',
+           'events_user_rolling']
 
 
 def rank_in_sorted_key(keys_sorted):
@@ -1073,3 +1074,92 @@ def events_value_hist_quantiles(sf_dir, width=0.5, qs=(0.5, 0.9, 0.99)):
     return (ds.map_batches(partial, batch_format='pyarrow',
                            zero_copy_batch=True)
               .groupby('event_type').map_groups(final, batch_format='pyarrow'))
+
+
+_EVENT_TYPES = ('click', 'error', 'purchase', 'signup', 'view')
+
+
+def user_event_pivot(sf_dir, num_buckets=64):
+    """PIVOT / reshape: one row per user with a count column per event
+    type (long → wide).  The pivot happens INSIDE the per-block combiner
+    — each block folds to (user, type, cnt) rows, the bucketed exchange
+    moves combiner rows only, and each bucket pivots ALL its users in one
+    vectorized scatter (type dictionary-encode → (row, col) index → 2-D
+    bincount), not a per-user map_groups.  The column set is the operator
+    PARAMETER (known event vocabulary) — the standard contract for pivot
+    at scale, since discovered-at-runtime columns would need a schema
+    barrier."""
+    nb = num_buckets
+    type_idx = {t: i for i, t in enumerate(_EVENT_TYPES)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({'user_id': batch.column('user_id'),
+                      'event_type': batch.column('event_type')})
+        g = t.group_by(['user_id', 'event_type']).aggregate([([], 'count_all')])
+        g = g.rename_columns(['user_id', 'event_type', 'cnt'])
+        b = g.column('user_id').to_numpy(zero_copy_only=False) & (nb - 1)
+        return g.append_column('bucket', pa.array(b, pa.int64()))
+
+    def pivot(group: pa.Table) -> pa.Table:
+        uid = group.column('user_id').to_numpy(zero_copy_only=False)
+        cnt = group.column('cnt').to_numpy(zero_copy_only=False)
+        types = group.column('event_type').to_pylist()
+        users, row = np.unique(uid, return_inverse=True)
+        col = np.fromiter((type_idx[t] for t in types), np.int64, len(types))
+        wide = np.zeros((len(users), len(_EVENT_TYPES)), np.int64)
+        np.add.at(wide, (row, col), cnt)
+        cols = {'user_id': pa.array(users, pa.int64())}
+        for i, t in enumerate(_EVENT_TYPES):
+            cols['n_' + t] = pa.array(wide[:, i], pa.int64())
+        cols['n_total'] = pa.array(wide.sum(axis=1), pa.int64())
+        return pa.table(cols)
+
+    ds = read_table(sf_dir, 'events', columns=['user_id', 'event_type'])
+    return (ds.map_batches(partial, batch_format='pyarrow',
+                           zero_copy_batch=True)
+              .groupby('bucket').map_groups(pivot, batch_format='pyarrow'))
+
+
+def events_user_rolling(sf_dir, frame=3, num_buckets=64):
+    """FRAME-BOUNDED rolling window: per event, the sum of the user's
+    last ``frame`` event values (ROWS BETWEEN frame-1 PRECEDING AND
+    CURRENT ROW) — the moving-aggregate companion to the UNBOUNDED
+    running total in :func:`events_user_running`.  Same bucketed
+    one-pass-per-bucket shape; the frame sum is a cumsum difference
+    clamped at each user's run start (integer cents — exact float parity
+    with the SQL window oracle)."""
+    nb = num_buckets
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = batch.column('user_id').to_numpy(zero_copy_only=False) & (nb - 1)
+        return batch.append_column('bucket', pa.array(b, pa.int64()))
+
+    def rolling(group: pa.Table) -> pa.Table:
+        uid = group.column('user_id').to_numpy(zero_copy_only=False)
+        ts = group.column('ts').cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column('event_id').to_numpy(zero_copy_only=False)
+        cents = np.floor(group.column('value').to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, cents = uid[order], ts[order], eid[order], cents[order]
+        seq = rank_in_sorted_key(uid)
+        idx = np.arange(len(uid), dtype=np.int64)
+        run_start = idx - (seq - 1)
+        cum = np.cumsum(cents)
+        base = cum - cents              # prefix sum BEFORE each row
+        # window start: frame-1 rows back, clamped at the user's run start
+        wstart = np.maximum(idx - (frame - 1), run_start)
+        roll = cum - base[wstart]
+        n_in = idx - wstart + 1
+        return pa.table({
+            'event_id': pa.array(eid, pa.int64()),
+            'user_id': pa.array(uid, pa.int64()),
+            'roll_cents': pa.array(roll, pa.int64()),
+            'n_in_frame': pa.array(n_in, pa.int64()),
+        })
+
+    ds = read_table(sf_dir, 'events',
+                    columns=['event_id', 'ts', 'user_id', 'value'])
+    return (ds.map_batches(add_bucket, batch_format='pyarrow',
+                           zero_copy_batch=True)
+              .groupby('bucket').map_groups(rolling, batch_format='pyarrow'))

@@ -64,7 +64,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'doc_tfidf_topk', 'corpus_clean', 'embedding_dup_lsh',
                   'distinct_users_kmv', 'bigram_pmi_topk', 'docs_from_jsonl',
                   'events_user_running', 'events_props_stats',
-                  'events_value_hist_quantiles', 'sample_uniform', 'doc_scrub']
+                  'events_value_hist_quantiles', 'sample_uniform', 'doc_scrub',
+                  'user_event_pivot', 'events_user_rolling']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
@@ -314,3 +315,18 @@ def test_hist_quantiles_bound_exact(ray_session):
         for p in ('p50', 'p90', 'p99'):
             est = r[p + '_est']
             assert est - width < e[p] <= est, (r['event_type'], p, e[p], est)
+
+
+def test_rolling_window_matches_running_prefix(ray_session):
+    """For seq <= frame the rolling sum equals the running total (the
+    frame hasn't saturated yet); afterwards n_in_frame == frame."""
+    from engine.ops.relational import events_user_running, events_user_rolling
+    run = {r['event_id']: r for r in events_user_running(SF_DIR).take_all()}
+    for r in events_user_rolling(SF_DIR, frame=3).take_all():
+        u = run[r['event_id']]
+        if u['seq'] <= 3:
+            assert r['n_in_frame'] == u['seq']
+            assert r['roll_cents'] == u['running_cents']
+        else:
+            assert r['n_in_frame'] == 3
+            assert r['roll_cents'] <= u['running_cents']
