@@ -27,7 +27,8 @@ BENCH_QUERIES = ['q1_pricing', 'events_by_type', 'dedup_exact',
                  'ann_topk', 'events_sessionize', 'extract_metrics',
                  # round-3 additions, one per new family
                  'shipping_priority', 'doc_tfidf_topk', 'bigram_pmi_topk',
-                 'embedding_dup_lsh', 'distinct_users_kmv', 'corpus_clean']
+                 'embedding_dup_lsh', 'distinct_users_kmv', 'corpus_clean',
+                 'events_user_running']
 
 
 def _init_ray(num_cpus):
