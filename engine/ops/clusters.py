@@ -167,7 +167,9 @@ def dedup_clusters(sf_dir, threshold=0.8, k=3, num_buckets=64, max_iters=50):
                       batch_format='pyarrow') \
                   .repartition(width).materialize()
 
+    converged = True
     if edges.count() > 0:
+        converged = False
         for _ in range(max_iters):
             # round: attach labels to edge sources, then per-node min fold
             own = labels.map_batches(
@@ -200,7 +202,18 @@ def dedup_clusters(sf_dir, threshold=0.8, k=3, num_buckets=64, max_iters=50):
                                         batch_format='pyarrow')
             changed = folded.sum('changed') or 0
             if not changed:
+                converged = True
                 break
+    if not converged:
+        # no silent caps: an unconverged exit would emit intermediate
+        # labels — multiple "survivors" per real cluster — and corpus_clean
+        # would silently keep duplicates.  Diameter > max_iters means a
+        # pathological chain component; raise loudly and name the knob.
+        raise RuntimeError(
+            'dedup_clusters: min-label propagation did not converge in '
+            '%d rounds (a pair-graph component has hop diameter > %d); '
+            'raise max_iters or pre-collapse exact dups first'
+            % (max_iters, max_iters))
 
     docs = read_table(sf_dir, 'documents', columns=['doc_id'],
                       min_blocks=pool()[1])
@@ -230,23 +243,15 @@ def corpus_clean(sf_dir, threshold=0.8, k=3, num_buckets=64):
     co-partition joins them — a C++ hash join per bucket, no broadcast,
     nothing driver-side.  Output: (doc_id, lang, n_tokens,
     stopword_ratio) of the cleaned corpus."""
-    import pyarrow.compute as pc
-    from .common import round_half_up
-    from .textstats import TOKEN_RE, STOPWORD_RE
+    from .textstats import quality_signals
 
     nb = num_buckets
 
     def quality_rows(batch: pa.Table) -> pa.Table:
         text = batch.column('text')
-        n_tokens = pc.cast(pc.count_substring_regex(text, pattern=TOKEN_RE),
-                           pa.int64())
-        n_stop = pc.cast(pc.count_substring_regex(text, pattern=STOPWORD_RE),
-                         pa.int64())
-        nt = n_tokens.to_numpy(zero_copy_only=False)
-        st = n_stop.to_numpy(zero_copy_only=False).astype(np.float64)
-        ratio = np.where(nt > 0,
-                         round_half_up(st / np.maximum(nt, 1.0), 6), 0.0)
-        keep = (nt >= 5) & (nt <= 2000) & (ratio > 0.01)
+        # THE shared gate (textstats.quality_signals) — corpus_clean's
+        # oracle and tests assert equality with doc_quality's is_quality
+        n_tokens, _n_stop, ratio, keep = quality_signals(text)
         t = pa.table({
             'doc_id': batch.column('doc_id'),
             'lang': batch.column('lang'),

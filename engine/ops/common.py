@@ -13,7 +13,8 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ['round_half_up', 'sql_round', 'sf_from_dir', 'table_path',
-           'read_small_table', 'read_table', 'BroadcastLookup', 'pool']
+           'read_small_table', 'read_table', 'BroadcastLookup', 'pool',
+           'hash63_keys']
 
 
 def pool(frac=0.75, floor=2):
@@ -27,6 +28,20 @@ def pool(frac=0.75, floor=2):
     except Exception:
         cpus = 4
     return (1, max(floor, int(cpus * frac)))
+
+
+def hash63_keys(ids):
+    """63-bit md5 key per integer id — the ORACLE-SHARED hashing
+    convention (= DuckDB ``md5_number_lower(v::VARCHAR) & (2^63 - 1)``:
+    last 8 digest bytes little-endian, 63-bit mask).  The SINGLE home
+    for the convention: the oracle parity of uniform/stratified
+    sampling, the IVF training sample and the KMV sketch all hang on
+    this exact byte rule, so it must not fork per module."""
+    import hashlib
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(str(int(v)).encode()).digest()[8:16],
+                        'little') & 0x7FFFFFFFFFFFFFFF for v in ids),
+        dtype=np.int64, count=len(ids))
 
 
 def round_half_up(x, digits):

@@ -779,7 +779,7 @@ def events_value_quantiles(sf_dir, qs=(0.5, 0.9, 0.99)):
         for q in qs:
             target = int(np.ceil(q * n))
             pos = int(np.searchsorted(cum, target, side='left'))
-            cols['p%02d' % int(q * 100)] = pa.array([float(vals[pos])],
+            cols['p%02d' % int(round(q * 100))] = pa.array([float(vals[pos])],
                                                     pa.float64())
         cols['n_events'] = pa.array([n], pa.int64())
         return pa.table(cols)
@@ -817,7 +817,11 @@ def shipping_priority(sf_dir, segment='BUILDING', cutoff='1997-06-30',
          order row);
       3. per bucket: C++ group_by folds revenue, a hash join attaches the
          order payload, a per-bucket top-k caps the global sort at
-         num_buckets × k rows."""
+         num_buckets × k rows.
+
+    NOTE: stages 1-2 deliberately mirror top_orders_revenue's bucketed
+    semi-join scaffolding (extended with carried payload columns) — a fix
+    to the co-partition pattern there must be applied here too."""
     nb = num_buckets
     cut = pa.scalar(np.datetime64(cutoff + 'T00:00:00', 'us'),
                     pa.timestamp('us'))
@@ -1064,7 +1068,7 @@ def events_value_hist_quantiles(sf_dir, width=0.5, qs=(0.5, 0.9, 0.99)):
         cols = {'event_type': group.column('event_type').slice(0, 1)}
         for q in qs:
             pos = int(np.searchsorted(cum, np.ceil(q * n), side='left'))
-            cols['p%02d_est' % int(q * 100)] = pa.array(
+            cols['p%02d_est' % int(round(q * 100))] = pa.array(
                 [(float(bins[pos]) + 1.0) * width], pa.float64())
         cols['n_events'] = pa.array([n], pa.int64())
         cols['n_bins'] = pa.array([len(bins)], pa.int64())
@@ -1079,18 +1083,19 @@ def events_value_hist_quantiles(sf_dir, width=0.5, qs=(0.5, 0.9, 0.99)):
 _EVENT_TYPES = ('click', 'error', 'purchase', 'signup', 'view')
 
 
-def user_event_pivot(sf_dir, num_buckets=64):
+def user_event_pivot(sf_dir, event_types=_EVENT_TYPES, num_buckets=64):
     """PIVOT / reshape: one row per user with a count column per event
     type (long → wide).  The pivot happens INSIDE the per-block combiner
     — each block folds to (user, type, cnt) rows, the bucketed exchange
     moves combiner rows only, and each bucket pivots ALL its users in one
     vectorized scatter (type dictionary-encode → (row, col) index → 2-D
-    bincount), not a per-user map_groups.  The column set is the operator
-    PARAMETER (known event vocabulary) — the standard contract for pivot
-    at scale, since discovered-at-runtime columns would need a schema
-    barrier."""
+    bincount), not a per-user map_groups.  ``event_types`` — the column
+    set — is the operator's PARAMETER (known vocabulary): the standard
+    contract for pivot at scale, since discovered-at-runtime columns
+    would need a schema barrier.  A value outside the vocabulary raises
+    a named ValueError rather than failing deep in a worker."""
     nb = num_buckets
-    type_idx = {t: i for i, t in enumerate(_EVENT_TYPES)}
+    type_idx = {t: i for i, t in enumerate(event_types)}
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({'user_id': batch.column('user_id'),
@@ -1103,13 +1108,23 @@ def user_event_pivot(sf_dir, num_buckets=64):
     def pivot(group: pa.Table) -> pa.Table:
         uid = group.column('user_id').to_numpy(zero_copy_only=False)
         cnt = group.column('cnt').to_numpy(zero_copy_only=False)
-        types = group.column('event_type').to_pylist()
+        # type → column index in C++: dictionary-encode the (already
+        # combiner-deduped) type column, remap only the tiny dictionary
+        enc = group.column('event_type').combine_chunks().dictionary_encode()
+        dict_vals = enc.dictionary.to_pylist()
+        unknown = [v for v in dict_vals if v not in type_idx]
+        if unknown:
+            raise ValueError(
+                'user_event_pivot: event_type values %r are not in the '
+                'pivot vocabulary %r' % (unknown, list(event_types)))
+        remap = np.fromiter((type_idx[v] for v in dict_vals), np.int64,
+                            len(dict_vals))
+        col = remap[enc.indices.to_numpy(zero_copy_only=False)]
         users, row = np.unique(uid, return_inverse=True)
-        col = np.fromiter((type_idx[t] for t in types), np.int64, len(types))
-        wide = np.zeros((len(users), len(_EVENT_TYPES)), np.int64)
+        wide = np.zeros((len(users), len(event_types)), np.int64)
         np.add.at(wide, (row, col), cnt)
         cols = {'user_id': pa.array(users, pa.int64())}
-        for i, t in enumerate(_EVENT_TYPES):
+        for i, t in enumerate(event_types):
             cols['n_' + t] = pa.array(wide[:, i], pa.int64())
         cols['n_total'] = pa.array(wide.sum(axis=1), pa.int64())
         return pa.table(cols)

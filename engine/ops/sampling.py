@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .common import read_table
+from .common import read_table, hash63_keys
 
 __all__ = ['sample_stratified', 'sample_uniform']
 
@@ -29,11 +29,9 @@ _MASK63 = (1 << 63) - 1
 
 
 def _sort_keys(doc_ids):
-    """63-bit md5-based sample key per doc_id (oracle-shared)."""
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:16],
-                        'little') & _MASK63 for d in doc_ids),
-        dtype=np.int64, count=len(doc_ids))
+    """63-bit md5-based sample key per doc_id (common.hash63_keys —
+    the oracle-shared convention)."""
+    return hash63_keys(doc_ids)
 
 
 def sample_stratified(sf_dir, per_group=50, group_col='lang'):

@@ -336,13 +336,11 @@ _MASK63 = (1 << 63) - 1
 
 
 def _sample_keys(ids):
-    """63-bit md5 sample key per vec_id (the sampling.py pattern; shared
-    verbatim with the oracle builder so both sides pick the same rows)."""
-    import hashlib
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(str(int(v)).encode()).digest()[8:16],
-                        'little') & _MASK63 for v in ids),
-        dtype=np.int64, count=len(ids))
+    """63-bit md5 sample key per vec_id (common.hash63_keys — the
+    oracle-shared convention; the oracle builder imports THIS name so
+    both sides pick the same rows)."""
+    from .common import hash63_keys
+    return hash63_keys(ids)
 
 
 def _train_matrix(sf_dir, max_train=65536):

@@ -20,7 +20,7 @@ import pyarrow as pa
 
 import ray.data
 
-from .common import round_half_up, read_table
+from .common import round_half_up, read_table, hash63_keys
 
 __all__ = ['distinct_users_kmv']
 
@@ -29,13 +29,9 @@ _M63F = float(_MASK63)
 
 
 def _hash63(ids):
-    """md5(str(v)) → 63-bit int64 keys; matches the oracle's
-    ``md5_number_lower(v::VARCHAR) & (2^63 - 1)`` (last 8 digest bytes,
-    little-endian — the shared convention of sampling.py/similarity.py)."""
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(str(int(v)).encode()).digest()[8:16],
-                        'little') & _MASK63 for v in ids),
-        dtype=np.int64, count=len(ids))
+    """md5(str(v)) → 63-bit int64 keys (common.hash63_keys — the
+    oracle-shared convention)."""
+    return hash63_keys(ids)
 
 
 def distinct_users_kmv(sf_dir, k=64):

@@ -92,20 +92,36 @@ def doc_token_bpe(sf_dir):
         stats, batch_format='pyarrow', zero_copy_batch=True)
 
 
+# Quality keep-gate thresholds — ONE home, used by doc_quality here and
+# clusters.corpus_clean (whose oracle and tests assert the two gates are
+# the same predicate; forking them breaks both silently).
+QUALITY_MIN_TOKENS = 5
+QUALITY_MAX_TOKENS = 2000
+QUALITY_MIN_STOPWORD_RATIO = 0.01
+
+
+def quality_signals(text_col):
+    """The quality gate over a text column: returns (n_tokens int64
+    Arrow array, n_stopwords int64 Arrow array, stopword_ratio float64
+    ndarray half-up r6, keep bool ndarray)."""
+    n_tokens = _count_re(text_col, TOKEN_RE)
+    n_stop = _count_re(text_col, STOPWORD_RE)
+    nt = n_tokens.to_numpy(zero_copy_only=False)
+    st = n_stop.to_numpy(zero_copy_only=False).astype(np.float64)
+    ratio = np.where(nt > 0, round_half_up(st / np.maximum(nt, 1.0), 6), 0.0)
+    keep = (nt >= QUALITY_MIN_TOKENS) & (nt <= QUALITY_MAX_TOKENS) \
+        & (ratio > QUALITY_MIN_STOPWORD_RATIO)
+    return n_tokens, n_stop, ratio, keep
+
+
 def doc_quality(sf_dir):
     """Quality scoring: stopword/punct/digit counts, stopword ratio (r6),
     boolean keep-gate — the standard corpus-hygiene signals."""
     def quality(batch: pa.Table) -> pa.Table:
         text = batch.column('text')
-        n_tokens = _count_re(text, TOKEN_RE)
-        n_stop = _count_re(text, STOPWORD_RE)
+        n_tokens, n_stop, ratio, is_quality = quality_signals(text)
         n_punct = _count_re(text, PUNCT_RE)
         n_digit = _count_re(text, DIGIT_RE)
-        nt = n_tokens.to_numpy(zero_copy_only=False).astype(np.float64)
-        st = n_stop.to_numpy(zero_copy_only=False).astype(np.float64)
-        ratio = np.where(nt > 0, round_half_up(st / np.maximum(nt, 1.0), 6), 0.0)
-        is_quality = (n_tokens.to_numpy(zero_copy_only=False) >= 5) \
-            & (n_tokens.to_numpy(zero_copy_only=False) <= 2000) & (ratio > 0.01)
         return pa.table({
             'doc_id': batch.column('doc_id'),
             'n_tokens': n_tokens,
@@ -200,6 +216,18 @@ def fingerprint_winnow(sf_dir, k=5, w=4):
         fp, batch_format='pyarrow', zero_copy_batch=True)
 
 
+def _string_bucket(col, nb):
+    """md5-bucket keys for a string column (first 8 digest bytes
+    little-endian & (nb-1)) — the ONE home for the token/bigram bucket
+    convention used by every co-partitioned text exchange here
+    (token_frequencies, tf-idf df fold, PMI unigram/bigram folds)."""
+    return pa.array(np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode('utf-8')).digest()[:8],
+                        'little') & (nb - 1)
+         for s in col.to_pylist()),
+        dtype=np.int64, count=len(col)), pa.int64())
+
+
 def token_frequencies(sf_dir, top_n=100, num_buckets=64):
     """Global heavy-hitters: the ``top_n`` most frequent whitespace tokens
     corpus-wide (count desc, token asc tie-break).
@@ -221,12 +249,7 @@ def token_frequencies(sf_dir, top_n=100, num_buckets=64):
         g = pa.table({'token': flat}).group_by('token') \
               .aggregate([('token', 'count')])
         g = g.rename_columns(['token', 'cnt'])
-        keys = np.fromiter(
-            (int.from_bytes(hashlib.md5(s.encode('utf-8')).digest()[:8],
-                            'little') & (nb - 1)
-             for s in g.column('token').to_pylist()),
-            dtype=np.int64, count=g.num_rows)
-        return g.append_column('bucket', pa.array(keys, pa.int64()))
+        return g.append_column('bucket', _string_bucket(g.column('token'), nb))
 
     def fold(group: pa.Table) -> pa.Table:
         g = group.group_by('token').aggregate([('cnt', 'sum')])
@@ -291,12 +314,7 @@ def doc_tfidf_topk(sf_dir, k=3, num_buckets=64):
         g = dt.select(['token']).group_by('token') \
               .aggregate([([], 'count_all')])
         g = g.rename_columns(['token', 'df'])
-        keys = np.fromiter(
-            (int.from_bytes(hashlib.md5(s.encode('utf-8')).digest()[:8],
-                            'little') & (nb - 1)
-             for s in g.column('token').to_pylist()),
-            dtype=np.int64, count=g.num_rows)
-        return g.append_column('bucket', pa.array(keys, pa.int64()))
+        return g.append_column('bucket', _string_bucket(g.column('token'), nb))
 
     def df_fold(group: pa.Table) -> pa.Table:
         g = group.group_by('token').aggregate([('df', 'sum')])
@@ -328,15 +346,25 @@ def doc_tfidf_topk(sf_dir, k=3, num_buckets=64):
         # same expression tree as the oracle: ln(N/df) * tf, in float64
         sc = np.log(n / dfs) * tfv
         ids = tf.column('doc_id').to_numpy(zero_copy_only=False)
-        # '<U' unicode dtype: lexsort compares by code point, matching the
-        # oracle's binary string ORDER BY for the ASCII token space
-        tok_arr = np.asarray(toks, dtype=np.str_)
-        order = np.lexsort((tok_arr, -sc, ids))
+        # token tie-break WITHOUT a padded '<U' numpy array (whose
+        # per-element width is the longest token — one pathological
+        # 100k-char token would make it O(rows × max_len)): dictionary-
+        # encode in C++, sort only the tiny dictionary, lexsort on the
+        # integer rank.  Arrow's sort is code-point order, matching the
+        # oracle's binary string ORDER BY.
+        tok_col = tf.column('token').combine_chunks()
+        enc = tok_col.dictionary_encode()
+        dorder = pc.sort_indices(enc.dictionary).to_numpy(
+            zero_copy_only=False)
+        drank = np.empty(len(dorder), np.int64)
+        drank[dorder] = np.arange(len(dorder), dtype=np.int64)
+        tok_rank = drank[enc.indices.to_numpy(zero_copy_only=False)]
+        order = np.lexsort((tok_rank, -sc, ids))
         rank = rank_in_sorted_key(ids[order])
         keep = order[rank <= k]
         return pa.table({
             'doc_id': pa.array(ids[keep], pa.int64()),
-            'token': pa.array(tok_arr[keep], pa.string()),
+            'token': tok_col.take(pa.array(keep, pa.int64())),
             'score': pa.array(round_half_up(sc[keep], 6), pa.float64()),
             'rank': pa.array(rank[rank <= k], pa.int64()),
         })
@@ -390,12 +418,7 @@ def bigram_pmi_topk(sf_dir, topk=50, min_support=5, num_buckets=64):
         g = pa.table({'bg': joined.filter(pa.array(mask, pa.bool_()))}) \
             .group_by('bg').aggregate([([], 'count_all')])
         g = g.rename_columns(['bg', 'cnt'])
-        keys = np.fromiter(
-            (int.from_bytes(hashlib.md5(s.encode('utf-8')).digest()[:8],
-                            'little') & (nb - 1)
-             for s in g.column('bg').to_pylist()),
-            dtype=np.int64, count=g.num_rows)
-        return g.append_column('bucket', pa.array(keys, pa.int64()))
+        return g.append_column('bucket', _string_bucket(g.column('bg'), nb))
 
     def bigram_fold(group: pa.Table) -> pa.Table:
         g = group.group_by('bg').aggregate([('cnt', 'sum')])
@@ -411,12 +434,7 @@ def bigram_pmi_topk(sf_dir, topk=50, min_support=5, num_buckets=64):
         g = pa.table({'token': flat}).group_by('token') \
               .aggregate([([], 'count_all')])
         g = g.rename_columns(['token', 'cnt'])
-        keys = np.fromiter(
-            (int.from_bytes(hashlib.md5(s.encode('utf-8')).digest()[:8],
-                            'little') & (nb - 1)
-             for s in g.column('token').to_pylist()),
-            dtype=np.int64, count=g.num_rows)
-        return g.append_column('bucket', pa.array(keys, pa.int64()))
+        return g.append_column('bucket', _string_bucket(g.column('token'), nb))
 
     uni_ds = docs.map_batches(uni_partial, batch_format='pyarrow',
                               zero_copy_batch=True) \
@@ -456,7 +474,7 @@ def bigram_pmi_topk(sf_dir, topk=50, min_support=5, num_buckets=64):
         # same expression tree as the oracle: ((c·nu)·nu) / ((nbi·ca)·cb)
         pmi = np.log((cab * nu) * nu / ((nbi * ca) * cb))
         t = pa.table({
-            'bigram': pa.array(np.asarray(bgs, dtype=np.str_), pa.string()),
+            'bigram': keep.column('bg').cast(pa.string()),
             'n_occurrences': keep.column('cnt').cast(pa.int64()),
             'pmi_raw': pa.array(pmi, pa.float64()),
         })

@@ -101,16 +101,19 @@ def build_spans_dataset(input_path, batch_size=64, concurrency=None):
 def _compact_chunked(dset, base_filter, keys, tmp_path, max_rows):
     """External merge compaction for a bucket whose rows exceed
     ``max_rows`` (single giant conversation, or many medium ones): sort
-    the narrow key table, cut it into ≤ max_rows windows ALONG the sorted
-    order, and stream each window — an exact half-open (conv_id, turn_idx)
-    key-range predicate read, sorted in memory — through one ParquetWriter.
-    Window boundaries may split a conversation mid-run; the composite-key
-    range predicate keeps each row in exactly one window, so the
-    concatenation of sorted windows along sorted boundaries IS the fully
-    sorted bucket — byte-identical output to the in-memory path, with
-    per-task memory O(max_rows) regardless of conversation size.  (This
-    implements the giant-conversation escape hatch: the spill format is
-    untouched, the split key is effectively (conv_id, turn_idx // window).)
+    the narrow key table, cut it into ~max_rows windows ALONG the sorted
+    order, and stream each window — a half-open (conv_id, turn_idx)
+    key-range predicate read ([window start key, next window's start
+    key), last window unbounded above), sorted in memory — through one
+    ParquetWriter.  Window boundaries may split a conversation mid-run
+    and always fall on a key change, so every row (including duplicate
+    keys) lands in exactly one window and the concatenation of sorted
+    windows along sorted boundaries IS the fully sorted bucket —
+    byte-identical output to the in-memory path, with per-task memory
+    O(max_rows + largest duplicate-key run) regardless of conversation
+    size.  (This implements the giant-conversation escape hatch: the
+    spill format is untouched, the split key is effectively
+    (conv_id, turn_idx // window).)
     """
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
@@ -122,15 +125,30 @@ def _compact_chunked(dset, base_filter, keys, tmp_path, max_rows):
     rows = failures = spans = 0
     writer = None
     try:
-        for start in range(0, n, max_rows):
+        start = 0
+        while start < n:
             lo_c, lo_t = convs[start].as_py(), turns[start].as_py()
-            end = min(start + max_rows, n) - 1
-            hi_c, hi_t = convs[end].as_py(), turns[end].as_py()
+            end = min(start + max_rows, n)
+            # HALF-OPEN windows [key[start], key[end]): a boundary must
+            # fall on a key CHANGE so duplicate (conv_id, turn_idx) keys
+            # (unique for turns today, but not for e.g. a spans dataset)
+            # land in exactly one window — advance past any run of the
+            # boundary key (memory stays O(max_rows + largest key run)).
+            while end < n and convs[end] == convs[end - 1] \
+                    and turns[end] == turns[end - 1]:
+                end += 1
             f_lo = (pads.field('conv_id') > lo_c) | (
                 (pads.field('conv_id') == lo_c) & (pads.field('turn_idx') >= lo_t))
-            f_hi = (pads.field('conv_id') < hi_c) | (
-                (pads.field('conv_id') == hi_c) & (pads.field('turn_idx') <= hi_t))
-            chunk = dset.to_table(filter=base_filter & f_lo & f_hi)
+            if end < n:
+                hi_c, hi_t = convs[end].as_py(), turns[end].as_py()
+                f_hi = (pads.field('conv_id') < hi_c) | (
+                    (pads.field('conv_id') == hi_c) &
+                    (pads.field('turn_idx') < hi_t))
+                window = base_filter & f_lo & f_hi
+            else:
+                window = base_filter & f_lo
+            start = end
+            chunk = dset.to_table(filter=window)
             ordered = chunk.sort_by([('conv_id', 'ascending'),
                                      ('turn_idx', 'ascending')])
             ordered = ordered.drop_columns(['bucket'])

@@ -330,3 +330,23 @@ def test_rolling_window_matches_running_prefix(ray_session):
         else:
             assert r['n_in_frame'] == 3
             assert r['roll_cents'] <= u['running_cents']
+
+
+def test_pivot_unknown_type_raises(ray_session):
+    """A value outside the pivot vocabulary must fail with a NAMED error,
+    not an opaque KeyError deep in a worker."""
+    from engine.ops.relational import user_event_pivot
+    import ray.exceptions
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)) as ei:
+        user_event_pivot(SF_DIR, event_types=('click', 'view')).take_all()
+    assert 'pivot vocabulary' in str(ei.value)
+
+
+def test_clusters_unconverged_raises(ray_session):
+    """No silent caps: exhausting max_iters without convergence must raise
+    loudly (unconverged labels would silently produce multiple survivors
+    per real cluster downstream in corpus_clean)."""
+    from engine.ops.clusters import dedup_clusters
+    with pytest.raises(Exception) as ei:
+        dedup_clusters(SF_DIR, max_iters=0).take_all()
+    assert 'did not converge' in str(ei.value)

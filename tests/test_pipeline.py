@@ -413,3 +413,39 @@ def test_chunked_compaction_identical_output(ray_session, tmp_path_factory,
         a = pq.read_table(os.path.join(out_mem, name))
         b = pq.read_table(os.path.join(out_chk, name))
         assert a.equals(b), name       # same rows, same order, same schema
+
+
+def test_compact_chunked_duplicate_keys(tmp_path):
+    """Half-open window contract: rows whose (conv_id, turn_idx) key is
+    DUPLICATED across a window boundary must land in exactly one window
+    (the review found the old inclusive-both-ends predicates read them
+    twice).  30 rows with every key appearing 3x, window of 4 → boundaries
+    must advance past key runs; exactly-once output, fully sorted."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    from engine.rayjob.pipeline import _compact_chunked
+
+    n = 30
+    convs = ['c%d' % (i % 2) for i in range(n)]
+    turns = [(i // 2) // 3 for i in range(n)]     # each (conv, turn) 3x
+    tbl = pa.table({
+        'conv_id': pa.array(convs, pa.string()),
+        'turn_idx': pa.array(turns, pa.int32()),
+        'text': pa.array(['t%d' % i for i in range(n)], pa.string()),
+        'n_spans': pa.array([1] * n, pa.int32()),
+        'decode_ok': pa.array([True] * n, pa.bool_()),
+        'bucket': pa.array([0] * n, pa.int64()),
+    })
+    f = os.path.join(str(tmp_path), 'spill.parquet')
+    pq.write_table(tbl, f)
+    dset = pads.dataset([f])
+    keys = tbl.select(['conv_id', 'turn_idx'])
+    out = os.path.join(str(tmp_path), 'out.parquet')
+    rows, failures, spans = _compact_chunked(
+        dset, pads.field('bucket') == 0, keys, out, max_rows=4)
+    assert (rows, failures, spans) == (n, 0, n)
+    got = pq.read_table(out)
+    assert got.num_rows == n                      # exactly-once
+    ks = list(zip(got.column('conv_id').to_pylist(),
+                  got.column('turn_idx').to_pylist()))
+    assert ks == sorted(ks)                       # fully sorted
