@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_value_hist_quantiles': relational.events_value_hist_quantiles,
         'user_event_pivot': relational.user_event_pivot,
         'events_user_rolling': relational.events_user_rolling,
+        'customer_order_counts': relational.customer_order_counts,
         # cardinality sketches
         'distinct_users_kmv': sketches.distinct_users_kmv,
         # alternate-format ingestion (NDJSON source)
@@ -212,6 +213,14 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+        'customer_order_counts': """
+SELECT c_custkey,
+       count(o.o_orderkey)::BIGINT AS n_orders,
+       coalesce(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)), 0)::BIGINT
+         AS spend_cents
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c_custkey
 """,
         'user_event_pivot': """
 SELECT user_id,

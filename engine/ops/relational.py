@@ -42,7 +42,7 @@ __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'top_orders_per_customer', 'events_value_quantiles',
            'shipping_priority', 'events_user_running', 'events_props_stats',
            'events_value_hist_quantiles', 'user_event_pivot',
-           'events_user_rolling']
+           'events_user_rolling', 'customer_order_counts']
 
 
 def rank_in_sorted_key(keys_sorted):
@@ -1178,3 +1178,73 @@ def events_user_rolling(sf_dir, frame=3, num_buckets=64):
     return (ds.map_batches(add_bucket, batch_format='pyarrow',
                            zero_copy_batch=True)
               .groupby('bucket').map_groups(rolling, batch_format='pyarrow'))
+
+
+def customer_order_counts(sf_dir, num_buckets=64):
+    """LEFT OUTER fact-fact join with null-fill: every customer with
+    their order count and total spend — INCLUDING customers with no
+    orders (n_orders = 0) — the outer-join companion to the inner/semi/
+    anti co-partitions above.
+
+    Shape: customers ride the bucketed exchange as marker rows (cnt
+    null); orders partial-aggregate per (block, custkey) — the combiner —
+    and ride the same exchange; each bucket folds order partials in C++
+    and LEFT joins them onto its customer rows, coalescing absent
+    matches to zero.  Spend is carried in integer CENTS so the two-tier
+    fold is exact (float totals would differ from the oracle's one-pass
+    sum by association order)."""
+    nb = num_buckets
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        keys = batch.column('c_custkey')
+        n = len(keys)
+        return pa.table({
+            'c_custkey': keys,
+            'cnt': pa.nulls(n, pa.int64()),
+            'cents': pa.nulls(n, pa.int64()),
+            'bucket': pa.array(keys.to_numpy(zero_copy_only=False) & (nb - 1),
+                               pa.int64()),
+        })
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch.column('o_totalprice').to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({'c_custkey': batch.column('o_custkey'),
+                      'cents': pa.array(cents, pa.int64())})
+        g = t.group_by('c_custkey').aggregate(
+            [('cents', 'sum'), ('cents', 'count')])
+        g = g.rename_columns(['c_custkey', 'cents', 'cnt'])
+        return pa.table({
+            'c_custkey': g.column('c_custkey'),
+            'cnt': g.column('cnt').cast(pa.int64()),
+            'cents': g.column('cents'),
+            'bucket': pa.array(
+                g.column('c_custkey').to_numpy(zero_copy_only=False) & (nb - 1),
+                pa.int64()),
+        })
+
+    def outer_bucket(group: pa.Table) -> pa.Table:
+        is_cust = pc.is_null(group.column('cnt'))
+        cust = group.filter(is_cust).select(['c_custkey'])
+        parts = group.filter(pc.invert(is_cust)) \
+                     .select(['c_custkey', 'cnt', 'cents'])
+        folded = parts.group_by('c_custkey').aggregate(
+            [('cnt', 'sum'), ('cents', 'sum')])
+        folded = folded.rename_columns(['c_custkey', 'cnt', 'cents'])
+        j = cust.join(folded, keys='c_custkey', join_type='left outer')
+        cnt = pc.coalesce(j.column('cnt'), pa.scalar(0, pa.int64()))
+        cents = pc.coalesce(j.column('cents'), pa.scalar(0, pa.int64()))
+        return pa.table({
+            'c_custkey': j.column('c_custkey'),
+            'n_orders': cnt.cast(pa.int64()),
+            'spend_cents': cents.cast(pa.int64()),
+        })
+
+    cust = read_table(sf_dir, 'customer', columns=['c_custkey'])
+    orders = read_table(sf_dir, 'orders',
+                        columns=['o_custkey', 'o_totalprice'])
+    return cust.map_batches(cust_rows, batch_format='pyarrow',
+                            zero_copy_batch=True) \
+        .union(orders.map_batches(order_partial, batch_format='pyarrow',
+                                  zero_copy_batch=True)) \
+        .groupby('bucket').map_groups(outer_bucket, batch_format='pyarrow')

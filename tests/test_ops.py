@@ -65,7 +65,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'distinct_users_kmv', 'bigram_pmi_topk', 'docs_from_jsonl',
                   'events_user_running', 'events_props_stats',
                   'events_value_hist_quantiles', 'sample_uniform', 'doc_scrub',
-                  'user_event_pivot', 'events_user_rolling']
+                  'user_event_pivot', 'events_user_rolling',
+                  'customer_order_counts']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
