@@ -351,3 +351,42 @@ def test_clusters_unconverged_raises(ray_session):
     with pytest.raises(Exception) as ei:
         dedup_clusters(SF_DIR, max_iters=0).take_all()
     assert 'did not converge' in str(ei.value)
+
+
+def test_window_ops_adversarial_events(ray_session, tmp_path):
+    """Window operators vs their oracles on CRAFTED data the synthetic
+    corpus never produces: duplicate timestamps within a user (tie-break
+    must fall to event_id), negative values (cents floor is half-up,
+    not trunc), and a single-event user (lag null, frame of 1)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+
+    ts0 = 1704067200000000
+    tbl = pa.table({
+        'event_id': pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        'ts': pa.array([ts0, ts0, ts0, ts0 + 10, ts0 + 10, ts0 + 99],
+                       pa.timestamp('us')),
+        'user_id': pa.array([7, 7, 7, 7, 3, 3], pa.int64()),
+        'event_type': pa.array(['click'] * 6, pa.string()),
+        'value': pa.array([-1.005, 2.675, 0.0, -0.004, 5.5, -2.5],
+                          pa.float64()),
+        'props': pa.array(['{"k": %d}' % i for i in range(6)], pa.string()),
+    })
+    d = str(tmp_path)
+    pq.write_table(tbl, os.path.join(d, 'events.parquet'))
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM read_parquet('%s')"
+                % os.path.join(d, 'events.parquet'))
+    sqls = entrymod.oracle_sql()
+    qs = entrymod.queries()
+    for name in ['events_user_running', 'events_user_rolling',
+                 'events_props_stats', 'events_value_hist_quantiles']:
+        ray_df = qs[name](d)
+        if not isinstance(ray_df, pd.DataFrame):
+            ray_df = ray_df.to_pandas()
+        sql_df = con.execute(sqls[name]).fetchdf()
+        a, b = _canon(ray_df), _canon(sql_df)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False), name
