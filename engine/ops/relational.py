@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from .common import (BroadcastLookup, round_half_up, table_path,
+from .common import (BroadcastLookup, round_half_up,
                      read_small_table, read_table, pool)
 
 __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',

@@ -15,11 +15,8 @@ Sort key parity with the DuckDB oracle: ``md5_number_lower(doc_id text)``
 masked to 63 bits — the same rule as textstats fingerprints.
 """
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from .common import read_table, hash63_keys
 

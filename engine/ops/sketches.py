@@ -13,8 +13,6 @@ the same float expression — an *approximate* operator with an EXACT
 oracle over its defined computation.
 """
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 

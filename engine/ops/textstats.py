@@ -16,7 +16,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from .common import round_half_up, table_path, read_table
+from .common import round_half_up, read_table
 
 __all__ = ['doc_token_stats', 'doc_quality', 'lang_id', 'fingerprint_md5',
            'doc_scrub',
