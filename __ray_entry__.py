@@ -148,6 +148,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'user_event_pivot': relational.user_event_pivot,
         'events_user_rolling': relational.events_user_rolling,
         'customer_order_counts': relational.customer_order_counts,
+        'events_latest_per_user': relational.events_latest_per_user,
+        'returnflag_priority_counts': relational.returnflag_priority_counts,
+        'events_rollup': relational.events_rollup,
+        'events_funnel': relational.events_funnel,
         # cardinality sketches
         'distinct_users_kmv': sketches.distinct_users_kmv,
         # alternate-format ingestion (NDJSON source)
@@ -240,6 +244,50 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+        'events_latest_per_user': """
+WITH r AS (
+  SELECT user_id, event_id, event_type, ts, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, event_type, ts, value FROM r WHERE rn = 1
+""",
+        'returnflag_priority_counts': """
+SELECT l.l_returnflag,
+       count(*) FILTER (WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH'))::BIGINT
+         AS n_high,
+       count(*) FILTER (WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))::BIGINT
+         AS n_low
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY l.l_returnflag
+""",
+        'events_rollup': """
+SELECT event_type, date_trunc('day', ts) AS day,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents,
+       (GROUPING(event_type) * 2 + GROUPING(date_trunc('day', ts)))::BIGINT AS lvl
+FROM events
+GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+""",
+        'events_funnel': """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT 'view' AS stage, 1::BIGINT AS seq,
+       (SELECT count(*) FROM v)::BIGINT AS n_users
+UNION ALL SELECT 'click', 2::BIGINT, (SELECT count(*) FROM c)::BIGINT
+UNION ALL SELECT 'purchase', 3::BIGINT, (SELECT count(*) FROM p)::BIGINT
 """,
         'events_props_stats': """
 WITH e AS (

@@ -42,7 +42,9 @@ __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'top_orders_per_customer', 'events_value_quantiles',
            'shipping_priority', 'events_user_running', 'events_props_stats',
            'events_value_hist_quantiles', 'user_event_pivot',
-           'events_user_rolling', 'customer_order_counts']
+           'events_user_rolling', 'customer_order_counts',
+           'events_latest_per_user', 'returnflag_priority_counts',
+           'events_rollup', 'events_funnel']
 
 
 def rank_in_sorted_key(keys_sorted):
@@ -1248,3 +1250,272 @@ def customer_order_counts(sf_dir, num_buckets=64):
         .union(orders.map_batches(order_partial, batch_format='pyarrow',
                                   zero_copy_batch=True)) \
         .groupby('bucket').map_groups(outer_bucket, batch_format='pyarrow')
+
+
+def events_latest_per_user(sf_dir, num_buckets=64):
+    """LATEST-RECORD COMPACTION (the CDC / upsert shape): collapse the
+    event stream to each user's single most recent event (max ts,
+    event_id as the deterministic tie-break) — the operation that turns
+    an append-only change log into a current-state snapshot.
+
+    Two-tier argmax, same skeleton as grouped top-k: a per-block PARTIAL
+    latest-per-user (lexsort desc + run-rank == 1; a block's winner is a
+    superset of its contribution to the global winner) caps the exchange
+    at ONE row per (user, block); one bucketed ``user_id & (nb-1)``
+    groupby; the identical kernel per bucket picks the global winner.
+    Payload columns (event_type, value) ride the exchange with the
+    winner rows only — the log's full width never shuffles."""
+    nb = num_buckets
+
+    def latest_rows(batch: pa.Table, with_bucket) -> pa.Table:
+        uid = batch.column('user_id').to_numpy(zero_copy_only=False)
+        ts = batch.column('ts').cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch.column('event_id').to_numpy(zero_copy_only=False)
+        order = np.lexsort((-eid, -ts, uid))
+        keep = order[rank_in_sorted_key(uid[order]) == 1]
+        out = batch.take(pa.array(keep, pa.int64()))
+        if with_bucket:
+            out = out.append_column(
+                'bucket', pa.array(uid[keep] & (nb - 1), pa.int64()))
+        return out
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return latest_rows(batch, with_bucket=True)
+
+    def bucket_final(group: pa.Table) -> pa.Table:
+        return latest_rows(group.drop_columns(['bucket']), with_bucket=False)
+
+    ds = read_table(sf_dir, 'events',
+                    columns=['user_id', 'event_id', 'event_type', 'ts',
+                             'value'])
+    return ds.map_batches(partial, batch_format='pyarrow',
+                          zero_copy_batch=True) \
+             .groupby('bucket').map_groups(bucket_final,
+                                           batch_format='pyarrow')
+
+
+_HIGH_PRIORITIES = ('1-URGENT', '2-HIGH')
+
+_PRIO_EMPTY = pa.table({'l_returnflag': pa.array([], pa.string()),
+                        'n_high': pa.array([], pa.int64()),
+                        'n_low': pa.array([], pa.int64())})
+
+
+def returnflag_priority_counts(sf_dir, num_buckets=64):
+    """CONDITIONAL AGGREGATION over a fact-fact join (TPC-H Q12 shape,
+    adapted to this schema's columns): per lineitem return flag, how many
+    line items belong to high-priority orders vs low.
+
+    Shape: orders contribute ONE (orderkey, is_high) row each (orderkey
+    is the primary key — no distinct pass needed); lineitem
+    partial-aggregates per (block, orderkey, returnflag) so the exchange
+    moves combiner rows; one bucketed ``orderkey & (nb-1)`` co-partition;
+    each bucket resolves is_high with a C++ hash join and folds the CASE
+    counts; the ≤ buckets × flags partials finish driver-side."""
+    nb = num_buckets
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        keys = batch.column('o_orderkey')
+        is_high = pc.is_in(batch.column('o_orderpriority'),
+                           value_set=pa.array(_HIGH_PRIORITIES))
+        return pa.table({
+            'key': keys,
+            'is_high': is_high,
+            'l_returnflag': pa.nulls(len(keys), pa.string()),
+            'cnt': pa.nulls(len(keys), pa.int64()),
+            'bucket': pa.array(keys.to_numpy(zero_copy_only=False) & (nb - 1),
+                               pa.int64()),
+        })
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(['l_orderkey', 'l_returnflag']) \
+                 .group_by(['l_orderkey', 'l_returnflag']) \
+                 .aggregate([([], 'count_all')])
+        g = g.rename_columns(['key', 'l_returnflag', 'cnt'])
+        keys = g.column('key')
+        return pa.table({
+            'key': keys,
+            'is_high': pa.nulls(g.num_rows, pa.bool_()),
+            'l_returnflag': g.column('l_returnflag'),
+            'cnt': g.column('cnt').cast(pa.int64()),
+            'bucket': pa.array(keys.to_numpy(zero_copy_only=False) & (nb - 1),
+                               pa.int64()),
+        })
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        is_order = pc.is_null(group.column('l_returnflag'))
+        orders = group.filter(is_order).select(['key', 'is_high'])
+        lines = group.filter(pc.invert(is_order)) \
+                     .select(['key', 'l_returnflag', 'cnt'])
+        if lines.num_rows == 0 or orders.num_rows == 0:
+            return _PRIO_EMPTY
+        j = lines.join(orders, keys='key', join_type='inner')
+        hi = pc.if_else(j.column('is_high'), j.column('cnt'),
+                        pa.scalar(0, pa.int64()))
+        lo = pc.if_else(j.column('is_high'), pa.scalar(0, pa.int64()),
+                        j.column('cnt'))
+        t = pa.table({'l_returnflag': j.column('l_returnflag'),
+                      'n_high': hi, 'n_low': lo})
+        g = t.group_by('l_returnflag').aggregate(
+            [('n_high', 'sum'), ('n_low', 'sum')])
+        return pa.table({
+            'l_returnflag': g.column('l_returnflag'),
+            'n_high': g.column('n_high_sum').cast(pa.int64()),
+            'n_low': g.column('n_low_sum').cast(pa.int64()),
+        })
+
+    orders = read_table(sf_dir, 'orders',
+                        columns=['o_orderkey', 'o_orderpriority'])
+    lines = read_table(sf_dir, 'lineitem',
+                       columns=['l_orderkey', 'l_returnflag'])
+    cand = orders.map_batches(order_rows, batch_format='pyarrow',
+                              zero_copy_batch=True) \
+        .union(lines.map_batches(line_partial, batch_format='pyarrow',
+                                 zero_copy_batch=True)) \
+        .groupby('bucket').map_groups(bucket_fold, batch_format='pyarrow')
+    parts = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables([_PRIO_EMPTY] + parts, promote_options='none')
+    g = tbl.group_by('l_returnflag').aggregate(
+        [('n_high', 'sum'), ('n_low', 'sum')])
+    return pa.table({
+        'l_returnflag': g.column('l_returnflag'),
+        'n_high': g.column('n_high_sum').cast(pa.int64()),
+        'n_low': g.column('n_low_sum').cast(pa.int64()),
+    })
+
+
+def events_rollup(sf_dir):
+    """ROLLUP aggregate — (event_type, day) detail plus the event_type
+    subtotals plus the grand total, all derived from ONE combiner pass:
+    the map stage folds each block to (type, day, cnt, cents) partials;
+    one tiny groupby folds them to the finest level; the coarser levels
+    are re-aggregations of THAT result (≤ types × days rows), never of
+    the raw stream.  ``lvl`` disambiguates the NULL padding exactly like
+    SQL's GROUPING(): 0 = detail, 1 = per-type, 3 = grand total.
+
+    Integer-cents totals keep the three fold tiers bit-identical to the
+    oracle's single-pass sums."""
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column('ts').cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (ts // DAY_US) * DAY_US
+        cents = np.floor(batch.column('value').to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({'event_type': batch.column('event_type'),
+                      'day': pa.array(day, pa.int64()),
+                      'cents': pa.array(cents, pa.int64())})
+        g = t.group_by(['event_type', 'day']).aggregate(
+            [('cents', 'sum'), ('cents', 'count')])
+        return g.rename_columns(['event_type', 'day', 'cents', 'cnt'])
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by(['event_type', 'day']).aggregate(
+            [('cents', 'sum'), ('cnt', 'sum')])
+        return g.rename_columns(['event_type', 'day', 'cents', 'cnt'])
+
+    ds = read_table(sf_dir, 'events', columns=['event_type', 'ts', 'value'])
+    detail_ds = ds.map_batches(partial, batch_format='pyarrow',
+                               zero_copy_batch=True) \
+                  .groupby(['event_type', 'day']).map_groups(
+                      fold, batch_format='pyarrow')
+    parts = [t for t in ray.get(detail_ds.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table({'event_type': pa.array([], pa.string()),
+                         'day': pa.array([], pa.timestamp('us')),
+                         'n_events': pa.array([], pa.int64()),
+                         'sum_cents': pa.array([], pa.int64()),
+                         'lvl': pa.array([], pa.int64())})
+    detail = pa.concat_tables(parts, promote_options='none')
+
+    def level(tbl, keys, lvl):
+        if keys:
+            g = tbl.group_by(keys).aggregate([('cents', 'sum'), ('cnt', 'sum')])
+            g = g.rename_columns(keys + ['cents', 'cnt'])
+        else:
+            g = pa.table({
+                'cents': pa.array([pc.sum(tbl.column('cents')).as_py() or 0],
+                                  pa.int64()),
+                'cnt': pa.array([pc.sum(tbl.column('cnt')).as_py() or 0],
+                                pa.int64())})
+        n = g.num_rows
+        return pa.table({
+            'event_type': (g.column('event_type') if 'event_type' in keys
+                           else pa.nulls(n, pa.string())),
+            'day': (g.column('day').cast(pa.timestamp('us')) if 'day' in keys
+                    else pa.nulls(n, pa.timestamp('us'))),
+            'n_events': g.column('cnt').cast(pa.int64()),
+            'sum_cents': g.column('cents').cast(pa.int64()),
+            'lvl': pa.array([lvl] * n, pa.int64()),
+        })
+
+    return pa.concat_tables([
+        level(detail, ['event_type', 'day'], 0),
+        level(detail, ['event_type'], 1),
+        level(detail, [], 3),
+    ], promote_options='none')
+
+
+_FUNNEL_STAGES = ('view', 'click', 'purchase')
+
+
+def events_funnel(sf_dir, stages=_FUNNEL_STAGES, num_buckets=64):
+    """ORDERED-SEQUENCE FUNNEL: how many users performed stage 1, then
+    stage 2 STRICTLY after it, then stage 3 strictly after that — the
+    sequential-pattern-match shape (sessionized conversion funnels).
+
+    Each user's whole history lives in one bucket (``user_id & (nb-1)``
+    exchange of only the 3 relevant event types, 2 columns wide), so the
+    stage recursion resolves per bucket in C++: stage k's earliest
+    qualifying timestamp is a group_by-min of stage-k rows hash-joined to
+    the stage-(k-1) frontier and filtered to ts > frontier.  Buckets emit
+    one partial count row per stage; the driver folds ≤ nb × stages
+    rows."""
+    nb = num_buckets
+    stage_arr = pa.array(stages)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch.column('event_type'),
+                                      value_set=stage_arr))
+        b = batch.column('user_id').to_numpy(zero_copy_only=False) & (nb - 1)
+        return batch.append_column('bucket', pa.array(b, pa.int64()))
+
+    def funnel_bucket(group: pa.Table) -> pa.Table:
+        etype = group.column('event_type')
+        counts = []
+        frontier = None   # pa.Table (user_id, t) of users alive at stage k
+        for k, stage in enumerate(stages):
+            rows = group.filter(pc.equal(etype, stage)) \
+                        .select(['user_id', 'ts'])
+            if k > 0:
+                rows = rows.join(frontier, keys='user_id', join_type='inner')
+                rows = rows.filter(pc.greater(rows.column('ts'),
+                                              rows.column('t')))
+                rows = rows.select(['user_id', 'ts'])
+            g = rows.group_by('user_id').aggregate([('ts', 'min')])
+            frontier = g.rename_columns(['user_id', 't'])
+            counts.append(frontier.num_rows)
+        return pa.table({
+            'stage': pa.array(list(stages), pa.string()),
+            'seq': pa.array(np.arange(1, len(stages) + 1), pa.int64()),
+            'n_users': pa.array(counts, pa.int64()),
+        })
+
+    ds = read_table(sf_dir, 'events',
+                    columns=['user_id', 'event_type', 'ts'])
+    cand = ds.map_batches(add_bucket, batch_format='pyarrow',
+                          zero_copy_batch=True) \
+             .groupby('bucket').map_groups(funnel_bucket,
+                                           batch_format='pyarrow')
+    base = pa.table({'stage': pa.array(list(stages), pa.string()),
+                     'seq': pa.array(np.arange(1, len(stages) + 1), pa.int64()),
+                     'n_users': pa.array([0] * len(stages), pa.int64())})
+    parts = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables([base] + parts, promote_options='none')
+    g = tbl.group_by(['stage', 'seq']).aggregate([('n_users', 'sum')])
+    g = g.rename_columns(['stage', 'seq', 'n_users'])
+    return pa.table({
+        'stage': g.column('stage'),
+        'seq': g.column('seq'),
+        'n_users': g.column('n_users').cast(pa.int64()),
+    })

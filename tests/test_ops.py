@@ -66,7 +66,9 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'events_user_running', 'events_props_stats',
                   'events_value_hist_quantiles', 'sample_uniform', 'doc_scrub',
                   'user_event_pivot', 'events_user_rolling',
-                  'customer_order_counts']
+                  'customer_order_counts', 'events_latest_per_user',
+                  'returnflag_priority_counts', 'events_rollup',
+                  'events_funnel']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
