@@ -54,6 +54,11 @@ def _dedup_payloads(sf_dir: str) -> Any:
     return dedup_exact_payloads(_transcripts_dir(sf_dir))
 
 
+def _conv_stats(sf_dir: str) -> Any:
+    from engine.ops.convstats import conv_stats
+    return conv_stats(_transcripts_dir(sf_dir))
+
+
 def _extract_metrics(sf_dir: str) -> Any:
     """SINGLE-PASS metrics: one combiner map_batches emits per-batch
     partial counters, one tiny .sum() folds them — the read→extract DAG
@@ -90,7 +95,8 @@ def _extract_metrics(sf_dir: str) -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from engine.ops import (dedup, relational, similarity, textstats,
-                            multimodal, sampling, clusters, sketches, ingest)
+                            multimodal, sampling, clusters, sketches, ingest,
+                            bloomjoin)
 
     return {
         # flagship extraction — oracle-checked via the reference-derived
@@ -152,10 +158,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'returnflag_priority_counts': relational.returnflag_priority_counts,
         'events_rollup': relational.events_rollup,
         'events_funnel': relational.events_funnel,
+        'users_view_and_purchase': relational.users_view_and_purchase,
+        'users_purchase_not_view': relational.users_purchase_not_view,
+        'urgent_order_lineitems': bloomjoin.urgent_order_lineitems,
+        'doc_repetition': textstats.doc_repetition,
+        'conv_stats': _conv_stats,
         # cardinality sketches
         'distinct_users_kmv': sketches.distinct_users_kmv,
-        # alternate-format ingestion (NDJSON source)
+        # alternate-format ingestion (NDJSON + CSV sources)
         'docs_from_jsonl': ingest.docs_from_jsonl,
+        'docs_from_csv': ingest.docs_from_csv,
         # multimodal plumbing (stub codecs; features oracle-checked)
         'multimodal_features': multimodal.decode_media_features,
         'multimodal_resize': multimodal.resize_media,       # rows-only (blobs)
@@ -194,6 +206,12 @@ def oracle_sql() -> dict[str, str]:
         generated['dedup_exact_payloads'] = oracles.payload_dedup_oracle_sql()
         from engine.ops import ingest
         generated['docs_from_jsonl'] = ingest.jsonl_oracle_sql()
+        generated['docs_from_csv'] = ingest.csv_oracle_sql()
+        from engine.ops.convstats import conv_stats_oracle_sql
+        from engine.ops.common import sf_from_dir as _sfd
+        from engine.rayjob.transcripts import ensure_corpus as _ec
+        generated['conv_stats'] = conv_stats_oracle_sql(
+            _ec(_sfd(oracles._oracle_sf_dir())))
         # flagship extraction: reference-derived expected tables → SQL joins
         generated.update(oracles.extract_oracle_sqls())
         # multimodal blob md5s vs fixture-time independent recompute
@@ -288,6 +306,38 @@ SELECT 'view' AS stage, 1::BIGINT AS seq,
        (SELECT count(*) FROM v)::BIGINT AS n_users
 UNION ALL SELECT 'click', 2::BIGINT, (SELECT count(*) FROM c)::BIGINT
 UNION ALL SELECT 'purchase', 3::BIGINT, (SELECT count(*) FROM p)::BIGINT
+""",
+        'users_view_and_purchase': """
+SELECT user_id FROM events WHERE event_type = 'view' AND value >= 95.0
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value >= 95.0
+""",
+        'users_purchase_not_view': """
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value >= 95.0
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'view' AND value >= 95.0
+""",
+        'urgent_order_lineitems': """
+SELECT l.l_orderkey AS o_orderkey, count(*)::BIGINT AS n_items,
+       sum(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT))::BIGINT
+         AS qty_cents
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l.l_orderkey
+""",
+        'doc_repetition': """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), c AS (
+  SELECT doc_id, word, count(*)::BIGINT AS cnt FROM w GROUP BY doc_id, word
+)
+SELECT doc_id,
+       sum(cnt)::BIGINT AS n_words,
+       count(*)::BIGINT AS n_distinct,
+       max(cnt)::BIGINT AS top_cnt,
+       floor((1.0 - count(*)::DOUBLE / sum(cnt)) * 1000000 + 0.5) / 1000000
+         AS dup_frac
+FROM c GROUP BY doc_id
 """,
         'events_props_stats': """
 WITH e AS (

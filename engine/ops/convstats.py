@@ -1,0 +1,75 @@
+"""Conversation-level statistics over the TRANSCRIPTS corpus — the
+flagship's own input table (BASELINE.json input_hint shape: conv_id,
+turn_idx, role, text, tool, ts).  The per-conversation rollup (turn
+count, distinct roles, tool-call turns, total text bytes) is the first
+query any transcript-corpus owner runs, and it exercises a string-keyed
+combiner-first aggregate with a count-DISTINCT inside: per-block
+partials are folded per (conv_id, role) so the exchange carries at most
+conversations × roles rows per block, never turns — at 10¹² turns the
+shuffle width is the conversation count, not the corpus.
+"""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .textstats import _string_bucket
+
+__all__ = ['conv_stats']
+
+
+def conv_stats(corpus_dir, num_buckets=64):
+    """Per-conversation (n_turns, n_roles, n_tool_turns, n_chars)."""
+    nb = num_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            'conv_id': batch.column('conv_id'),
+            'role': batch.column('role'),
+            'n_chars': pc.cast(pc.utf8_length(batch.column('text')),
+                               pa.int64()),
+            'n_tool': pc.cast(pc.not_equal(batch.column('tool'), ''),
+                              pa.int64()),
+        })
+        g = t.group_by(['conv_id', 'role']).aggregate(
+            [('n_chars', 'sum'), ('n_tool', 'sum'), ([], 'count_all')])
+        g = g.rename_columns(['conv_id', 'role', 'n_chars', 'n_tool',
+                              'n_turns'])
+        return g.append_column('bucket',
+                               _string_bucket(g.column('conv_id'), nb))
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        per_role = group.group_by(['conv_id', 'role']).aggregate(
+            [('n_chars', 'sum'), ('n_tool', 'sum'), ('n_turns', 'sum')])
+        per_role = per_role.rename_columns(
+            ['conv_id', 'role', 'n_chars', 'n_tool', 'n_turns'])
+        g = per_role.group_by('conv_id').aggregate(
+            [('n_turns', 'sum'), ([], 'count_all'), ('n_tool', 'sum'),
+             ('n_chars', 'sum')])
+        return pa.table({
+            'conv_id': g.column('conv_id'),
+            'n_turns': g.column('n_turns_sum').cast(pa.int64()),
+            'n_roles': g.column('count_all').cast(pa.int64()),
+            'n_tool_turns': g.column('n_tool_sum').cast(pa.int64()),
+            'n_chars': g.column('n_chars_sum').cast(pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(corpus_dir,
+                               columns=['conv_id', 'role', 'text', 'tool'])
+    return ds.map_batches(partial, batch_format='pyarrow',
+                          zero_copy_batch=True) \
+             .groupby('bucket').map_groups(bucket_fold,
+                                           batch_format='pyarrow')
+
+
+def conv_stats_oracle_sql(corpus_dir):
+    """DuckDB over the SAME corpus parquet files."""
+    return """
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       count(DISTINCT role)::BIGINT AS n_roles,
+       count(*) FILTER (WHERE tool <> '')::BIGINT AS n_tool_turns,
+       sum(length(text))::BIGINT AS n_chars
+FROM read_parquet('{corpus}/*.parquet')
+GROUP BY conv_id
+""".format(corpus=corpus_dir)

@@ -25,7 +25,8 @@ import ray.data
 
 from .common import sf_from_dir, table_path
 
-__all__ = ['docs_from_jsonl', 'ensure_jsonl', 'jsonl_oracle_sql']
+__all__ = ['docs_from_jsonl', 'ensure_jsonl', 'jsonl_oracle_sql',
+           'docs_from_csv', 'ensure_csv', 'csv_oracle_sql']
 
 _JSONL_ROOT = '/tmp/graft_jsonl'
 _VERSION = 'v1'
@@ -84,4 +85,63 @@ def jsonl_oracle_sql(sf_dir=None):
 SELECT doc_id, lang, n_chars,
        len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
 FROM read_json('{path}', format='newline_delimited')
+""".format(path=path)
+
+
+_CSV_ROOT = '/tmp/graft_csv'
+
+
+def ensure_csv(sf_dir):
+    """documents.parquet → documents.csv (RFC-4180 quoting via pyarrow's
+    csv writer), once per (sf, version)."""
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+    out_dir = os.path.join(_CSV_ROOT,
+                           'sf%s-%s' % (sf_from_dir(sf_dir), _VERSION))
+    marker = os.path.join(out_dir, '_COMPLETE')
+    path = os.path.join(out_dir, 'documents.csv')
+    if os.path.exists(marker):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    tbl = pq.read_table(table_path(sf_dir, 'documents'))
+    tmp = path + '.tmp'
+    pacsv.write_csv(tbl, tmp)
+    os.replace(tmp, path)
+    with open(marker, 'w') as f:
+        f.write(_VERSION)
+    return path
+
+
+def docs_from_csv(sf_dir):
+    """Per-doc quality-ish stats computed from the CSV corpus — proves
+    the delimited-text source path (``ray.data.read_csv`` → pyarrow.csv
+    blocks, same vectorized kernels).  At 100 TB, shard into many .csv
+    files (or .csv.gz — pyarrow decompresses transparently) so the read
+    parallelizes per file."""
+    path = ensure_csv(sf_dir)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch.column('text')
+        return pa.table({
+            'doc_id': batch.column('doc_id'),
+            'source': batch.column('source'),
+            'n_tokens': pc.cast(
+                pc.count_substring_regex(text, pattern=r'\S+'), pa.int64()),
+            'n_chars_calc': pc.cast(pc.utf8_length(text), pa.int64()),
+        })
+
+    ds = ray.data.read_csv(path)
+    return ds.map_batches(stats, batch_format='pyarrow',
+                          zero_copy_batch=True)
+
+
+def csv_oracle_sql(sf_dir=None):
+    """DuckDB reads the SAME CSV file — format parity, value parity."""
+    from .oracles import _oracle_sf_dir
+    path = ensure_csv(sf_dir or _oracle_sf_dir())
+    return r"""
+SELECT doc_id, source,
+       len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars_calc
+FROM read_csv('{path}', header=true)
 """.format(path=path)

@@ -44,7 +44,8 @@ __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'events_value_hist_quantiles', 'user_event_pivot',
            'events_user_rolling', 'customer_order_counts',
            'events_latest_per_user', 'returnflag_priority_counts',
-           'events_rollup', 'events_funnel']
+           'events_rollup', 'events_funnel',
+           'users_view_and_purchase', 'users_purchase_not_view']
 
 
 def rank_in_sorted_key(keys_sorted):
@@ -1519,3 +1520,71 @@ def events_funnel(sf_dir, stages=_FUNNEL_STAGES, num_buckets=64):
         'seq': g.column('seq'),
         'n_users': g.column('n_users').cast(pa.int64()),
     })
+
+
+def _user_type_set_op(sf_dir, types, keep_mask, num_buckets=64):
+    """Shared kernel for SQL set operations (INTERSECT / EXCEPT) over
+    per-type distinct user sets: each block folds its rows to ONE
+    (user_id, presence-bitmask) partial per user (``np.bitwise_or.at``
+    over a per-block ``np.unique``), one bucketed ``user_id & (nb-1)``
+    exchange moves ≤ users-per-block rows, and each bucket OR-folds the
+    masks and keeps users whose final mask equals ``keep_mask``.
+
+    The full event stream never shuffles — the exchange carries only the
+    distinct-user partials, the set-op analog of a combiner-first
+    aggregate."""
+    nb = num_buckets
+    tarr = pa.array(types)
+
+    def fold_masks(uid, bits):
+        u, inv = np.unique(uid, return_inverse=True)
+        m = np.zeros(len(u), np.int64)
+        np.bitwise_or.at(m, inv, bits)
+        return u, m
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.and_(
+            pc.is_in(batch.column('event_type'), value_set=tarr),
+            pc.greater_equal(batch.column('value'), SET_OP_MIN_VALUE)))
+        uid = sel.column('user_id').to_numpy(zero_copy_only=False)
+        et = sel.column('event_type').to_numpy(zero_copy_only=False)
+        bits = np.zeros(len(uid), np.int64)
+        for i, t in enumerate(types):
+            bits |= np.where(et == t, np.int64(1 << i), np.int64(0))
+        u, m = fold_masks(uid, bits)
+        return pa.table({'user_id': pa.array(u, pa.int64()),
+                         'mask': pa.array(m, pa.int64()),
+                         'bucket': pa.array(u & (nb - 1), pa.int64())})
+
+    def bucket_final(group: pa.Table) -> pa.Table:
+        u, m = fold_masks(group.column('user_id').to_numpy(zero_copy_only=False),
+                          group.column('mask').to_numpy(zero_copy_only=False))
+        return pa.table({'user_id': pa.array(u[m == keep_mask], pa.int64())})
+
+    ds = read_table(sf_dir, 'events',
+                    columns=['user_id', 'event_type', 'value'])
+    return ds.map_batches(partial, batch_format='pyarrow',
+                          zero_copy_batch=True) \
+             .groupby('bucket').map_groups(bucket_final,
+                                           batch_format='pyarrow')
+
+
+# High-value threshold shared verbatim with the oracle predicates (every
+# user has every event type in the synthetic data, so the UNFILTERED
+# per-type user sets are identical — the threshold makes the set algebra
+# non-trivial at every sf).
+SET_OP_MIN_VALUE = 95.0
+
+
+def users_view_and_purchase(sf_dir, num_buckets=64):
+    """SQL INTERSECT: distinct users with BOTH a high-value purchase
+    and a high-value view event."""
+    return _user_type_set_op(sf_dir, ('view', 'purchase'), keep_mask=3,
+                             num_buckets=num_buckets)
+
+
+def users_purchase_not_view(sf_dir, num_buckets=64):
+    """SQL EXCEPT: distinct users with a high-value purchase but no
+    high-value view event."""
+    return _user_type_set_op(sf_dir, ('view', 'purchase'), keep_mask=2,
+                             num_buckets=num_buckets)

@@ -68,7 +68,9 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'user_event_pivot', 'events_user_rolling',
                   'customer_order_counts', 'events_latest_per_user',
                   'returnflag_priority_counts', 'events_rollup',
-                  'events_funnel']
+                  'events_funnel', 'doc_repetition',
+                  'users_view_and_purchase', 'users_purchase_not_view',
+                  'urgent_order_lineitems', 'conv_stats', 'docs_from_csv']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
@@ -392,3 +394,19 @@ def test_window_ops_adversarial_events(ray_session, tmp_path):
         sql_df = con.execute(sqls[name]).fetchdf()
         a, b = _canon(ray_df), _canon(sql_df)
         pd.testing.assert_frame_equal(a, b, check_dtype=False), name
+
+
+def test_bloom_filter_no_false_negatives(ray_session):
+    """A Bloom filter never drops a real member; false-positive rate at
+    16 bits/key stays far under the 1% the exchange sizing assumes."""
+    import numpy as np
+    from engine.ops.bloomjoin import _bitmap_of, _bloom_test
+    rng = np.random.default_rng(7)
+    members = rng.integers(0, 1 << 60, size=4096)
+    others = rng.integers(0, 1 << 60, size=65536)
+    others = np.setdiff1d(others, members)
+    m_bits = 1 << 16   # 16 bits/key at 4096 keys
+    bits = _bitmap_of(members, m_bits, k=4)
+    assert _bloom_test(bits, members, m_bits, k=4).all()
+    fp = _bloom_test(bits, others, m_bits, k=4).mean()
+    assert fp < 0.01, fp
