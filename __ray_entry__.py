@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'bigram_pmi_topk': textstats.bigram_pmi_topk,
         'sample_stratified': sampling.sample_stratified,
         'sample_uniform': sampling.sample_uniform,
+        'sample_weighted_mix': sampling.sample_weighted_mix,
         # dedup
         'dedup_exact': dedup.dedup_exact,
         'dedup_exact_payloads': _dedup_payloads,      # rows-only (transcripts)
@@ -162,7 +163,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'users_purchase_not_view': relational.users_purchase_not_view,
         'urgent_order_lineitems': bloomjoin.urgent_order_lineitems,
         'doc_repetition': textstats.doc_repetition,
+        'doc_chunks': textstats.doc_chunks,
         'conv_stats': _conv_stats,
+        'events_time_rolling': relational.events_time_rolling,
+        'events_value_zscore': relational.events_value_zscore,
         # cardinality sketches
         'distinct_users_kmv': sketches.distinct_users_kmv,
         # alternate-format ingestion (NDJSON + CSV sources)
@@ -219,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
     except Exception:
         pass   # oracle sf dir absent: those stay rows-only
     from engine.ops import sampling as _sampling
+    generated['sample_weighted_mix'] = _sampling.weighted_mix_oracle_sql()
     generated['sample_uniform'] = """
 SELECT doc_id, lang,
        (md5_number_lower(doc_id::VARCHAR) & 9223372036854775807)::BIGINT AS skey
@@ -338,6 +343,42 @@ SELECT doc_id,
        floor((1.0 - count(*)::DOUBLE / sum(cnt)) * 1000000 + 0.5) / 1000000
          AS dup_frac
 FROM c GROUP BY doc_id
+""",
+        'doc_chunks': """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+     s AS (SELECT doc_id, toks,
+                  unnest(generate_series(0, greatest(len(toks) - 1, 0), 25))
+                    AS start
+           FROM t)
+SELECT doc_id, (start // 25)::BIGINT AS chunk_idx,
+       least(50, len(toks) - start)::BIGINT AS n_tokens,
+       array_to_string(toks[start + 1 : start + 50], ' ') AS chunk_text
+FROM s
+""",
+        'events_time_rolling': """
+WITH e AS (SELECT event_id, user_id, ts,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events)
+SELECT event_id, user_id,
+       count(*) OVER w::BIGINT AS n_win,
+       sum(cents) OVER w::BIGINT AS win_cents
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+        'events_value_zscore': """
+WITH e AS (SELECT event_id, event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+     m AS (SELECT event_type, sum(cents)::BIGINT AS s,
+                  sum(cents * cents)::BIGINT AS s2, count(*)::BIGINT AS n
+           FROM e GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       floor(((e.cents - m.s::DOUBLE / m.n)
+              / sqrt(m.s2::DOUBLE / m.n
+                     - (m.s::DOUBLE / m.n) * (m.s::DOUBLE / m.n)))
+             * 1000000 + 0.5) / 1000000 AS z
+FROM e JOIN m ON m.event_type = e.event_type
 """,
         'events_props_stats': """
 WITH e AS (

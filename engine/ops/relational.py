@@ -45,7 +45,8 @@ __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'events_user_rolling', 'customer_order_counts',
            'events_latest_per_user', 'returnflag_priority_counts',
            'events_rollup', 'events_funnel',
-           'users_view_and_purchase', 'users_purchase_not_view']
+           'users_view_and_purchase', 'users_purchase_not_view',
+           'events_time_rolling', 'events_value_zscore']
 
 
 def rank_in_sorted_key(keys_sorted):
@@ -1588,3 +1589,118 @@ def users_purchase_not_view(sf_dir, num_buckets=64):
     high-value view event."""
     return _user_type_set_op(sf_dir, ('view', 'purchase'), keep_mask=2,
                              num_buckets=num_buckets)
+
+
+def events_time_rolling(sf_dir, window_us=3_600_000_000, num_buckets=64):
+    """TIME-RANGE rolling window: per event, the count and value total of
+    the same user's events in the last hour (SQL ``RANGE BETWEEN
+    INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`` — includes ts peers on
+    both edges, so the result is order-independent under ties, unlike a
+    ROWS frame).  The ROWS-frame companion is :func:`events_user_rolling`.
+
+    Vectorized per bucket with NO per-user Python loop: after the
+    (user, ts) lexsort, per-user runs are remapped onto one global
+    MONOTONE time axis (each run shifted past the previous run's end by
+    more than the window), so two global ``np.searchsorted`` calls give
+    every row's window bounds at once and a cumsum difference gives the
+    sums."""
+    nb = num_buckets
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = batch.column('user_id').to_numpy(zero_copy_only=False) & (nb - 1)
+        return batch.append_column('bucket', pa.array(b, pa.int64()))
+
+    def rolling(group: pa.Table) -> pa.Table:
+        uid = group.column('user_id').to_numpy(zero_copy_only=False)
+        ts = group.column('ts').cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column('event_id').to_numpy(zero_copy_only=False)
+        cents = np.floor(group.column('value').to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, cents = uid[order], ts[order], eid[order], cents[order]
+        n = len(uid)
+        rs = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])   # run starts
+        re = np.r_[rs[1:], n]                                   # run ends
+        run_of = np.repeat(np.arange(len(rs), dtype=np.int64), re - rs)
+        span = ts[re - 1] - ts[rs]
+        base = np.concatenate(([0], np.cumsum(span + window_us + 1)))[:-1]
+        mono = ts - ts[rs][run_of] + base[run_of]
+        lo = np.searchsorted(mono, mono - window_us, side='left')
+        hi = np.searchsorted(mono, mono, side='right')
+        cum = np.concatenate(([0], np.cumsum(cents)))
+        return pa.table({
+            'event_id': pa.array(eid, pa.int64()),
+            'user_id': pa.array(uid, pa.int64()),
+            'n_win': pa.array(hi - lo, pa.int64()),
+            'win_cents': pa.array(cum[hi] - cum[lo], pa.int64()),
+        })
+
+    ds = read_table(sf_dir, 'events',
+                    columns=['event_id', 'ts', 'user_id', 'value'])
+    return (ds.map_batches(add_bucket, batch_format='pyarrow',
+                           zero_copy_batch=True)
+              .groupby('bucket').map_groups(rolling, batch_format='pyarrow'))
+
+
+def events_value_zscore(sf_dir):
+    """AGGREGATE-THEN-ENRICH normalization: z-score every event's value
+    against its event_type's population mean/std — the standardization
+    pass a feature pipeline runs before training.
+
+    Shape: the per-type moments (n, Σcents, Σcents²) fold combiner-first
+    to a HANDFUL of rows (types are low-cardinality by schema), the tiny
+    moment table broadcasts back via ``ray.put``, and the fact table gets
+    its z column in a second shuffle-free map pass — the fact stream is
+    read twice but never exchanged.  Integer moment sums make the two
+    fold tiers exact; the z expression is evaluated in the IDENTICAL
+    float op order as the oracle ((c - S/n) / sqrt(S2/n - (S/n)²),
+    half-up r6) so hashes match bit-for-bit."""
+
+    def moments(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch.column('value').to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({'event_type': batch.column('event_type'),
+                      's': pa.array(cents, pa.int64()),
+                      's2': pa.array(cents * cents, pa.int64()),
+                      'n': pa.array(np.ones(len(cents), np.int64))})
+        g = t.group_by('event_type').aggregate(
+            [('s', 'sum'), ('s2', 'sum'), ('n', 'sum')])
+        return g.rename_columns(['event_type', 's', 's2', 'n'])
+
+    ds = read_table(sf_dir, 'events', columns=['event_type', 'value'])
+    parts = [t for t in ray.get(
+        ds.map_batches(moments, batch_format='pyarrow',
+                       zero_copy_batch=True).to_arrow_refs()) if t.num_rows]
+    mom = pa.concat_tables(parts, promote_options='none') \
+            .group_by('event_type').aggregate(
+                [('s', 'sum'), ('s2', 'sum'), ('n', 'sum')])
+    lookup = {mom.column('event_type')[i].as_py():
+              (mom.column('s_sum')[i].as_py(), mom.column('s2_sum')[i].as_py(),
+               mom.column('n_sum')[i].as_py()) for i in range(mom.num_rows)}
+    state_ref = ray.put(lookup)
+
+    class ZScore(BroadcastLookup):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cents = np.floor(batch.column('value').to_numpy(
+                zero_copy_only=False) * 100.0 + 0.5)
+            et = batch.column('event_type').to_numpy(zero_copy_only=False)
+            types = list(self.state)
+            code = pc.index_in(batch.column('event_type'),
+                               value_set=pa.array(types)) \
+                     .to_numpy(zero_copy_only=False)
+            S = np.array([self.state[t][0] for t in types], np.float64)[code]
+            S2 = np.array([self.state[t][1] for t in types], np.float64)[code]
+            N = np.array([self.state[t][2] for t in types], np.float64)[code]
+            mu = S / N
+            z = (cents - mu) / np.sqrt(S2 / N - mu * mu)
+            return pa.table({
+                'event_id': batch.column('event_id'),
+                'event_type': batch.column('event_type'),
+                'z': pa.array(round_half_up(z, 6), pa.float64()),
+            })
+
+    facts = read_table(sf_dir, 'events',
+                       columns=['event_id', 'event_type', 'value'])
+    return facts.map_batches(ZScore, fn_constructor_args=(state_ref,),
+                             concurrency=pool(), batch_format='pyarrow',
+                             zero_copy_batch=True)

@@ -20,7 +20,8 @@ import pyarrow as pa
 
 from .common import read_table, hash63_keys
 
-__all__ = ['sample_stratified', 'sample_uniform']
+__all__ = ['sample_stratified', 'sample_uniform',
+           'sample_weighted_mix', 'weighted_mix_oracle_sql']
 
 _MASK63 = (1 << 63) - 1
 
@@ -97,3 +98,66 @@ def sample_uniform(sf_dir, rate_num=1, rate_den=5):
 def uniform_threshold(rate_num=1, rate_den=5):
     """The inlined-literal threshold shared with the DuckDB oracle."""
     return ((1 << 63) * rate_num) // rate_den
+
+
+# Mixture weights: per-source keep rate as integer (num, den) pairs —
+# the "data mixture" knob of a pre-training pipeline (upsample curated
+# sources, downsample the crawl).  Integer thresholds are inlined into
+# the oracle CASE ladder so both sides compare identical BIGINTs.
+MIX_WEIGHTS = {
+    'src0': (9, 10),
+    'src1': (7, 10),
+    'src2': (2, 5),
+    'src3': (1, 5),
+}
+MIX_DEFAULT = (1, 10)
+
+
+def sample_weighted_mix(sf_dir, weights=None, default=MIX_DEFAULT):
+    """WEIGHTED MIXTURE sampling: per-``source`` deterministic Bernoulli
+    keep rates.  Same stateless partition-independent filter as
+    ``sample_uniform`` — the per-row threshold is a vectorized
+    dictionary lookup on the source column, so the mixture costs nothing
+    over the uniform sample and never shuffles."""
+    weights = MIX_WEIGHTS if weights is None else weights
+    names = list(weights)
+    thresholds = np.array(
+        [uniform_threshold(*weights[s]) for s in names]
+        + [uniform_threshold(*default)], np.int64)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_numpy(zero_copy_only=False)
+        keys = _sort_keys(ids)
+        import pyarrow.compute as pc
+        code = pc.index_in(batch.column('source'),
+                           value_set=pa.array(names)) \
+                 .fill_null(len(names)).to_numpy(zero_copy_only=False)
+        sel = keys < thresholds[code]
+        return pa.table({
+            'doc_id': pa.array(ids[sel], pa.int64()),
+            'source': batch.column('source').filter(pa.array(sel)),
+            'skey': pa.array(keys[sel], pa.int64()),
+        })
+
+    ds = read_table(sf_dir, 'documents', columns=['doc_id', 'source'])
+    return ds.map_batches(keep, batch_format='pyarrow', zero_copy_batch=True)
+
+
+def weighted_mix_oracle_sql(weights=None, default=MIX_DEFAULT):
+    """CASE-ladder oracle with the same inlined integer thresholds."""
+    weights = MIX_WEIGHTS if weights is None else weights
+    cases = '\n'.join(
+        "         WHEN source = '%s' THEN %d" % (s, uniform_threshold(*w))
+        for s, w in weights.items())
+    return """
+WITH k AS (
+  SELECT doc_id, source,
+         (md5_number_lower(doc_id::VARCHAR) & 9223372036854775807)::BIGINT
+           AS skey,
+         CASE
+%s
+         ELSE %d END AS thresh
+  FROM documents
+)
+SELECT doc_id, source, skey FROM k WHERE skey < thresh
+""" % (cases, uniform_threshold(*default))

@@ -19,7 +19,7 @@ import ray.data
 from .common import round_half_up, read_table
 
 __all__ = ['doc_token_stats', 'doc_quality', 'lang_id', 'fingerprint_md5',
-           'doc_scrub', 'doc_repetition',
+           'doc_scrub', 'doc_repetition', 'doc_chunks',
            'fingerprint_winnow', 'doc_token_bpe', 'token_frequencies',
            'doc_tfidf_topk', 'bigram_pmi_topk',
            'TOKEN_RE', 'BPE_RE',
@@ -573,3 +573,53 @@ def doc_repetition(sf_dir):
 
     return _read_docs(sf_dir, ['doc_id', 'text']).map_batches(
         rep, batch_format='pyarrow', zero_copy_batch=True)
+
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 25
+
+
+def doc_chunks(sf_dir, chunk_tokens=CHUNK_TOKENS, stride=CHUNK_STRIDE):
+    """CONTEXT-WINDOW CHUNKING — split every document into overlapping
+    ``chunk_tokens``-token windows at ``stride`` spacing, the transform
+    that turns a raw corpus into training sequences.  A pure flat-map
+    (rows out > rows in), shuffle-free, and fully vectorized: one
+    ``split_pattern`` per block, numpy arange/repeat arithmetic builds
+    the per-chunk token index vector, one ``flat.take`` gathers every
+    chunk's tokens, and Arrow ``binary_join`` re-joins them — no Python
+    loop over docs or chunks."""
+    def chunks(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column('text'), pattern=' ')
+        n_tok = pc.cast(pc.list_value_length(words), pa.int64()) \
+                  .to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words).combine_chunks()
+        doc_off = np.concatenate(([0], np.cumsum(n_tok)))[:-1]
+        # chunk enumeration: starts 0, stride, ... while start < n_tok
+        n_chunks = (np.maximum(n_tok, 1) - 1) // stride + 1
+        doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                           n_chunks)
+        chunk_idx = (np.arange(n_chunks.sum(), dtype=np.int64)
+                     - np.repeat(np.concatenate(([0], np.cumsum(n_chunks)))[:-1],
+                                 n_chunks))
+        rel_start = chunk_idx * stride
+        length = np.minimum(chunk_tokens, n_tok[doc_of] - rel_start)
+        abs_start = doc_off[doc_of] + rel_start
+        # gather every chunk's token indices in one flat vector
+        seg_off = np.concatenate(([0], np.cumsum(length)))
+        idx = (np.arange(seg_off[-1], dtype=np.int64)
+               - np.repeat(seg_off[:-1], length)
+               + np.repeat(abs_start, length))
+        gathered = flat.take(pa.array(idx, pa.int64()))
+        lists = pa.ListArray.from_arrays(pa.array(seg_off, pa.int32()),
+                                         gathered)
+        text = pc.binary_join(lists, ' ')
+        return pa.table({
+            'doc_id': batch.column('doc_id').take(
+                pa.array(doc_of, pa.int64())),
+            'chunk_idx': pa.array(chunk_idx, pa.int64()),
+            'n_tokens': pa.array(length, pa.int64()),
+            'chunk_text': text,
+        })
+
+    return _read_docs(sf_dir, ['doc_id', 'text']).map_batches(
+        chunks, batch_format='pyarrow', zero_copy_batch=True)

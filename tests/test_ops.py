@@ -70,7 +70,9 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'returnflag_priority_counts', 'events_rollup',
                   'events_funnel', 'doc_repetition',
                   'users_view_and_purchase', 'users_purchase_not_view',
-                  'urgent_order_lineitems', 'conv_stats', 'docs_from_csv']
+                  'urgent_order_lineitems', 'conv_stats', 'docs_from_csv',
+                  'doc_chunks', 'sample_weighted_mix', 'events_time_rolling',
+                  'events_value_zscore']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
@@ -368,15 +370,19 @@ def test_window_ops_adversarial_events(ray_session, tmp_path):
     import __ray_entry__ as entrymod
 
     ts0 = 1704067200000000
+    HOUR = 3_600_000_000
     tbl = pa.table({
-        'event_id': pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
-        'ts': pa.array([ts0, ts0, ts0, ts0 + 10, ts0 + 10, ts0 + 99],
+        'event_id': pa.array([0, 1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        'ts': pa.array([ts0, ts0, ts0, ts0 + 10, ts0 + 10, ts0 + 99,
+                        # exact 1-hour RANGE boundary (inclusive) and
+                        # one microsecond past it (exclusive)
+                        ts0 + 10 + HOUR, ts0 + 100 + HOUR],
                        pa.timestamp('us')),
-        'user_id': pa.array([7, 7, 7, 7, 3, 3], pa.int64()),
-        'event_type': pa.array(['click'] * 6, pa.string()),
-        'value': pa.array([-1.005, 2.675, 0.0, -0.004, 5.5, -2.5],
-                          pa.float64()),
-        'props': pa.array(['{"k": %d}' % i for i in range(6)], pa.string()),
+        'user_id': pa.array([7, 7, 7, 7, 3, 3, 3, 3], pa.int64()),
+        'event_type': pa.array(['click'] * 8, pa.string()),
+        'value': pa.array([-1.005, 2.675, 0.0, -0.004, 5.5, -2.5,
+                           1.0, 0.25], pa.float64()),
+        'props': pa.array(['{"k": %d}' % i for i in range(8)], pa.string()),
     })
     d = str(tmp_path)
     pq.write_table(tbl, os.path.join(d, 'events.parquet'))
@@ -387,6 +393,7 @@ def test_window_ops_adversarial_events(ray_session, tmp_path):
     sqls = entrymod.oracle_sql()
     qs = entrymod.queries()
     for name in ['events_user_running', 'events_user_rolling',
+                 'events_time_rolling', 'events_value_zscore',
                  'events_props_stats', 'events_value_hist_quantiles']:
         ray_df = qs[name](d)
         if not isinstance(ray_df, pd.DataFrame):
