@@ -6,8 +6,11 @@ This is the step a training-data pipeline runs AFTER pair discovery:
 near-dup pairs are not directly actionable — A~B and B~C must collapse to
 one keep-decision even when A~C was never emitted.
 
-Distributed shape (no driver-side union-find — the pair graph on a
-boilerplate-heavy corpus is O(corpus)):
+Distributed shape (the pair graph on a boilerplate-heavy corpus is
+O(corpus), so no UNCONDITIONAL driver-side union-find; a MEASURED size
+gate — edges.count() ≤ SMALL_EDGE_LIMIT — solves tiny graphs locally
+with the identical min-label result, because the distributed fixpoint
+on a small graph is pure per-round scheduling overhead):
 
 1. pairs (minhash, verified) → symmetric edge list, MATERIALIZED once —
    edges are re-read every iteration and must not re-run discovery;
@@ -41,6 +44,27 @@ __all__ = ['dedup_clusters', 'corpus_clean']
 
 def _bucket(ids, nb):
     return ids & (nb - 1)
+
+
+# Edge count below which components are solved driver-side (symmetric
+# edge rows × 16 B ≈ 32 MB at the limit).  A measured gate — the branch
+# reads edges.count(), never guesses.
+SMALL_EDGE_LIMIT = 1 << 21
+
+
+def _local_components(src, dst):
+    """Min-label connected components on a compacted edge list (numpy
+    min-propagation to fixpoint — identical result to the distributed
+    loop: every node's label = min doc_id of its component)."""
+    nodes, inv_src = np.unique(src, return_inverse=True)
+    inv_dst = np.searchsorted(nodes, dst)   # symmetric edges: dst ⊆ nodes
+    lbl = nodes.copy()
+    while True:
+        new = lbl.copy()
+        np.minimum.at(new, inv_dst, lbl[inv_src])
+        if np.array_equal(new, lbl):
+            return nodes, lbl
+        lbl = new
 
 
 def _make_sym_edges(nb):
@@ -146,7 +170,8 @@ def _finalize_bucket(group: pa.Table) -> pa.Table:
     })
 
 
-def dedup_clusters(sf_dir, threshold=0.8, k=3, num_buckets=64, max_iters=50):
+def dedup_clusters(sf_dir, threshold=0.8, k=3, num_buckets=64, max_iters=50,
+                   small_edge_limit=SMALL_EDGE_LIMIT):
     """Connected components over minhash near-dup pairs via distributed
     min-label propagation (see module docstring).  Returns one row per
     document: (doc_id, cluster_id, is_survivor)."""
@@ -159,16 +184,41 @@ def dedup_clusters(sf_dir, threshold=0.8, k=3, num_buckets=64, max_iters=50):
     edges = pairs.map_batches(_make_sym_edges(nb), batch_format='pyarrow',
                               zero_copy_batch=True) \
                  .repartition(width).materialize()
-    labels = edges.map_batches(_make_init_labels(nb), batch_format='pyarrow',
-                               zero_copy_batch=True) \
-                  .groupby('bucket').map_groups(
-                      lambda g: g.group_by(['node', 'lbl', 'bucket'])
-                                 .aggregate([]),
-                      batch_format='pyarrow') \
-                  .repartition(width).materialize()
+
+    def _init_labels():
+        return edges.map_batches(_make_init_labels(nb),
+                                 batch_format='pyarrow',
+                                 zero_copy_batch=True) \
+                    .groupby('bucket').map_groups(
+                        lambda g: g.group_by(['node', 'lbl', 'bucket'])
+                                   .aggregate([]),
+                        batch_format='pyarrow') \
+                    .repartition(width).materialize()
 
     converged = True
-    if edges.count() > 0:
+    n_edges = edges.count()
+    if n_edges == 0:
+        labels = _init_labels()      # empty, keeps the finalize schema
+    elif n_edges <= small_edge_limit:
+        # MEASURED size gate (not an assumption): the pair graph holds
+        # only near-dup docs, one row per verified pair — tiny relative
+        # to the corpus.  Below the limit (~50 MB driver heap) the
+        # distributed fixpoint is pure per-round scheduling overhead, so
+        # solve the SAME min-label components locally and re-enter the
+        # distributed finalize join unchanged.  Above it, the iterative
+        # exchange loop below is the path; results are identical.
+        tbl = pa.concat_tables(ray.get(edges.to_arrow_refs())) \
+                .combine_chunks()
+        node_ids, lbl = _local_components(
+            tbl.column('src').to_numpy(zero_copy_only=False),
+            tbl.column('dst').to_numpy(zero_copy_only=False))
+        labels = ray.data.from_arrow(pa.table({
+            'node': pa.array(node_ids, pa.int64()),
+            'lbl': pa.array(lbl, pa.int64()),
+            'bucket': pa.array(_bucket(node_ids, nb), pa.int64()),
+        }))
+    else:
+        labels = _init_labels()
         converged = False
         for _ in range(max_iters):
             # round: attach labels to edge sources, then per-node min fold

@@ -355,7 +355,9 @@ def test_clusters_unconverged_raises(ray_session):
     per real cluster downstream in corpus_clean)."""
     from engine.ops.clusters import dedup_clusters
     with pytest.raises(Exception) as ei:
-        dedup_clusters(SF_DIR, max_iters=0).take_all()
+        # small_edge_limit=0 forces the distributed loop (the driver-side
+        # fast path always converges)
+        dedup_clusters(SF_DIR, max_iters=0, small_edge_limit=0).take_all()
     assert 'did not converge' in str(ei.value)
 
 
@@ -417,3 +419,14 @@ def test_bloom_filter_no_false_negatives(ray_session):
     assert _bloom_test(bits, members, m_bits, k=4).all()
     fp = _bloom_test(bits, others, m_bits, k=4).mean()
     assert fp < 0.01, fp
+
+
+def test_dedup_clusters_paths_agree(ray_session):
+    """The driver-side small-graph fast path and the distributed
+    label-propagation loop must produce identical clusters."""
+    from engine.ops.clusters import dedup_clusters
+    fast = dedup_clusters(SF_DIR).to_pandas() \
+        .sort_values('doc_id').reset_index(drop=True)
+    dist = dedup_clusters(SF_DIR, small_edge_limit=0).to_pandas() \
+        .sort_values('doc_id').reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, dist)
