@@ -96,7 +96,7 @@ def _extract_metrics(sf_dir: str) -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from engine.ops import (dedup, relational, similarity, textstats,
                             multimodal, sampling, clusters, sketches, ingest,
-                            bloomjoin)
+                            bloomjoin, checksum)
 
     return {
         # flagship extraction — oracle-checked via the reference-derived
@@ -167,6 +167,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'conv_stats': _conv_stats,
         'events_time_rolling': relational.events_time_rolling,
         'events_value_zscore': relational.events_value_zscore,
+        'events_value_deciles': relational.events_value_deciles,
+        'events_hour_value_corr': relational.events_hour_value_corr,
+        'lineitem_checksum': checksum.lineitem_checksum,
         # cardinality sketches
         'distinct_users_kmv': sketches.distinct_users_kmv,
         # alternate-format ingestion (NDJSON + CSV sources)
@@ -223,6 +226,8 @@ def oracle_sql() -> dict[str, str]:
     except Exception:
         pass   # oracle sf dir absent: those stay rows-only
     from engine.ops import sampling as _sampling
+    from engine.ops import checksum as _checksum
+    generated['lineitem_checksum'] = _checksum.CHECKSUM_SQL
     generated['sample_weighted_mix'] = _sampling.weighted_mix_oracle_sql()
     generated['sample_uniform'] = """
 SELECT doc_id, lang,
@@ -379,6 +384,31 @@ SELECT e.event_id, e.event_type,
                      - (m.s::DOUBLE / m.n) * (m.s::DOUBLE / m.n)))
              * 1000000 + 0.5) / 1000000 AS z
 FROM e JOIN m ON m.event_type = e.event_type
+""",
+        'events_value_deciles': """
+WITH ed AS (
+  SELECT percentile_disc(0.1) WITHIN GROUP (ORDER BY value) AS e1, percentile_disc(0.2) WITHIN GROUP (ORDER BY value) AS e2, percentile_disc(0.3) WITHIN GROUP (ORDER BY value) AS e3, percentile_disc(0.4) WITHIN GROUP (ORDER BY value) AS e4, percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS e5, percentile_disc(0.6) WITHIN GROUP (ORDER BY value) AS e6, percentile_disc(0.7) WITHIN GROUP (ORDER BY value) AS e7, percentile_disc(0.8) WITHIN GROUP (ORDER BY value) AS e8, percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS e9
+  FROM events
+)
+SELECT e.event_id, e.value,
+       (1 + CASE WHEN e.value > ed.e1 THEN 1 ELSE 0 END + CASE WHEN e.value > ed.e2 THEN 1 ELSE 0 END + CASE WHEN e.value > ed.e3 THEN 1 ELSE 0 END + CASE WHEN e.value > ed.e4 THEN 1 ELSE 0 END + CASE WHEN e.value > ed.e5 THEN 1 ELSE 0 END + CASE WHEN e.value > ed.e6 THEN 1 ELSE 0 END + CASE WHEN e.value > ed.e7 THEN 1 ELSE 0 END + CASE WHEN e.value > ed.e8 THEN 1 ELSE 0 END + CASE WHEN e.value > ed.e9 THEN 1 ELSE 0 END)::BIGINT AS decile
+FROM events e, ed
+""",
+        'events_hour_value_corr': """
+WITH e AS (SELECT event_type,
+                  ((epoch_us(ts) // 3600000000) % 24)::BIGINT AS x,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS y FROM events),
+     m AS (SELECT event_type, count(*)::BIGINT n, sum(x)::BIGINT sx,
+                  sum(y)::BIGINT sy, sum(x*x)::BIGINT sxx,
+                  sum(y*y)::BIGINT syy, sum(x*y)::BIGINT sxy
+           FROM e GROUP BY event_type)
+SELECT event_type,
+       floor(((n::DOUBLE * sxy - sx::DOUBLE * sy)
+              / (sqrt(n::DOUBLE * sxx - sx::DOUBLE * sx)
+                 * sqrt(n::DOUBLE * syy - sy::DOUBLE * sy)))
+             * 1000000 + 0.5) / 1000000 AS corr_hv,
+       n AS n_events
+FROM m
 """,
         'events_props_stats': """
 WITH e AS (

@@ -46,7 +46,8 @@ __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'events_latest_per_user', 'returnflag_priority_counts',
            'events_rollup', 'events_funnel',
            'users_view_and_purchase', 'users_purchase_not_view',
-           'events_time_rolling', 'events_value_zscore']
+           'events_time_rolling', 'events_value_zscore',
+           'events_value_deciles', 'events_hour_value_corr']
 
 
 def rank_in_sorted_key(keys_sorted):
@@ -1704,3 +1705,105 @@ def events_value_zscore(sf_dir):
     return facts.map_batches(ZScore, fn_constructor_args=(state_ref,),
                              concurrency=pool(), batch_format='pyarrow',
                              zero_copy_batch=True)
+
+
+def events_value_deciles(sf_dir, n_bins=10):
+    """DISCRETIZATION / feature binning: assign every event the global
+    decile of its value — the quantile-bucketing transform feature
+    pipelines run before training (equal-frequency bins, exact
+    percentile_disc edges).
+
+    Shape: the (value, count) distinct-value combiner from the exact
+    quantile tier folds the stream to one row per distinct value per
+    block; the driver resolves the 9 edges from the merged histogram
+    (same scale contract as events_value_quantiles — continuous data at
+    100 TB uses the sketch tier) and the second pass assigns bins with
+    one vectorized searchsorted, shuffle-free.  ``decile`` = 1 + number
+    of edges strictly below the value — identical to the oracle's CASE
+    ladder."""
+    qs = [i / n_bins for i in range(1, n_bins)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(['value']).group_by('value') \
+                 .aggregate([([], 'count_all')])
+        return g.rename_columns(['value', 'cnt'])
+
+    ds = read_table(sf_dir, 'events', columns=['value'])
+    parts = [t for t in ray.get(
+        ds.map_batches(partial, batch_format='pyarrow',
+                       zero_copy_batch=True).to_arrow_refs()) if t.num_rows]
+    hist = pa.concat_tables(parts, promote_options='none') \
+             .group_by('value').aggregate([('cnt', 'sum')])
+    vals = hist.column('value').to_numpy(zero_copy_only=False)
+    cnts = hist.column('cnt_sum').to_numpy(zero_copy_only=False)
+    order = np.argsort(vals, kind='mergesort')
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+    edges = np.array([vals[np.searchsorted(cum, int(np.ceil(q * n)),
+                                           side='left')]
+                      for q in qs], np.float64) if n else np.empty(0)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch.column('value').to_numpy(zero_copy_only=False)
+        d = np.searchsorted(edges, v, side='left') + 1   # edges < v
+        return pa.table({
+            'event_id': batch.column('event_id'),
+            'value': batch.column('value'),
+            'decile': pa.array(d.astype(np.int64), pa.int64()),
+        })
+
+    facts = read_table(sf_dir, 'events', columns=['event_id', 'value'])
+    return facts.map_batches(assign, batch_format='pyarrow',
+                             zero_copy_batch=True)
+
+
+def events_hour_value_corr(sf_dir):
+    """TWO-VARIABLE statistics: Pearson correlation between hour-of-day
+    and event value, per event type — the quick "is there a daily
+    pattern" screen.  All five moment sums (Σx, Σy, Σx², Σy², Σxy) are
+    INTEGER partials (hour 0-23, value in cents), folded combiner-first
+    per block then once per type, so the two fold tiers are exact; the
+    correlation is evaluated in the oracle's exact float op order."""
+
+    def moments(batch: pa.Table) -> pa.Table:
+        ts = batch.column('ts').cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = (ts // 3_600_000_000) % 24
+        y = np.floor(batch.column('value').to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({'event_type': batch.column('event_type'),
+                      'n': pa.array(np.ones(len(x), np.int64)),
+                      'sx': pa.array(x, pa.int64()),
+                      'sy': pa.array(y, pa.int64()),
+                      'sxx': pa.array(x * x, pa.int64()),
+                      'syy': pa.array(y * y, pa.int64()),
+                      'sxy': pa.array(x * y, pa.int64())})
+        g = t.group_by('event_type').aggregate(
+            [(c, 'sum') for c in ('n', 'sx', 'sy', 'sxx', 'syy', 'sxy')])
+        return g.rename_columns(['event_type', 'n', 'sx', 'sy', 'sxx',
+                                 'syy', 'sxy'])
+
+    ds = read_table(sf_dir, 'events', columns=['event_type', 'ts', 'value'])
+    parts = [t for t in ray.get(
+        ds.map_batches(moments, batch_format='pyarrow',
+                       zero_copy_batch=True).to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table({'event_type': pa.array([], pa.string()),
+                         'corr_hv': pa.array([], pa.float64()),
+                         'n_events': pa.array([], pa.int64())})
+    m = pa.concat_tables(parts, promote_options='none') \
+          .group_by('event_type').aggregate(
+              [(c, 'sum') for c in ('n', 'sx', 'sy', 'sxx', 'syy', 'sxy')])
+    nf = m.column('n_sum').to_numpy(zero_copy_only=False).astype(np.float64)
+    sx = m.column('sx_sum').to_numpy(zero_copy_only=False).astype(np.float64)
+    sy = m.column('sy_sum').to_numpy(zero_copy_only=False).astype(np.float64)
+    sxx = m.column('sxx_sum').to_numpy(zero_copy_only=False).astype(np.float64)
+    syy = m.column('syy_sum').to_numpy(zero_copy_only=False).astype(np.float64)
+    sxy = m.column('sxy_sum').to_numpy(zero_copy_only=False).astype(np.float64)
+    corr = (nf * sxy - sx * sy) / (np.sqrt(nf * sxx - sx * sx)
+                                   * np.sqrt(nf * syy - sy * sy))
+    return pa.table({
+        'event_type': m.column('event_type'),
+        'corr_hv': pa.array(round_half_up(corr, 6), pa.float64()),
+        'n_events': m.column('n_sum').cast(pa.int64()),
+    })

@@ -72,7 +72,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'users_view_and_purchase', 'users_purchase_not_view',
                   'urgent_order_lineitems', 'conv_stats', 'docs_from_csv',
                   'doc_chunks', 'sample_weighted_mix', 'events_time_rolling',
-                  'events_value_zscore']
+                  'events_value_zscore', 'events_value_deciles',
+                  'events_hour_value_corr', 'lineitem_checksum']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
