@@ -59,6 +59,11 @@ def _conv_stats(sf_dir: str) -> Any:
     return conv_stats(_transcripts_dir(sf_dir))
 
 
+def _conv_text_md5(sf_dir: str) -> Any:
+    from engine.ops.convstats import conv_text_md5
+    return conv_text_md5(_transcripts_dir(sf_dir))
+
+
 def _extract_metrics(sf_dir: str) -> Any:
     """SINGLE-PASS metrics: one combiner map_batches emits per-batch
     partial counters, one tiny .sum() folds them — the read→extract DAG
@@ -124,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'ngram_jaccard_pairs': dedup.ngram_jaccard_pairs,
         'minhash_near_dup': dedup.minhash_near_dup,
         'simhash_near_dup': dedup.simhash_near_dup,
+        'shared_span_pairs': dedup.shared_span_pairs,
         'dedup_clusters': clusters.dedup_clusters,
         'corpus_clean': clusters.corpus_clean,
         # similarity search
@@ -169,6 +175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_value_zscore': relational.events_value_zscore,
         'events_value_deciles': relational.events_value_deciles,
         'events_hour_value_corr': relational.events_hour_value_corr,
+        'events_debounced': relational.events_debounced,
+        'user_event_paths': relational.user_event_paths,
+        'conv_text_md5': _conv_text_md5,
         'lineitem_checksum': checksum.lineitem_checksum,
         # cardinality sketches
         'distinct_users_kmv': sketches.distinct_users_kmv,
@@ -201,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         'multimodal_features': oracles.multimodal_features_oracle_sql(),
         'minhash_near_dup': oracles.minhash_oracle_sql(),
         'simhash_near_dup': oracles.simhash_oracle_sql(),
+        'shared_span_pairs': oracles.shared_span_oracle_sql(),
         'dedup_clusters': oracles.clusters_oracle_sql(),
         'corpus_clean': oracles.corpus_clean_oracle_sql(),
         'multimodal_resize_stats': oracles.multimodal_resized_oracle_sql(),
@@ -214,11 +224,13 @@ def oracle_sql() -> dict[str, str]:
         from engine.ops import ingest
         generated['docs_from_jsonl'] = ingest.jsonl_oracle_sql()
         generated['docs_from_csv'] = ingest.csv_oracle_sql()
-        from engine.ops.convstats import conv_stats_oracle_sql
+        from engine.ops.convstats import (conv_stats_oracle_sql,
+                                          conv_text_oracle_sql)
         from engine.ops.common import sf_from_dir as _sfd
         from engine.rayjob.transcripts import ensure_corpus as _ec
-        generated['conv_stats'] = conv_stats_oracle_sql(
-            _ec(_sfd(oracles._oracle_sf_dir())))
+        _corpus = _ec(_sfd(oracles._oracle_sf_dir()))
+        generated['conv_stats'] = conv_stats_oracle_sql(_corpus)
+        generated['conv_text_md5'] = conv_text_oracle_sql(_corpus)
         # flagship extraction: reference-derived expected tables → SQL joins
         generated.update(oracles.extract_oracle_sqls())
         # multimodal blob md5s vs fixture-time independent recompute
@@ -409,6 +421,25 @@ SELECT event_type,
              * 1000000 + 0.5) / 1000000 AS corr_hv,
        n AS n_events
 FROM m
+""",
+        'events_debounced': """
+WITH l AS (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events)
+SELECT event_id, user_id, event_type, ts
+FROM l WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 5 MINUTE
+""",
+        'user_event_paths': """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+       count(*)::BIGINT AS n_steps
+FROM r WHERE rn <= 10 GROUP BY user_id
 """,
         'events_props_stats': """
 WITH e AS (

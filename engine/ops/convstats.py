@@ -16,7 +16,7 @@ import ray.data
 
 from .textstats import _string_bucket
 
-__all__ = ['conv_stats']
+__all__ = ['conv_stats', 'conv_text_md5', 'conv_text_oracle_sql']
 
 
 def conv_stats(corpus_dir, num_buckets=64):
@@ -70,6 +70,71 @@ SELECT conv_id, count(*)::BIGINT AS n_turns,
        count(DISTINCT role)::BIGINT AS n_roles,
        count(*) FILTER (WHERE tool <> '')::BIGINT AS n_tool_turns,
        sum(length(text))::BIGINT AS n_chars
+FROM read_parquet('{corpus}/*.parquet')
+GROUP BY conv_id
+""".format(corpus=corpus_dir)
+
+
+def conv_text_md5(corpus_dir, num_buckets=64):
+    """DOCUMENT ASSEMBLY over the flagship's input table: concatenate
+    each conversation's turns in stable (turn_idx) order into one
+    document and emit its md5 + length — the corpus-building step that
+    turns a turn-level log back into trainable documents (the md5 keeps
+    the comparable surface small; a real run would emit the text).
+
+    One bucketed exchange of (conv_id, turn_idx, text); per bucket one
+    lexsort + ListArray-from-run-offsets + Arrow ``binary_join`` with a
+    newline separator — assembly never loops over conversations.  Skew
+    bound = the largest single conversation, the same contract as the
+    flagship compaction stage."""
+    import hashlib
+    import numpy as np
+
+    from .textstats import _string_bucket
+
+    nb = num_buckets
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        t = batch.select(['conv_id', 'turn_idx', 'text'])
+        return t.append_column('bucket',
+                               _string_bucket(t.column('conv_id'), nb))
+
+    def assemble(group: pa.Table) -> pa.Table:
+        conv = group.column('conv_id').to_numpy(zero_copy_only=False)
+        tidx = group.column('turn_idx').to_numpy(zero_copy_only=False)
+        order = np.lexsort((tidx, conv))
+        c = conv[order]
+        text = group.column('text').take(pa.array(order, pa.int64()))
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        offsets = np.r_[starts, len(c)].astype(np.int64)
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()),
+            pc.cast(text.combine_chunks(), pa.large_string()))
+        joined = pc.binary_join(lists, pa.scalar('\n', pa.large_string()))
+        md5s = [hashlib.md5(s.encode('utf-8')).hexdigest()
+                for s in joined.to_pylist()]
+        return pa.table({
+            'conv_id': pa.array(c[starts].tolist(), pa.string()),
+            'n_turns': pa.array(np.diff(offsets), pa.int64()),
+            'doc_len': pc.cast(pc.utf8_length(joined), pa.int64()),
+            'doc_md5': pa.array(md5s, pa.string()),
+        })
+
+    ds = ray.data.read_parquet(corpus_dir,
+                               columns=['conv_id', 'turn_idx', 'text'])
+    return ds.map_batches(add_bucket, batch_format='pyarrow',
+                          zero_copy_batch=True) \
+             .groupby('bucket').map_groups(assemble,
+                                           batch_format='pyarrow')
+
+
+def conv_text_oracle_sql(corpus_dir):
+    """DuckDB assembles the same documents with an ordered string_agg."""
+    return """
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       length(string_agg(text, chr(10) ORDER BY turn_idx))::BIGINT
+         AS doc_len,
+       md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS doc_md5
 FROM read_parquet('{corpus}/*.parquet')
 GROUP BY conv_id
 """.format(corpus=corpus_dir)

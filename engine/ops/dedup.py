@@ -30,6 +30,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -37,7 +38,7 @@ import ray.data
 from .common import round_half_up, table_path, read_table, pool
 
 __all__ = ['dedup_exact', 'dedup_exact_payloads', 'ngram_jaccard_pairs',
-           'minhash_near_dup', 'simhash_near_dup', 'shingle_set']
+           'minhash_near_dup', 'simhash_near_dup', 'shingle_set', 'shared_span_pairs']
 
 _TOKEN_RE = re.compile(r'\S+')
 
@@ -622,3 +623,88 @@ def simhash_near_dup(sf_dir, max_hamming=3, num_buckets=64):
     return cand.map_batches(add_pair_bucket, batch_format='pyarrow',
                             zero_copy_batch=True) \
         .groupby('pbucket').map_groups(dedupe_bucket, batch_format='pyarrow')
+
+
+def shared_span_pairs(sf_dir, k=20, w=8, min_shared=2, num_buckets=64):
+    """SUBSTRING-LEVEL near-dup discovery (the "dedup exact substrings"
+    tier of training-data cleaning): document pairs sharing at least
+    ``min_shared`` winnowing fingerprints of ``k``-code-point spans —
+    catches copied PASSAGES that whole-document minhash dilutes away.
+    Long grams (k=20) make collisions mean real shared spans, not shared
+    vocabulary.
+
+    Shape: per-doc winnow set (the SIGMOD'03 kernel shared with
+    fingerprint_winnow and its oracle) → (fp, doc) rows → ONE fp-bucketed
+    exchange; per bucket, per-fp doc runs expand to canonical (a<b) pairs
+    (runs are short for long grams — boilerplate-heavy corpora should
+    pre-dedup exact copies first, the same contract as minhash's band
+    corner) → per-block pair-count combiner → ONE pair-bucketed exchange
+    sums counts and applies the threshold."""
+    nb = num_buckets
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from .textstats import winnow_fingerprints
+        ids, fps = [], []
+        for did, text in zip(batch.column('doc_id').to_pylist(),
+                             batch.column('text').to_pylist()):
+            s = winnow_fingerprints(text, k, w)
+            ids.extend([did] * len(s))
+            fps.extend(s)
+        fp_arr = np.array(fps, np.int64) if fps else np.empty(0, np.int64)
+        return pa.table({
+            'fp': pa.array(fp_arr, pa.int64()),
+            'doc_id': pa.array(np.array(ids, np.int64) if ids
+                               else np.empty(0, np.int64), pa.int64()),
+            'bucket': pa.array(fp_arr & (nb - 1), pa.int64()),
+        })
+
+    def fp_pairs(group: pa.Table) -> pa.Table:
+        t = group.sort_by([('fp', 'ascending'), ('doc_id', 'ascending')])
+        fp = t.column('fp').to_numpy(zero_copy_only=False)
+        doc = t.column('doc_id').to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, fp[1:] != fp[:-1]])
+        ends = np.r_[starts[1:], len(fp)]
+        a_parts, b_parts = [], []
+        for s, e in zip(starts, ends):          # runs are short (long grams)
+            c = e - s
+            if c > 1:
+                iu, ju = np.triu_indices(c, 1)
+                a_parts.append(doc[s + iu])
+                b_parts.append(doc[s + ju])
+        if not a_parts:
+            return pa.table({'doc_id_a': pa.array([], pa.int64()),
+                             'doc_id_b': pa.array([], pa.int64()),
+                             'n': pa.array([], pa.int64()),
+                             'pbucket': pa.array([], pa.int64())})
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        tt = pa.table({'doc_id_a': pa.array(a, pa.int64()),
+                       'doc_id_b': pa.array(b, pa.int64())})
+        g = tt.group_by(['doc_id_a', 'doc_id_b']).aggregate([([], 'count_all')])
+        g = g.rename_columns(['doc_id_a', 'doc_id_b', 'n'])
+        av = g.column('doc_id_a').to_numpy(zero_copy_only=False)
+        bv = g.column('doc_id_b').to_numpy(zero_copy_only=False)
+        return pa.table({
+            'doc_id_a': g.column('doc_id_a'),
+            'doc_id_b': g.column('doc_id_b'),
+            'n': g.column('n').cast(pa.int64()),
+            'pbucket': pa.array((av * 1_000_003 + bv) & (nb - 1), pa.int64()),
+        })
+
+    def pair_fold(group: pa.Table) -> pa.Table:
+        g = group.group_by(['doc_id_a', 'doc_id_b']).aggregate([('n', 'sum')])
+        g = g.rename_columns(['doc_id_a', 'doc_id_b', 'n_shared'])
+        g = g.filter(pc.greater_equal(g.column('n_shared'),
+                                      pa.scalar(min_shared, pa.int64())))
+        return pa.table({
+            'doc_id_a': g.column('doc_id_a'),
+            'doc_id_b': g.column('doc_id_b'),
+            'n_shared': g.column('n_shared').cast(pa.int64()),
+        })
+
+    docs = read_table(sf_dir, 'documents', columns=['doc_id', 'text'],
+                      min_blocks=pool()[1])
+    return docs.map_batches(explode, batch_format='pyarrow',
+                            zero_copy_batch=True) \
+        .groupby('bucket').map_groups(fp_pairs, batch_format='pyarrow') \
+        .groupby('pbucket').map_groups(pair_fold, batch_format='pyarrow')

@@ -59,6 +59,39 @@ FROM documents LEFT JOIN agg USING (doc_id)
 """.format(k=k, km1=k - 1, w=w, wm1=w - 1)
 
 
+def shared_span_oracle_sql(k=20, w=8, min_shared=2):
+    """Cross-doc shared winnow fingerprints (dedup.shared_span_pairs):
+    the SAME winnow-set CTE as winnow_oracle_sql at (k, w), self-joined
+    on the fingerprint with canonical doc_id_a < doc_id_b order."""
+    return r"""
+WITH pos AS (
+  SELECT doc_id, text, length(text) - {km1} AS n,
+         unnest(generate_series(1, greatest(length(text) - {km1}, 0))) AS i
+  FROM documents
+), g AS (
+  SELECT doc_id, i, n,
+         (md5_number_lower(substr(text, i, {k})) & 9223372036854775807)::BIGINT AS h
+  FROM pos
+), wm AS (
+  SELECT doc_id, i, n,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {wm1} FOLLOWING) AS wmin
+  FROM g
+), sel AS (
+  SELECT doc_id, wmin FROM wm WHERE n > {w} AND i <= n - {wm1}
+  UNION ALL
+  SELECT doc_id, min(h) AS wmin FROM g WHERE n <= {w} GROUP BY doc_id
+), d AS (
+  SELECT DISTINCT doc_id, wmin FROM sel
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       count(*)::BIGINT AS n_shared
+FROM d a JOIN d b ON b.wmin = a.wmin AND b.doc_id > a.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {m}
+""".format(k=k, km1=k - 1, w=w, wm1=w - 1, m=min_shared)
+
+
 def multimodal_features_oracle_sql():
     """Recompute decode_media_features over the deterministic MMV1 fake
     payloads: dims from doc_id arithmetic, body mean from the tiled

@@ -47,7 +47,8 @@ __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'events_rollup', 'events_funnel',
            'users_view_and_purchase', 'users_purchase_not_view',
            'events_time_rolling', 'events_value_zscore',
-           'events_value_deciles', 'events_hour_value_corr']
+           'events_value_deciles', 'events_hour_value_corr',
+           'events_debounced', 'user_event_paths']
 
 
 def rank_in_sorted_key(keys_sorted):
@@ -1807,3 +1808,92 @@ def events_hour_value_corr(sf_dir):
         'corr_hv': pa.array(round_half_up(corr, 6), pa.float64()),
         'n_events': m.column('n_sum').cast(pa.int64()),
     })
+
+
+def events_debounced(sf_dir, window_us=300_000_000, num_buckets=64):
+    """STREAM DEBOUNCE — the event-stream cleaning op: keep an event only
+    if the same user's previous event OF THE SAME TYPE is more than
+    ``window_us`` (5 min) older (drops double-fires / retry storms before
+    sessionization).
+
+    One bucketed ``user_id & (nb-1)`` exchange co-locates each user's
+    history; per bucket a single lexsort over (user, type, ts, event_id)
+    plus one vectorized diff marks run starts and over-gap rows — no
+    per-user or per-type loop.  Matches the SQL ``lag() OVER (PARTITION
+    BY user_id, event_type ORDER BY ts, event_id)`` definition exactly,
+    including the tie order."""
+    nb = num_buckets
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = batch.column('user_id').to_numpy(zero_copy_only=False) & (nb - 1)
+        return batch.append_column('bucket', pa.array(b, pa.int64()))
+
+    def debounce(group: pa.Table) -> pa.Table:
+        uid = group.column('user_id').to_numpy(zero_copy_only=False)
+        et = group.column('event_type').to_numpy(zero_copy_only=False)
+        ts = group.column('ts').cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column('event_id').to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, et, uid))
+        u, e, t = uid[order], et[order], ts[order]
+        new_run = np.r_[True, (u[1:] != u[:-1]) | (e[1:] != e[:-1])]
+        gap_ok = np.r_[True, (t[1:] - t[:-1]) > window_us]
+        keep = order[new_run | gap_ok]
+        out = group.take(pa.array(np.sort(keep), pa.int64()))
+        return out.select(['event_id', 'user_id', 'event_type', 'ts'])
+
+    ds = read_table(sf_dir, 'events',
+                    columns=['event_id', 'user_id', 'event_type', 'ts'])
+    return (ds.map_batches(add_bucket, batch_format='pyarrow',
+                           zero_copy_batch=True)
+              .groupby('bucket').map_groups(debounce, batch_format='pyarrow'))
+
+
+def user_event_paths(sf_dir, max_steps=10, num_buckets=64):
+    """PATH ASSEMBLY (clickstream analysis): per user, the ordered '>'
+    -joined sequence of their first ``max_steps`` event types — the
+    sequence column funnel/path tools consume.
+
+    One bucketed exchange of 3 columns; per bucket one lexsort, a
+    run-rank cut to the first ``max_steps`` rows per user, and an Arrow
+    ``binary_join`` over a ListArray built straight from the run offsets
+    — the string assembly never loops over users."""
+    nb = num_buckets
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = batch.column('user_id').to_numpy(zero_copy_only=False) & (nb - 1)
+        return pa.table({
+            'user_id': batch.column('user_id'),
+            'event_type': batch.column('event_type'),
+            'ts': batch.column('ts'),
+            'event_id': batch.column('event_id'),
+            'bucket': pa.array(b, pa.int64()),
+        })
+
+    def assemble(group: pa.Table) -> pa.Table:
+        uid = group.column('user_id').to_numpy(zero_copy_only=False)
+        ts = group.column('ts').cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column('event_id').to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u = uid[order]
+        seq = rank_in_sorted_key(u)
+        cut = order[seq <= max_steps]
+        u = uid[cut]
+        types = group.column('event_type').take(pa.array(cut, pa.int64()))
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        offsets = np.r_[starts, len(u)].astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                         types.combine_chunks())
+        path = pc.binary_join(lists, '>')
+        n_steps = np.diff(offsets).astype(np.int64)
+        return pa.table({
+            'user_id': pa.array(u[starts], pa.int64()),
+            'path': path,
+            'n_steps': pa.array(n_steps, pa.int64()),
+        })
+
+    ds = read_table(sf_dir, 'events',
+                    columns=['event_id', 'user_id', 'event_type', 'ts'])
+    return (ds.map_batches(add_bucket, batch_format='pyarrow',
+                           zero_copy_batch=True)
+              .groupby('bucket').map_groups(assemble,
+                                            batch_format='pyarrow'))

@@ -73,7 +73,9 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'urgent_order_lineitems', 'conv_stats', 'docs_from_csv',
                   'doc_chunks', 'sample_weighted_mix', 'events_time_rolling',
                   'events_value_zscore', 'events_value_deciles',
-                  'events_hour_value_corr', 'lineitem_checksum']
+                  'events_hour_value_corr', 'lineitem_checksum',
+                  'events_debounced', 'user_event_paths', 'conv_text_md5',
+                  'shared_span_pairs']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
