@@ -52,19 +52,29 @@ def _bucket(ids, nb):
 SMALL_EDGE_LIMIT = 1 << 21
 
 
-def _local_components(src, dst):
-    """Min-label connected components on a compacted edge list (numpy
-    min-propagation to fixpoint — identical result to the distributed
-    loop: every node's label = min doc_id of its component)."""
+def _local_components(src, dst, max_rounds=96):
+    """Min-label connected components on a compacted edge list — identical
+    result to the distributed loop: every node's label = min doc_id of
+    its component.  Each round relaxes every edge AND pointer-jumps
+    (``lbl = lbl[lbl_of(lbl)]``, valid because a label is always some
+    node's id), so convergence is O(log diameter) rounds — a path graph
+    that costs the plain propagation D rounds finishes in ~log2(D); the
+    cap is defensive, not a silent truncation (it raises)."""
     nodes, inv_src = np.unique(src, return_inverse=True)
     inv_dst = np.searchsorted(nodes, dst)   # symmetric edges: dst ⊆ nodes
     lbl = nodes.copy()
-    while True:
+    for _ in range(max_rounds):
         new = lbl.copy()
         np.minimum.at(new, inv_dst, lbl[inv_src])
+        # pointer jumping: adopt the label of your current label's node
+        np.minimum(new, new[np.searchsorted(nodes, new)], out=new)
         if np.array_equal(new, lbl):
             return nodes, lbl
         lbl = new
+    raise RuntimeError(
+        '_local_components: no fixpoint in %d doubling rounds '
+        '(theoretically impossible below 2^%d nodes — file a bug)'
+        % (max_rounds, max_rounds))
 
 
 def _make_sym_edges(nb):

@@ -16,7 +16,8 @@ import ray.data
 
 from .textstats import _string_bucket
 
-__all__ = ['conv_stats', 'conv_text_md5', 'conv_text_oracle_sql']
+__all__ = ['conv_stats', 'conv_stats_oracle_sql',
+           'conv_text_md5', 'conv_text_oracle_sql']
 
 
 def conv_stats(corpus_dir, num_buckets=64):
@@ -88,9 +89,8 @@ def conv_text_md5(corpus_dir, num_buckets=64):
     bound = the largest single conversation, the same contract as the
     flagship compaction stage."""
     import hashlib
-    import numpy as np
 
-    from .textstats import _string_bucket
+    import numpy as np
 
     nb = num_buckets
 

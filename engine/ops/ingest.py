@@ -143,5 +143,5 @@ def csv_oracle_sql(sf_dir=None):
 SELECT doc_id, source,
        len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
        length(text)::BIGINT AS n_chars_calc
-FROM read_csv('{path}', header=true)
+FROM read_csv('{path}', header=true, allow_quoted_nulls=false)
 """.format(path=path)

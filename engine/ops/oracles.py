@@ -24,9 +24,11 @@ def _oracle_sf_dir():
     return os.environ.get('GRAFT_ORACLE_SF_DIR', '/root/testdata/sf0.01')
 
 
-def winnow_oracle_sql(k=5, w=4):
-    """Winnowing fingerprint summary (textstats.fingerprint_winnow):
-    code-point k-grams → 63-bit md5 hash → windowed min → distinct set."""
+def _winnow_d_cte(k, w):
+    """The shared winnow-set CTE chain (pos → g → wm → sel → d): one
+    home for the winnowing contract both winnow_oracle_sql and
+    shared_span_oracle_sql certify (k-gram md5 hash, window min, the
+    n <= w single-min corner).  ``d`` = DISTINCT (doc_id, wmin)."""
     return r"""
 WITH pos AS (
   SELECT doc_id, text, length(text) - {km1} AS n,
@@ -47,7 +49,13 @@ WITH pos AS (
   SELECT doc_id, min(h) AS wmin FROM g WHERE n <= {w} GROUP BY doc_id
 ), d AS (
   SELECT DISTINCT doc_id, wmin FROM sel
-), agg AS (
+)""".format(k=k, km1=k - 1, w=w, wm1=w - 1)
+
+
+def winnow_oracle_sql(k=5, w=4):
+    """Winnowing fingerprint summary (textstats.fingerprint_winnow):
+    code-point k-grams → 63-bit md5 hash → windowed min → distinct set."""
+    return _winnow_d_cte(k, w) + """, agg AS (
   SELECT doc_id, count(*)::BIGINT AS n_fingerprints,
          min(wmin) AS min_fp, max(wmin) AS max_fp
   FROM d GROUP BY doc_id
@@ -56,40 +64,20 @@ SELECT doc_id, coalesce(n_fingerprints, 0)::BIGINT AS n_fingerprints,
        coalesce(min_fp, 0)::BIGINT AS min_fp,
        coalesce(max_fp, 0)::BIGINT AS max_fp
 FROM documents LEFT JOIN agg USING (doc_id)
-""".format(k=k, km1=k - 1, w=w, wm1=w - 1)
+"""
 
 
 def shared_span_oracle_sql(k=20, w=8, min_shared=2):
     """Cross-doc shared winnow fingerprints (dedup.shared_span_pairs):
     the SAME winnow-set CTE as winnow_oracle_sql at (k, w), self-joined
     on the fingerprint with canonical doc_id_a < doc_id_b order."""
-    return r"""
-WITH pos AS (
-  SELECT doc_id, text, length(text) - {km1} AS n,
-         unnest(generate_series(1, greatest(length(text) - {km1}, 0))) AS i
-  FROM documents
-), g AS (
-  SELECT doc_id, i, n,
-         (md5_number_lower(substr(text, i, {k})) & 9223372036854775807)::BIGINT AS h
-  FROM pos
-), wm AS (
-  SELECT doc_id, i, n,
-         min(h) OVER (PARTITION BY doc_id ORDER BY i
-                      ROWS BETWEEN CURRENT ROW AND {wm1} FOLLOWING) AS wmin
-  FROM g
-), sel AS (
-  SELECT doc_id, wmin FROM wm WHERE n > {w} AND i <= n - {wm1}
-  UNION ALL
-  SELECT doc_id, min(h) AS wmin FROM g WHERE n <= {w} GROUP BY doc_id
-), d AS (
-  SELECT DISTINCT doc_id, wmin FROM sel
-)
+    return _winnow_d_cte(k, w) + """
 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
        count(*)::BIGINT AS n_shared
 FROM d a JOIN d b ON b.wmin = a.wmin AND b.doc_id > a.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= {m}
-""".format(k=k, km1=k - 1, w=w, wm1=w - 1, m=min_shared)
+""".format(m=min_shared)
 
 
 def multimodal_features_oracle_sql():

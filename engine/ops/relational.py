@@ -1623,12 +1623,24 @@ def events_time_rolling(sf_dir, window_us=3_600_000_000, num_buckets=64):
         n = len(uid)
         rs = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])   # run starts
         re = np.r_[rs[1:], n]                                   # run ends
-        run_of = np.repeat(np.arange(len(rs), dtype=np.int64), re - rs)
         span = ts[re - 1] - ts[rs]
-        base = np.concatenate(([0], np.cumsum(span + window_us + 1)))[:-1]
-        mono = ts - ts[rs][run_of] + base[run_of]
-        lo = np.searchsorted(mono, mono - window_us, side='left')
-        hi = np.searchsorted(mono, mono, side='right')
+        # the monotone axis accumulates Σ(span + window + 1): guard the
+        # int64 capacity (float estimate, generous 2^61 margin) and fall
+        # back to per-run searchsorted — same results, no silent wrap
+        if (float(np.sum(span, dtype=np.float64))
+                + len(rs) * (window_us + 1.0)) < float(1 << 61):
+            run_of = np.repeat(np.arange(len(rs), dtype=np.int64), re - rs)
+            base = np.concatenate(([0], np.cumsum(span + window_us + 1)))[:-1]
+            mono = ts - ts[rs][run_of] + base[run_of]
+            lo = np.searchsorted(mono, mono - window_us, side='left')
+            hi = np.searchsorted(mono, mono, side='right')
+        else:
+            lo = np.empty(n, np.int64)
+            hi = np.empty(n, np.int64)
+            for s, e in zip(rs, re):
+                seg = ts[s:e]
+                lo[s:e] = s + np.searchsorted(seg, seg - window_us, 'left')
+                hi[s:e] = s + np.searchsorted(seg, seg, 'right')
         cum = np.concatenate(([0], np.cumsum(cents)))
         return pa.table({
             'event_id': pa.array(eid, pa.int64()),

@@ -433,3 +433,37 @@ def test_dedup_clusters_paths_agree(ray_session):
     dist = dedup_clusters(SF_DIR, small_edge_limit=0).to_pandas() \
         .sort_values('doc_id').reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_local_components_chain_fast():
+    """Pointer doubling: a path graph converges in O(log D) rounds, not D
+    (the round-cap RuntimeError guards the impossible case loudly)."""
+    import numpy as np
+    from engine.ops.clusters import _local_components
+    n = 60000
+    src = np.r_[np.arange(n - 1), np.arange(1, n)]
+    dst = np.r_[np.arange(1, n), np.arange(n - 1)]
+    nodes, lbl = _local_components(src, dst)
+    assert len(nodes) == n and (lbl == 0).all()
+
+
+def test_csv_source_empty_text_parity(ray_session, tmp_path):
+    """An empty text field must round-trip as '' on BOTH sides of the CSV
+    oracle (DuckDB's allow_quoted_nulls would read \"\" as NULL)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from engine.ops import ingest
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        'doc_id': pa.array([1, 2], pa.int64()),
+        'text': pa.array(['', 'a b'], pa.string()),
+        'lang': pa.array(['en', 'en'], pa.string()),
+        'source': pa.array(['src0', 'src1'], pa.string()),
+        'n_chars': pa.array([0, 3], pa.int64()),
+    }), os.path.join(d, 'documents.parquet'))
+    ray_df = ingest.docs_from_csv(d).to_pandas().sort_values('doc_id') \
+                                    .reset_index(drop=True)
+    sql_df = duckdb.sql(ingest.csv_oracle_sql(d) + ' ORDER BY doc_id') \
+                   .df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(_canon(ray_df), _canon(sql_df),
+                                  check_dtype=False)
