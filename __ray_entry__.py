@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'embedding_dup_pairs_blocked': similarity.embedding_dup_pairs_blocked,
         'embedding_dup_lsh': similarity.embedding_dup_lsh,
         'ann_topk': similarity.ann_topk,
+        'embedding_norms': similarity.embedding_norms,
         'ann_topk_lsh': similarity.ann_topk_lsh,
         'ann_topk_ivf': similarity.ann_topk_ivf,
         # relational / plan-op layer
@@ -177,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_hour_value_corr': relational.events_hour_value_corr,
         'events_debounced': relational.events_debounced,
         'user_event_paths': relational.user_event_paths,
+        'orders_price_percentile': relational.orders_price_percentile,
+        'daily_activity': relational.daily_activity,
         'conv_text_md5': _conv_text_md5,
         'lineitem_checksum': checksum.lineitem_checksum,
         # cardinality sketches
@@ -239,7 +242,9 @@ def oracle_sql() -> dict[str, str]:
         pass   # oracle sf dir absent: those stay rows-only
     from engine.ops import sampling as _sampling
     from engine.ops import checksum as _checksum
+    from engine.ops import similarity as _similarity
     generated['lineitem_checksum'] = _checksum.CHECKSUM_SQL
+    generated['embedding_norms'] = _similarity.EMBEDDING_NORMS_SQL
     generated['sample_weighted_mix'] = _sampling.weighted_mix_oracle_sql()
     generated['sample_uniform'] = """
 SELECT doc_id, lang,
@@ -440,6 +445,26 @@ WITH r AS (
 SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
        count(*)::BIGINT AS n_steps
 FROM r WHERE rn <= 10 GROUP BY user_id
+""",
+        'orders_price_percentile': """
+WITH e AS (SELECT o_orderkey, o_orderpriority,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders)
+SELECT o_orderkey, o_orderpriority,
+       floor(percent_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY cents) * 1000000 + 0.5)
+         / 1000000 AS pr
+FROM e
+""",
+        'daily_activity': """
+WITH o AS (SELECT date_trunc('day', o_orderdate) AS day,
+                  count(*)::BIGINT AS n_orders FROM orders GROUP BY 1),
+     e AS (SELECT date_trunc('day', ts) AS day,
+                  count(*)::BIGINT AS n_events FROM events GROUP BY 1)
+SELECT coalesce(o.day, e.day) AS day,
+       coalesce(o.n_orders, 0)::BIGINT AS n_orders,
+       coalesce(e.n_events, 0)::BIGINT AS n_events
+FROM o FULL OUTER JOIN e ON e.day = o.day
 """,
         'events_props_stats': """
 WITH e AS (

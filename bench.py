@@ -28,7 +28,10 @@ BENCH_QUERIES = ['q1_pricing', 'events_by_type', 'dedup_exact',
                  # round-3 additions, one per new family
                  'shipping_priority', 'doc_tfidf_topk', 'bigram_pmi_topk',
                  'embedding_dup_lsh', 'distinct_users_kmv', 'corpus_clean',
-                 'events_user_running']
+                 'events_user_running',
+                 # late round-3 additions, one per new family
+                 'urgent_order_lineitems', 'conv_text_md5',
+                 'shared_span_pairs', 'doc_chunks']
 
 
 def _init_ray(num_cpus):

@@ -48,7 +48,8 @@ __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'users_view_and_purchase', 'users_purchase_not_view',
            'events_time_rolling', 'events_value_zscore',
            'events_value_deciles', 'events_hour_value_corr',
-           'events_debounced', 'user_event_paths']
+           'events_debounced', 'user_event_paths',
+           'orders_price_percentile', 'daily_activity']
 
 
 def rank_in_sorted_key(keys_sorted):
@@ -1909,3 +1910,123 @@ def user_event_paths(sf_dir, max_steps=10, num_buckets=64):
                            zero_copy_batch=True)
               .groupby('bucket').map_groups(assemble,
                                             batch_format='pyarrow'))
+
+
+def orders_price_percentile(sf_dir):
+    """PER-GROUP PERCENT_RANK without co-locating the groups: each
+    order's price percentile within its priority class.  SQL
+    percent_rank needs every partition ordered — the classic hot-key
+    window (5 priorities → 5 giant partitions at scale).  Here the
+    partition never co-locates: a (priority, cents, cnt) distinct-value
+    histogram folds combiner-first to the driver (same distinct-value
+    contract as the exact-quantile tier), the per-priority cumulative
+    table broadcasts, and a second shuffle-free map pass assigns
+    ``(rows strictly below) / (n - 1)`` — the exact percent_rank
+    definition, ties sharing a rank."""
+
+    def hist(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch.column('o_totalprice').to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({'prio': batch.column('o_orderpriority'),
+                      'cents': pa.array(cents, pa.int64()),
+                      'cnt': pa.array(np.ones(len(cents), np.int64))})
+        g = t.group_by(['prio', 'cents']).aggregate([('cnt', 'sum')])
+        return g.rename_columns(['prio', 'cents', 'cnt'])
+
+    ds = read_table(sf_dir, 'orders',
+                    columns=['o_orderpriority', 'o_totalprice'])
+    parts = [t for t in ray.get(
+        ds.map_batches(hist, batch_format='pyarrow',
+                       zero_copy_batch=True).to_arrow_refs()) if t.num_rows]
+    state = {}
+    if parts:
+        h = pa.concat_tables(parts, promote_options='none') \
+              .group_by(['prio', 'cents']).aggregate([('cnt', 'sum')])
+        pr = h.column('prio').to_numpy(zero_copy_only=False)
+        ce = h.column('cents').to_numpy(zero_copy_only=False)
+        cn = h.column('cnt_sum').to_numpy(zero_copy_only=False)
+        for p in np.unique(pr):
+            m = pr == p
+            order = np.argsort(ce[m], kind='mergesort')
+            vals, cnts = ce[m][order], cn[m][order]
+            below = np.concatenate(([0], np.cumsum(cnts)))[:-1]
+            state[p] = (vals, below, int(cnts.sum()))
+    state_ref = ray.put(state)
+
+    class Assign(BroadcastLookup):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cents = np.floor(batch.column('o_totalprice').to_numpy(
+                zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+            prio = batch.column('o_orderpriority').to_numpy(
+                zero_copy_only=False)
+            out = np.zeros(len(cents), np.float64)
+            for p, (vals, below, n) in self.state.items():
+                m = prio == p
+                if not m.any() or n <= 1:
+                    continue
+                idx = np.searchsorted(vals, cents[m], side='left')
+                out[m] = below[idx] / float(n - 1)
+            return pa.table({
+                'o_orderkey': batch.column('o_orderkey'),
+                'o_orderpriority': batch.column('o_orderpriority'),
+                'pr': pa.array(round_half_up(out, 6), pa.float64()),
+            })
+
+    facts = read_table(sf_dir, 'orders',
+                       columns=['o_orderkey', 'o_orderpriority',
+                                'o_totalprice'])
+    return facts.map_batches(Assign, fn_constructor_args=(state_ref,),
+                             concurrency=pool(), batch_format='pyarrow',
+                             zero_copy_batch=True)
+
+
+_DAY_US = 86_400_000_000
+
+
+def daily_activity(sf_dir):
+    """FULL OUTER join of two fact streams on a computed key: orders per
+    day ⟗ events per day — days with orders but no events (and vice
+    versa) both survive with zero-fill.  Completes the join-type family
+    (inner/semi/anti/left-outer/as-of/range are elsewhere).
+
+    Both sides fold combiner-first to one row per (day, block); the
+    day-keyed union is tiny (≤ distinct days), so the final fold is one
+    small groupby — no raw fact row ever shuffles."""
+
+    def order_days(batch: pa.Table) -> pa.Table:
+        ts = batch.column('o_orderdate').cast(pa.int64()) \
+                  .to_numpy(zero_copy_only=False)
+        day = (ts // _DAY_US) * _DAY_US
+        t = pa.table({'day': pa.array(day, pa.int64()),
+                      'n_orders': pa.array(np.ones(len(day), np.int64)),
+                      'n_events': pa.array(np.zeros(len(day), np.int64))})
+        g = t.group_by('day').aggregate([('n_orders', 'sum'),
+                                         ('n_events', 'sum')])
+        return g.rename_columns(['day', 'n_orders', 'n_events'])
+
+    def event_days(batch: pa.Table) -> pa.Table:
+        ts = batch.column('ts').cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (ts // _DAY_US) * _DAY_US
+        t = pa.table({'day': pa.array(day, pa.int64()),
+                      'n_orders': pa.array(np.zeros(len(day), np.int64)),
+                      'n_events': pa.array(np.ones(len(day), np.int64))})
+        g = t.group_by('day').aggregate([('n_orders', 'sum'),
+                                         ('n_events', 'sum')])
+        return g.rename_columns(['day', 'n_orders', 'n_events'])
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by('day').aggregate([('n_orders', 'sum'),
+                                             ('n_events', 'sum')])
+        return pa.table({
+            'day': g.column('day').cast(pa.timestamp('us')),
+            'n_orders': g.column('n_orders_sum').cast(pa.int64()),
+            'n_events': g.column('n_events_sum').cast(pa.int64()),
+        })
+
+    orders = read_table(sf_dir, 'orders', columns=['o_orderdate'])
+    events = read_table(sf_dir, 'events', columns=['ts'])
+    return orders.map_batches(order_days, batch_format='pyarrow',
+                              zero_copy_batch=True) \
+        .union(events.map_batches(event_days, batch_format='pyarrow',
+                                  zero_copy_batch=True)) \
+        .groupby('day').map_groups(fold, batch_format='pyarrow')

@@ -27,7 +27,8 @@ import ray.data
 from .common import round_half_up, table_path, read_table, pool
 
 __all__ = ['embedding_dup_pairs', 'embedding_dup_pairs_blocked',
-           'embedding_dup_lsh', 'ann_topk', 'ann_topk_lsh', 'ann_topk_ivf']
+           'embedding_dup_lsh', 'ann_topk', 'ann_topk_lsh', 'ann_topk_ivf',
+           'embedding_norms', 'EMBEDDING_NORMS_SQL']
 
 
 def _read_embeddings(sf_dir):
@@ -514,3 +515,44 @@ def embedding_dup_lsh(sf_dir, threshold=0.42, n_bands=8, n_planes=4,
                                             batch_format='pyarrow')
     return pairs.groupby('pbucket').map_groups(distinct_fold,
                                                batch_format='pyarrow')
+
+
+def embedding_norms(sf_dir):
+    """Per-vector L2 norm (the embedding hygiene check before cosine
+    math: zero / denormal vectors poison similarity scores).  Pure map,
+    no shuffle.
+
+    Float parity note: the squared terms sum SEQUENTIALLY left-to-right
+    on both sides — numpy's pairwise summation only kicks in above its
+    128-element block, so ``np.sum(axis=1)`` over 64-dim rows is
+    sequential, matching DuckDB's list_sum fold order; the result is
+    rounded half-up r6 like every float surface here."""
+    import numpy as np
+
+    from .common import round_half_up
+
+    def norms(batch: pa.Table) -> pa.Table:
+        emb = batch.column('embedding')
+        arr = emb.chunk(0) if emb.num_chunks == 1 else emb.combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)                   .astype(np.float64)
+        mat = flat.reshape(batch.num_rows, -1)
+        nrm = np.sqrt(np.sum(mat * mat, axis=1))
+        return pa.table({
+            'vec_id': batch.column('vec_id'),
+            'label': batch.column('label').cast(pa.int64()),
+            'norm': pa.array(round_half_up(nrm, 6), pa.float64()),
+        })
+
+    return read_table(sf_dir, 'embeddings',
+                      columns=['vec_id', 'embedding', 'label'],
+                      min_blocks=pool()[1]).map_batches(
+        norms, batch_format='pyarrow', zero_copy_batch=True)
+
+
+EMBEDDING_NORMS_SQL = """
+SELECT vec_id, label::BIGINT AS label,
+       floor(sqrt(list_sum(list_transform(embedding,
+                                          x -> x::DOUBLE * x::DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS norm
+FROM embeddings
+"""

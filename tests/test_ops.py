@@ -75,7 +75,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'events_value_zscore', 'events_value_deciles',
                   'events_hour_value_corr', 'lineitem_checksum',
                   'events_debounced', 'user_event_paths', 'conv_text_md5',
-                  'shared_span_pairs']
+                  'shared_span_pairs', 'orders_price_percentile',
+                  'embedding_norms', 'daily_activity']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
