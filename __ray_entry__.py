@@ -64,6 +64,36 @@ def _conv_text_md5(sf_dir: str) -> Any:
     return conv_text_md5(_transcripts_dir(sf_dir))
 
 
+def _extract_to_parquet(sf_dir: str) -> Any:
+    """The resumable SINK as a first-class query: run the full flagship
+    pipeline (extract → external-spill shuffle → per-bucket ordered
+    parquet + manifest) and return the per-bucket manifest (rows-only:
+    bucket assignment is crc32, not SQL-expressible — the write path is
+    oracle-adjacent via extract_fulltext, whose rows these files hold,
+    and byte-tested in tests/test_pipeline.py).  Re-running resumes: the
+    manifest makes the query idempotent per corpus."""
+    import os
+
+    import pyarrow as pa
+
+    from engine.ops.common import sf_from_dir
+    from engine.rayjob import checkpoint
+    from engine.rayjob.pipeline import run_extraction
+
+    corpus = _transcripts_dir(sf_dir)
+    out_dir = '/tmp/graft_extract_out/sf%s' % sf_from_dir(sf_dir)
+    run_extraction(corpus, out_dir, resume=True)
+    rows = sorted(checkpoint.load_done_buckets(out_dir).values(),
+                  key=lambda r: r['bucket'])
+    return pa.table({
+        'bucket': pa.array([r['bucket'] for r in rows], pa.int64()),
+        'rows': pa.array([r['rows'] for r in rows], pa.int64()),
+        'decode_failures': pa.array([r['decode_failures'] for r in rows],
+                                    pa.int64()),
+        'span_count': pa.array([r['span_count'] for r in rows], pa.int64()),
+    })
+
+
 def _extract_metrics(sf_dir: str) -> Any:
     """SINGLE-PASS metrics: one combiner map_batches emits per-batch
     partial counters, one tiny .sum() folds them — the read→extract DAG
@@ -109,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'extract_fulltext': _extract_fulltext,
         'extract_spans': _extract_spans,
         'extract_metrics': _extract_metrics,
+        'extract_to_parquet': _extract_to_parquet,   # rows-only (sink)
         # text analysis (oracle-checked)
         'doc_token_stats': textstats.doc_token_stats,
         'doc_token_bpe': textstats.doc_token_bpe,

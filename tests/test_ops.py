@@ -468,3 +468,16 @@ def test_csv_source_empty_text_parity(ray_session, tmp_path):
                    .df().reset_index(drop=True)
     pd.testing.assert_frame_equal(_canon(ray_df), _canon(sql_df),
                                   check_dtype=False)
+
+
+def test_extract_sink_manifest(ray_session):
+    """The sink query's manifest totals must equal the extraction
+    dataset's row count, and a re-run must resume to identical output."""
+    import __ray_entry__ as entrymod
+    qs = entrymod.queries()
+    t = qs['extract_to_parquet'](SF_DIR)
+    rows = sum(t.column('rows').to_pylist())
+    ds_rows = qs['extract_fulltext'](SF_DIR).count()
+    assert rows == ds_rows
+    t2 = qs['extract_to_parquet'](SF_DIR)
+    assert t.equals(t2)
