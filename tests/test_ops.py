@@ -481,3 +481,71 @@ def test_extract_sink_manifest(ray_session):
     assert rows == ds_rows
     t2 = qs['extract_to_parquet'](SF_DIR)
     assert t.equals(t2)
+
+
+def test_time_rolling_matches_bruteforce(ray_session, tmp_path):
+    """Property check on RANDOM data: the monotone-axis searchsorted
+    kernel must equal the O(n²) window definition — every same-user
+    event in (t-1h, t], inclusive at exactly one hour back."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from engine.ops.relational import events_time_rolling
+    rng = np.random.default_rng(11)
+    n = 400
+    HOUR = 3_600_000_000
+    ts0 = 1704067200000000
+    ts = ts0 + rng.integers(0, 3 * HOUR, n)         # dense ties + boundaries
+    uid = rng.integers(0, 7, n)
+    val = rng.uniform(-5, 5, n).round(2)
+    tbl = pa.table({
+        'event_id': pa.array(np.arange(n), pa.int64()),
+        'ts': pa.array(ts, pa.timestamp('us')),
+        'user_id': pa.array(uid, pa.int64()),
+        'event_type': pa.array(['x'] * n, pa.string()),
+        'value': pa.array(val, pa.float64()),
+        'props': pa.array(['{}'] * n, pa.string()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), 'events.parquet'))
+    got = events_time_rolling(str(tmp_path)).to_pandas() \
+        .set_index('event_id').sort_index()
+    cents = np.floor(val * 100 + 0.5).astype(np.int64)
+    for i in range(n):
+        m = (uid == uid[i]) & (ts >= ts[i] - HOUR) & (ts <= ts[i])
+        assert got.loc[i, 'n_win'] == m.sum()
+        assert got.loc[i, 'win_cents'] == cents[m].sum()
+
+
+def test_doc_chunks_matches_reference(ray_session, tmp_path):
+    """doc_chunks vs a plain-Python reference on crafted lengths: below
+    one chunk, exactly one chunk, boundary multiples, long docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from engine.ops.textstats import doc_chunks
+    docs = ['w',                                    # 1 token
+            ' '.join('t%d' % i for i in range(50)),   # exactly one chunk
+            ' '.join('t%d' % i for i in range(51)),   # one overflow token
+            ' '.join('t%d' % i for i in range(75)),   # stride boundary
+            ' '.join('t%d' % i for i in range(137))]  # ragged tail
+    tbl = pa.table({
+        'doc_id': pa.array(range(len(docs)), pa.int64()),
+        'text': pa.array(docs, pa.string()),
+        'lang': pa.array(['en'] * len(docs), pa.string()),
+        'source': pa.array(['src0'] * len(docs), pa.string()),
+        'n_chars': pa.array([len(d) for d in docs], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), 'documents.parquet'))
+    got = doc_chunks(str(tmp_path)).to_pandas() \
+        .sort_values(['doc_id', 'chunk_idx']).reset_index(drop=True)
+    exp = []
+    for did, text in enumerate(docs):
+        toks = text.split(' ')
+        for ci, start in enumerate(range(0, max(len(toks), 1), 25)):
+            if start >= len(toks):
+                break
+            seg = toks[start:start + 50]
+            exp.append((did, ci, len(seg), ' '.join(seg)))
+    assert len(got) == len(exp)
+    for row, (did, ci, nt, txt) in zip(got.itertuples(index=False), exp):
+        assert (row.doc_id, row.chunk_idx, row.n_tokens,
+                row.chunk_text) == (did, ci, nt, txt)
