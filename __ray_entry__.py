@@ -64,24 +64,43 @@ def _conv_text_md5(sf_dir: str) -> Any:
     return conv_text_md5(_transcripts_dir(sf_dir))
 
 
+def _engine_fingerprint() -> str:
+    """md5 over the extraction-relevant source files: a resume dir is
+    only trusted for output produced by the SAME engine code, so a code
+    change can never serve stale sink results (the corpus version is
+    carried separately in the corpus dir basename)."""
+    import glob
+    import hashlib
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.md5()
+    for pat in ('engine/pdfcore/*.py', 'engine/rayjob/*.py'):
+        for p in sorted(glob.glob(os.path.join(here, pat))):
+            with open(p, 'rb') as f:
+                h.update(f.read())
+    return h.hexdigest()[:10]
+
+
 def _extract_to_parquet(sf_dir: str) -> Any:
     """The resumable SINK as a first-class query: run the full flagship
     pipeline (extract → external-spill shuffle → per-bucket ordered
     parquet + manifest) and return the per-bucket manifest (rows-only:
     bucket assignment is crc32, not SQL-expressible — the write path is
     oracle-adjacent via extract_fulltext, whose rows these files hold,
-    and byte-tested in tests/test_pipeline.py).  Re-running resumes: the
-    manifest makes the query idempotent per corpus."""
+    and byte-tested in tests/test_pipeline.py).  Re-running resumes; the
+    out dir is keyed by (corpus version, engine fingerprint) so resume
+    can never return output of different code or a different corpus."""
     import os
 
     import pyarrow as pa
 
-    from engine.ops.common import sf_from_dir
     from engine.rayjob import checkpoint
     from engine.rayjob.pipeline import run_extraction
 
     corpus = _transcripts_dir(sf_dir)
-    out_dir = '/tmp/graft_extract_out/sf%s' % sf_from_dir(sf_dir)
+    out_dir = '/tmp/graft_extract_out/%s-%s' % (
+        os.path.basename(os.path.normpath(corpus)), _engine_fingerprint())
     run_extraction(corpus, out_dir, resume=True)
     rows = sorted(checkpoint.load_done_buckets(out_dir).values(),
                   key=lambda r: r['bucket'])

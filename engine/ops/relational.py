@@ -1993,26 +1993,28 @@ def daily_activity(sf_dir):
     day-keyed union is tiny (≤ distinct days), so the final fold is one
     small groupby — no raw fact row ever shuffles."""
 
-    def order_days(batch: pa.Table) -> pa.Table:
-        ts = batch.column('o_orderdate').cast(pa.int64()) \
-                  .to_numpy(zero_copy_only=False)
-        day = (ts // _DAY_US) * _DAY_US
-        t = pa.table({'day': pa.array(day, pa.int64()),
-                      'n_orders': pa.array(np.ones(len(day), np.int64)),
-                      'n_events': pa.array(np.zeros(len(day), np.int64))})
-        g = t.group_by('day').aggregate([('n_orders', 'sum'),
-                                         ('n_events', 'sum')])
-        return g.rename_columns(['day', 'n_orders', 'n_events'])
+    def day_counts(ts_col, counting_orders):
+        """ONE combiner for both sides: count rows per day in the named
+        timestamp column, zero-fill the other side's counter AFTER the
+        aggregate (never group-sum a constant-zero column)."""
+        def fn(batch: pa.Table) -> pa.Table:
+            ts = batch.column(ts_col).cast(pa.int64()) \
+                      .to_numpy(zero_copy_only=False)
+            day = (ts // _DAY_US) * _DAY_US
+            t = pa.table({'day': pa.array(day, pa.int64()),
+                          'cnt': pa.array(np.ones(len(day), np.int64))})
+            g = t.group_by('day').aggregate([('cnt', 'sum')])
+            cnt = g.column('cnt_sum').cast(pa.int64())
+            zero = pa.array(np.zeros(g.num_rows, np.int64))
+            return pa.table({
+                'day': g.column('day'),
+                'n_orders': cnt if counting_orders else zero,
+                'n_events': zero if counting_orders else cnt,
+            })
+        return fn
 
-    def event_days(batch: pa.Table) -> pa.Table:
-        ts = batch.column('ts').cast(pa.int64()).to_numpy(zero_copy_only=False)
-        day = (ts // _DAY_US) * _DAY_US
-        t = pa.table({'day': pa.array(day, pa.int64()),
-                      'n_orders': pa.array(np.zeros(len(day), np.int64)),
-                      'n_events': pa.array(np.ones(len(day), np.int64))})
-        g = t.group_by('day').aggregate([('n_orders', 'sum'),
-                                         ('n_events', 'sum')])
-        return g.rename_columns(['day', 'n_orders', 'n_events'])
+    order_days = day_counts('o_orderdate', counting_orders=True)
+    event_days = day_counts('ts', counting_orders=False)
 
     def fold(group: pa.Table) -> pa.Table:
         g = group.group_by('day').aggregate([('n_orders', 'sum'),

@@ -36,8 +36,9 @@ def _read_embeddings(sf_dir):
                       columns=['vec_id', 'embedding'], min_blocks=pool()[1])
 
 
-def _batch_matrix(batch):
-    """(ids:int64[n], unit vectors float64 (n,d)) from an Arrow batch."""
+def _raw_matrix(batch):
+    """(ids:int64[n], float64 (n,d) matrix) from an Arrow batch — no
+    normalization.  ONE home for the chunk/flatten/reshape dance."""
     ids = batch.column('vec_id').to_numpy(zero_copy_only=False)
     emb = batch.column('embedding')
     if emb.num_chunks == 1:
@@ -45,7 +46,12 @@ def _batch_matrix(batch):
     else:
         arr = emb.combine_chunks()
     mat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    mat = mat.reshape(len(ids), -1)
+    return ids, mat.reshape(len(ids), -1)
+
+
+def _batch_matrix(batch):
+    """(ids:int64[n], unit vectors float64 (n,d)) from an Arrow batch."""
+    ids, mat = _raw_matrix(batch)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     return ids, mat / norms[:, None]

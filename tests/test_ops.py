@@ -472,7 +472,11 @@ def test_csv_source_empty_text_parity(ray_session, tmp_path):
 
 def test_extract_sink_manifest(ray_session):
     """The sink query's manifest totals must equal the extraction
-    dataset's row count, and a re-run must resume to identical output."""
+    dataset's row count, and a re-run must resume to identical output.
+    The sink root is wiped first so the first call exercises a FRESH
+    write, not a resume of an earlier session's output."""
+    import shutil
+    shutil.rmtree('/tmp/graft_extract_out', ignore_errors=True)
     import __ray_entry__ as entrymod
     qs = entrymod.queries()
     t = qs['extract_to_parquet'](SF_DIR)
@@ -523,7 +527,7 @@ def test_doc_chunks_matches_reference(ray_session, tmp_path):
     import pyarrow.parquet as pq
     from engine.ops.textstats import doc_chunks
     docs = ['w',                                    # 1 token
-            ' '.join('t%d' % i for i in range(50)),   # exactly one chunk
+            ' '.join('t%d' % i for i in range(50)),   # full chunk + its stride-25 overlap tail
             ' '.join('t%d' % i for i in range(51)),   # one overflow token
             ' '.join('t%d' % i for i in range(75)),   # stride boundary
             ' '.join('t%d' % i for i in range(137))]  # ragged tail
