@@ -553,3 +553,34 @@ def test_doc_chunks_matches_reference(ray_session, tmp_path):
     for row, (did, ci, nt, txt) in zip(got.itertuples(index=False), exp):
         assert (row.doc_id, row.chunk_idx, row.n_tokens,
                 row.chunk_text) == (did, ci, nt, txt)
+
+
+def test_local_components_random_graphs():
+    """Random-graph property: _local_components must equal a plain
+    union-find reference (min doc_id per component) on 50 random
+    edge sets including self-loops, duplicates and isolated pairs."""
+    import numpy as np
+    from engine.ops.clusters import _local_components
+    rng = np.random.default_rng(23)
+    for _ in range(50):
+        n_nodes = int(rng.integers(2, 60))
+        n_edges = int(rng.integers(1, 80))
+        a = rng.integers(0, n_nodes * 3, n_edges)   # sparse id space
+        b = rng.integers(0, n_nodes * 3, n_edges)
+        src = np.r_[a, b]
+        dst = np.r_[b, a]
+        nodes, lbl = _local_components(src, dst)
+        # union-find reference
+        parent = {}
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for x, y in zip(a.tolist(), b.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        expect = {x: find(x) for x in set(a.tolist()) | set(b.tolist())}
+        got = dict(zip(nodes.tolist(), lbl.tolist()))
+        assert got == expect
