@@ -20,6 +20,7 @@ import os
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.csv as pacsv
 
 import ray.data
 
@@ -130,7 +131,13 @@ def docs_from_csv(sf_dir):
             'n_chars_calc': pc.cast(pc.utf8_length(text), pa.int64()),
         })
 
-    ds = ray.data.read_csv(path)
+    # newlines_in_values: RFC-4180 permits quoted embedded newlines
+    # (ensure_csv writes them quoted; DuckDB's reader accepts them by
+    # default) — without this the pyarrow parser splits mid-record.
+    # Cost: disables the parallel chunker WITHIN one file, so at scale
+    # shard into many files (see docstring) to keep the read parallel.
+    ds = ray.data.read_csv(
+        path, parse_options=pacsv.ParseOptions(newlines_in_values=True))
     return ds.map_batches(stats, batch_format='pyarrow',
                           zero_copy_batch=True)
 

@@ -1707,11 +1707,22 @@ def events_value_zscore(sf_dir):
             S2 = np.array([self.state[t][1] for t in types], np.float64)[code]
             N = np.array([self.state[t][2] for t in types], np.float64)[code]
             mu = S / N
-            z = (cents - mu) / np.sqrt(S2 / N - mu * mu)
+            # Zero-variance guard (float parity): DuckDB yields NULL for
+            # any x/0, so a degenerate event_type (all values equal)
+            # must emit null, not NaN.  Both sides compute the variance
+            # with the identical float expression, so denom==0 happens
+            # on both or neither; a negative variance (mathematically
+            # impossible, same float path both sides) would error the
+            # oracle loudly rather than diverge silently.
+            with np.errstate(invalid='ignore', divide='ignore'):
+                denom = np.sqrt(S2 / N - mu * mu)
+                z = (cents - mu) / denom
+            null_mask = ~(denom > 0)
             return pa.table({
                 'event_id': batch.column('event_id'),
                 'event_type': batch.column('event_type'),
-                'z': pa.array(round_half_up(z, 6), pa.float64()),
+                'z': pa.array(round_half_up(z, 6), pa.float64(),
+                              mask=null_mask),
             })
 
     facts = read_table(sf_dir, 'events',
@@ -1814,11 +1825,17 @@ def events_hour_value_corr(sf_dir):
     sxx = m.column('sxx_sum').to_numpy(zero_copy_only=False).astype(np.float64)
     syy = m.column('syy_sum').to_numpy(zero_copy_only=False).astype(np.float64)
     sxy = m.column('sxy_sum').to_numpy(zero_copy_only=False).astype(np.float64)
-    corr = (nf * sxy - sx * sy) / (np.sqrt(nf * sxx - sx * sx)
-                                   * np.sqrt(nf * syy - sy * sy))
+    # Zero-variance guard: DuckDB yields NULL for x/0, so a constant-x
+    # or constant-y event_type must emit null corr, not NaN (same float
+    # expression both sides, so denom==0 happens on both or neither).
+    with np.errstate(invalid='ignore', divide='ignore'):
+        denom = (np.sqrt(nf * sxx - sx * sx)
+                 * np.sqrt(nf * syy - sy * sy))
+        corr = (nf * sxy - sx * sy) / denom
     return pa.table({
         'event_type': m.column('event_type'),
-        'corr_hv': pa.array(round_half_up(corr, 6), pa.float64()),
+        'corr_hv': pa.array(round_half_up(corr, 6), pa.float64(),
+                            mask=~(denom > 0)),
         'n_events': m.column('n_sum').cast(pa.int64()),
     })
 
@@ -1893,7 +1910,10 @@ def user_event_paths(sf_dir, max_steps=10, num_buckets=64):
         u = uid[cut]
         types = group.column('event_type').take(pa.array(cut, pa.int64()))
         starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
-        offsets = np.r_[starts, len(u)].astype(np.int32)
+        # int64 offsets through pa.array(..., pa.int32()): an offset
+        # beyond int32 RAISES instead of wrapping (np.astype would wrap
+        # silently); per-bucket row counts keep offsets far below 2^31.
+        offsets = np.r_[starts, len(u)].astype(np.int64)
         lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
                                          types.combine_chunks())
         path = pc.binary_join(lists, '>')

@@ -528,11 +528,13 @@ def embedding_norms(sf_dir):
     math: zero / denormal vectors poison similarity scores).  Pure map,
     no shuffle.
 
-    Float parity note: the squared terms sum SEQUENTIALLY left-to-right
-    on both sides — numpy's pairwise summation only kicks in above its
-    128-element block, so ``np.sum(axis=1)`` over 64-dim rows is
-    sequential, matching DuckDB's list_sum fold order; the result is
-    rounded half-up r6 like every float surface here."""
+    Float parity note: the squared terms sum STRICTLY SEQUENTIALLY
+    left-to-right across dims (a per-dim accumulator loop, vectorized
+    across rows) to match DuckDB's list_sum fold order bit-for-bit —
+    ``np.sum(axis=1)`` would use 8-way unrolled partial accumulators
+    whose last-ulp drift only survives the r6 half-up rounding by
+    luck.  d is small (64) so the loop is d vectorized adds, not a
+    per-row loop."""
     import numpy as np
 
     from .common import round_half_up
@@ -542,7 +544,10 @@ def embedding_norms(sf_dir):
         arr = emb.chunk(0) if emb.num_chunks == 1 else emb.combine_chunks()
         flat = arr.flatten().to_numpy(zero_copy_only=False)                   .astype(np.float64)
         mat = flat.reshape(batch.num_rows, -1)
-        nrm = np.sqrt(np.sum(mat * mat, axis=1))
+        acc = mat[:, 0] * mat[:, 0]
+        for j in range(1, mat.shape[1]):
+            acc = acc + mat[:, j] * mat[:, j]
+        nrm = np.sqrt(acc)
         return pa.table({
             'vec_id': batch.column('vec_id'),
             'label': batch.column('label').cast(pa.int64()),

@@ -450,17 +450,21 @@ def test_local_components_chain_fast():
 
 def test_csv_source_empty_text_parity(ray_session, tmp_path):
     """An empty text field must round-trip as '' on BOTH sides of the CSV
-    oracle (DuckDB's allow_quoted_nulls would read \"\" as NULL)."""
+    oracle (DuckDB's allow_quoted_nulls would read \"\" as NULL), and an
+    embedded newline (legal RFC-4180, written quoted by ensure_csv) must
+    parse as ONE record on both sides (pyarrow needs
+    newlines_in_values=True; DuckDB accepts it by default)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from engine.ops import ingest
     d = str(tmp_path)
     pq.write_table(pa.table({
-        'doc_id': pa.array([1, 2], pa.int64()),
-        'text': pa.array(['', 'a b'], pa.string()),
-        'lang': pa.array(['en', 'en'], pa.string()),
-        'source': pa.array(['src0', 'src1'], pa.string()),
-        'n_chars': pa.array([0, 3], pa.int64()),
+        'doc_id': pa.array([1, 2, 3], pa.int64()),
+        'text': pa.array(['', 'a b', 'line one\nline "two"\ttab'],
+                         pa.string()),
+        'lang': pa.array(['en', 'en', 'en'], pa.string()),
+        'source': pa.array(['src0', 'src1', 'src2'], pa.string()),
+        'n_chars': pa.array([0, 3, 24], pa.int64()),
     }), os.path.join(d, 'documents.parquet'))
     ray_df = ingest.docs_from_csv(d).to_pandas().sort_values('doc_id') \
                                     .reset_index(drop=True)
