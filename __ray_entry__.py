@@ -152,63 +152,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             multimodal, sampling, clusters, sketches, ingest,
                             bloomjoin, checksum)
 
+    # ORDERING CONTRACT: the driver's correctness check caps at the
+    # FIRST 50 entries, so the dict front-loads (a) every query with no
+    # green row in any CORRECTNESS_r*.json yet, (b) queries whose code
+    # changed this round, (c) the flagship.  Long-green entries (r1-r3
+    # hash-green on unchanged code) sit at the back.
     return {
-        # flagship extraction — oracle-checked via the reference-derived
-        # expected tables (oracles.extract_oracle_sqls)
-        'extract_fulltext': _extract_fulltext,
-        'extract_spans': _extract_spans,
-        'extract_metrics': _extract_metrics,
-        'extract_to_parquet': _extract_to_parquet,   # rows-only (sink)
-        # text analysis (oracle-checked)
-        'doc_token_stats': textstats.doc_token_stats,
-        'doc_token_bpe': textstats.doc_token_bpe,
-        'doc_quality': textstats.doc_quality,
-        'lang_id': textstats.lang_id,
-        'fingerprint_md5': textstats.fingerprint_md5,
-        'fingerprint_winnow': textstats.fingerprint_winnow,
-        'token_frequencies': textstats.token_frequencies,
-        'doc_tfidf_topk': textstats.doc_tfidf_topk,
-        'doc_scrub': textstats.doc_scrub,
-        'bigram_pmi_topk': textstats.bigram_pmi_topk,
-        'sample_stratified': sampling.sample_stratified,
-        'sample_uniform': sampling.sample_uniform,
-        'sample_weighted_mix': sampling.sample_weighted_mix,
-        # dedup
-        'dedup_exact': dedup.dedup_exact,
-        'dedup_exact_payloads': _dedup_payloads,      # rows-only (transcripts)
-        'ngram_jaccard_pairs': dedup.ngram_jaccard_pairs,
-        'minhash_near_dup': dedup.minhash_near_dup,
-        'simhash_near_dup': dedup.simhash_near_dup,
-        'shared_span_pairs': dedup.shared_span_pairs,
-        'dedup_clusters': clusters.dedup_clusters,
-        'corpus_clean': clusters.corpus_clean,
-        # similarity search
-        'embedding_dup_pairs': similarity.embedding_dup_pairs,
-        'embedding_dup_pairs_blocked': similarity.embedding_dup_pairs_blocked,
-        'embedding_dup_lsh': similarity.embedding_dup_lsh,
-        'ann_topk': similarity.ann_topk,
-        'embedding_norms': similarity.embedding_norms,
-        'ann_topk_lsh': similarity.ann_topk_lsh,
-        'ann_topk_ivf': similarity.ann_topk_ivf,
-        # relational / plan-op layer
-        'q1_pricing': relational.q1_pricing,
-        'top_orders_revenue': relational.top_orders_revenue,
-        'customers_per_region': relational.customers_per_region,
-        'supplier_balance_by_nation': relational.supplier_balance_by_nation,
-        'events_by_type': relational.events_by_type,
-        'events_sessionize': relational.events_sessionize,
-        'events_windowed': relational.events_windowed,
-        'events_windowed_sliding': relational.events_windowed_sliding,
-        'events_asof_orders': relational.events_asof_orders,
-        'events_range_orders': relational.events_range_orders,
-        'top_parts': relational.top_parts,
-        'customers_inactive': relational.customers_inactive,
-        'top_orders_per_customer': relational.top_orders_per_customer,
-        'events_value_quantiles': relational.events_value_quantiles,
-        'shipping_priority': relational.shipping_priority,
-        'events_user_running': relational.events_user_running,
-        'events_props_stats': relational.events_props_stats,
-        'events_value_hist_quantiles': relational.events_value_hist_quantiles,
+        # -- never driver-checked before round 4 ----------------------
         'user_event_pivot': relational.user_event_pivot,
         'events_user_rolling': relational.events_user_rolling,
         'customer_order_counts': relational.customer_order_counts,
@@ -232,11 +182,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'daily_activity': relational.daily_activity,
         'conv_text_md5': _conv_text_md5,
         'lineitem_checksum': checksum.lineitem_checksum,
-        # cardinality sketches
         'distinct_users_kmv': sketches.distinct_users_kmv,
-        # alternate-format ingestion (NDJSON + CSV sources)
         'docs_from_jsonl': ingest.docs_from_jsonl,
         'docs_from_csv': ingest.docs_from_csv,
+        'multimodal_resize_blobs': multimodal.resized_blob_md5,
+        'multimodal_frame_blobs': multimodal.frame_blob_md5,
+        # -- new in round 4 -------------------------------------------
+        'events_value_tdigest': relational.events_value_tdigest,
+        # -- code changed in round 4 (re-check) -----------------------
+        'embedding_norms': similarity.embedding_norms,
+        'minhash_near_dup': dedup.minhash_near_dup,
+        'corpus_clean': clusters.corpus_clean,
+        # -- flagship extraction — oracle-checked via the
+        # reference-derived expected tables (oracles.extract_oracle_sqls)
+        'extract_fulltext': _extract_fulltext,
+        'extract_spans': _extract_spans,
+        'extract_metrics': _extract_metrics,
+        'extract_to_parquet': _extract_to_parquet,   # rows-only (sink)
+        # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
+        # text analysis
+        'doc_token_stats': textstats.doc_token_stats,
+        'doc_token_bpe': textstats.doc_token_bpe,
+        'doc_quality': textstats.doc_quality,
+        'lang_id': textstats.lang_id,
+        'fingerprint_md5': textstats.fingerprint_md5,
+        'fingerprint_winnow': textstats.fingerprint_winnow,
+        'token_frequencies': textstats.token_frequencies,
+        'doc_tfidf_topk': textstats.doc_tfidf_topk,
+        'doc_scrub': textstats.doc_scrub,
+        'bigram_pmi_topk': textstats.bigram_pmi_topk,
+        'sample_stratified': sampling.sample_stratified,
+        'sample_uniform': sampling.sample_uniform,
+        'sample_weighted_mix': sampling.sample_weighted_mix,
+        # dedup
+        'dedup_exact': dedup.dedup_exact,
+        'dedup_exact_payloads': _dedup_payloads,      # rows-only (transcripts)
+        'ngram_jaccard_pairs': dedup.ngram_jaccard_pairs,
+        'simhash_near_dup': dedup.simhash_near_dup,
+        'shared_span_pairs': dedup.shared_span_pairs,
+        'dedup_clusters': clusters.dedup_clusters,
+        # similarity search
+        'embedding_dup_pairs': similarity.embedding_dup_pairs,
+        'embedding_dup_pairs_blocked': similarity.embedding_dup_pairs_blocked,
+        'embedding_dup_lsh': similarity.embedding_dup_lsh,
+        'ann_topk': similarity.ann_topk,
+        'ann_topk_lsh': similarity.ann_topk_lsh,
+        'ann_topk_ivf': similarity.ann_topk_ivf,
+        # relational / plan-op layer
+        'q1_pricing': relational.q1_pricing,
+        'top_orders_revenue': relational.top_orders_revenue,
+        'customers_per_region': relational.customers_per_region,
+        'supplier_balance_by_nation': relational.supplier_balance_by_nation,
+        'events_by_type': relational.events_by_type,
+        'events_sessionize': relational.events_sessionize,
+        'events_windowed': relational.events_windowed,
+        'events_windowed_sliding': relational.events_windowed_sliding,
+        'events_asof_orders': relational.events_asof_orders,
+        'events_range_orders': relational.events_range_orders,
+        'top_parts': relational.top_parts,
+        'customers_inactive': relational.customers_inactive,
+        'top_orders_per_customer': relational.top_orders_per_customer,
+        'events_value_quantiles': relational.events_value_quantiles,
+        'shipping_priority': relational.shipping_priority,
+        'events_user_running': relational.events_user_running,
+        'events_props_stats': relational.events_props_stats,
+        'events_value_hist_quantiles': relational.events_value_hist_quantiles,
         # multimodal plumbing (stub codecs; features oracle-checked)
         'multimodal_features': multimodal.decode_media_features,
         'multimodal_resize': multimodal.resize_media,       # rows-only (blobs)
@@ -244,10 +254,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-checkable summaries of the resize / frame-sample math
         'multimodal_resize_stats': multimodal.resized_features,
         'multimodal_frame_stats': multimodal.frame_features,
-        # blob-level checks: md5 of every emitted payload vs the
-        # fixture-time independent recompute
-        'multimodal_resize_blobs': multimodal.resized_blob_md5,
-        'multimodal_frame_blobs': multimodal.frame_blob_md5,
     }
 
 
@@ -268,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         'corpus_clean': oracles.corpus_clean_oracle_sql(),
         'multimodal_resize_stats': oracles.multimodal_resized_oracle_sql(),
         'multimodal_frame_stats': oracles.multimodal_frames_oracle_sql(),
+        'events_value_tdigest': oracles.tdigest_oracle_sql(),
     }
     try:
         generated['ann_topk_lsh'] = oracles.lsh_oracle_sql(oracles.embedding_dim())

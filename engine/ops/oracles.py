@@ -645,3 +645,91 @@ FROM q JOIN cl ON cl.doc_id = q.doc_id
 WHERE cl.is_survivor
   AND q.n_tokens >= 5 AND q.n_tokens <= 2000 AND q.stopword_ratio > 0.01
 """.format(cl=cl)
+
+
+def tdigest_oracle_sql(sf_dir=None, k=2048, delta=64, qs=(0.5, 0.9, 0.99),
+                       eps=0.05):
+    """Oracle for :func:`engine.ops.relational.events_value_tdigest` —
+    two independent checks fused into one hash-compared result:
+
+    1. DETERMINISM: the per-type md5-bottom-k sample is re-derived in
+       pure SQL (``md5_number_lower(event_id) & 2^63-1``, ORDER BY hk,
+       value, LIMIT k — the exact convention the engine's combiner
+       implements), the sample values are fed through the same
+       :class:`TDigest` code at oracle-BUILD time, and the resulting
+       estimates are inlined as literals.  Any drift in the engine's
+       sampling, sorting, digest construction or rounding breaks hash
+       parity.
+    2. BRACKETING INVARIANT: the SQL independently computes, per type,
+       the EXACT values at ranks ceil((q-eps)·n) and ceil((q+eps)·n)
+       over the RAW data (no sampling), and poisons any inlined
+       estimate that falls outside its bracket to -1e18 — so parity
+       also certifies the sketch's accuracy claim, not just its
+       reproducibility.  n_sample is checked in SQL as least(n, k);
+       n_centroids is an inlined build-time constant (pinned further by
+       the pytest property suite)."""
+    import duckdb
+
+    from .common import round_half_up
+    from .sketches import TDigest
+
+    sf_dir = sf_dir or _oracle_sf_dir()
+    path = os.path.join(sf_dir, 'events.parquet')
+    con = duckdb.connect()
+    samples = con.execute("""
+        SELECT event_type, value FROM (
+          SELECT event_type, value,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY (md5_number_lower(event_id::VARCHAR)
+                             & 9223372036854775807)::BIGINT, value) AS rn
+          FROM read_parquet(?)
+        ) WHERE rn <= ? ORDER BY event_type, value
+    """, [path, k]).fetch_arrow_table()
+    con.close()
+    types = samples.column('event_type').to_numpy(zero_copy_only=False)
+    vals = samples.column('value').to_numpy(zero_copy_only=False) \
+                  .astype(np.float64)
+    rows = []
+    starts = np.flatnonzero(np.r_[True, types[1:] != types[:-1]])
+    bounds = np.r_[starts, len(types)]
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        dig = TDigest.from_sorted(vals[s:e], delta)
+        ests = ', '.join('%.17g' % round_half_up([dig.quantile(q)], 6)[0]
+                         for q in qs)
+        rows.append("('%s', %s, %d)" % (types[s], ests, dig.means.size))
+    qcols = ['p%02d_est' % int(round(q * 100)) for q in qs]
+    bracket_sql = []
+    est_sql = []
+    for q, col in zip(qs, qcols):
+        bracket_sql.append(
+            "max(CASE WHEN rn = greatest(1, ceil(({q} - {eps}) * n)::BIGINT)"
+            " THEN value END) AS lo_{col},\n"
+            "       max(CASE WHEN rn = least(n, ceil(({q} + {eps}) * n)::BIGINT)"
+            " THEN value END) AS hi_{col}".format(q=repr(q), eps=repr(eps),
+                                                  col=col))
+        est_sql.append(
+            "CASE WHEN v.{col} BETWEEN br.lo_{col} AND br.hi_{col}"
+            " THEN v.{col} ELSE -1e18 END AS {col}".format(col=col))
+    return """
+WITH v(event_type, {qcols}, n_centroids) AS (VALUES
+    {rows}
+), ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), br AS (
+  SELECT event_type, any_value(n)::BIGINT AS n_events,
+       {brackets}
+  FROM ranked GROUP BY event_type
+)
+SELECT v.event_type,
+       {ests},
+       br.n_events,
+       least(br.n_events, {k})::BIGINT AS n_sample,
+       v.n_centroids::BIGINT AS n_centroids
+FROM v JOIN br ON br.event_type = v.event_type
+""".format(qcols=', '.join(qcols), rows=',\n    '.join(rows),
+           brackets=',\n       '.join(bracket_sql),
+           ests=',\n       '.join(est_sql), k=k)

@@ -20,7 +20,7 @@ import ray.data
 
 from .common import round_half_up, read_table, hash63_keys
 
-__all__ = ['distinct_users_kmv']
+__all__ = ['distinct_users_kmv', 'TDigest']
 
 _MASK63 = (1 << 63) - 1
 _M63F = float(_MASK63)
@@ -30,6 +30,154 @@ def _hash63(ids):
     """md5(str(v)) → 63-bit int64 keys (common.hash63_keys — the
     oracle-shared convention)."""
     return hash63_keys(ids)
+
+
+class TDigest:
+    """Mergeable rank sketch for CONTINUOUS values (Dunning & Ertl's
+    merging t-digest, k1 scale function) — the approximate-quantile tier
+    for unbounded value ranges, beside the exact tier
+    (``relational.events_value_quantiles``, O(distinct values) state)
+    and the fixed-universe histogram tier
+    (``relational.events_value_hist_quantiles``, needs a known range).
+
+    State is O(delta) centroids regardless of row count; ``merge`` is
+    the combiner (union centroids, sort, recompress), so a 100 TB group
+    exchanges ~delta rows per block.  Accuracy: the k1 scale bounds each
+    centroid's q-width by 4·sin(pi/delta)·sqrt(q(1-q)) + interpolation,
+    so rank error is ~q(1-q)·(2pi/delta) near the middle and tighter at
+    the tails — property-tested in tests/test_ops.py.
+
+    DETERMINISM CONTRACT: given the same sorted input, construction is a
+    fixed sequential fold (no randomness); ``merge(a, b) == merge(b, a)``
+    exactly (centroids sort by (mean, weight) before recompression), but
+    merge is NOT associative bit-for-bit — estimates from different
+    merge TREES agree only within the error bound.  Oracle-checked
+    surfaces therefore build ONE canonical digest from an
+    order-independent md5-sampled value set (see
+    ``relational.events_value_tdigest``) instead of hash-comparing a
+    merge-tree-dependent digest."""
+
+    __slots__ = ('delta', 'means', 'weights', 'vmin', 'vmax')
+
+    def __init__(self, delta=64, means=None, weights=None,
+                 vmin=np.inf, vmax=-np.inf):
+        self.delta = int(delta)
+        self.means = (np.empty(0, np.float64) if means is None
+                      else np.asarray(means, np.float64))
+        self.weights = (np.empty(0, np.float64) if weights is None
+                        else np.asarray(weights, np.float64))
+        self.vmin = float(vmin)
+        self.vmax = float(vmax)
+
+    # -- scale function (k1) ------------------------------------------
+    def _k(self, q):
+        return self.delta / (2.0 * np.pi) * np.arcsin(2.0 * q - 1.0)
+
+    def _k_inv(self, k):
+        return (np.sin(k * 2.0 * np.pi / self.delta) + 1.0) / 2.0
+
+    @classmethod
+    def from_sorted(cls, values, delta=64):
+        """Canonical digest of a SORTED float64 array: one sequential
+        greedy pass — extend the open centroid while its weight stays
+        under the k1 q-capacity, else seal it and open the next.  The
+        only Python loop runs over the (bounded) sample, never a raw
+        corpus — at scale the raw data folds through per-block digests +
+        ``merge``, or through the md5-sample path."""
+        v = np.asarray(values, np.float64)
+        d = cls(delta)
+        n = v.size
+        if n == 0:
+            return d
+        W = float(n)
+        means, weights = [], []
+        cum = 0.0                       # weight sealed so far
+        qlim = d._k_inv(d._k(0.0) + 1.0) * W
+        cm, cw = float(v[0]), 1.0
+        for i in range(1, n):
+            if cum + cw + 1.0 <= qlim:
+                cw += 1.0
+                cm += (float(v[i]) - cm) / cw
+            else:
+                means.append(cm)
+                weights.append(cw)
+                cum += cw
+                qlim = d._k_inv(d._k(min(cum / W, 1.0)) + 1.0) * W
+                cm, cw = float(v[i]), 1.0
+        means.append(cm)
+        weights.append(cw)
+        d.means = np.asarray(means, np.float64)
+        d.weights = np.asarray(weights, np.float64)
+        d.vmin, d.vmax = float(v[0]), float(v[-1])
+        return d
+
+    def merge(self, other):
+        """Combiner: union the two centroid sets, canonical sort by
+        (mean, weight), recompress with the same greedy pass over
+        CENTROIDS (weighted).  Commutative by construction."""
+        if other.means.size == 0:
+            return self._copy()
+        if self.means.size == 0:
+            return other._copy()
+        m = np.r_[self.means, other.means]
+        w = np.r_[self.weights, other.weights]
+        order = np.lexsort((w, m))
+        m, w = m[order], w[order]
+        d = TDigest(self.delta)
+        W = float(w.sum())
+        means, weights = [], []
+        cum = 0.0
+        qlim = d._k_inv(d._k(0.0) + 1.0) * W
+        cm, cw = float(m[0]), float(w[0])
+        for i in range(1, m.size):
+            wi = float(w[i])
+            if cum + cw + wi <= qlim:
+                cw += wi
+                cm += (float(m[i]) - cm) * wi / cw
+            else:
+                means.append(cm)
+                weights.append(cw)
+                cum += cw
+                qlim = d._k_inv(d._k(min(cum / W, 1.0)) + 1.0) * W
+                cm, cw = float(m[i]), wi
+        means.append(cm)
+        weights.append(cw)
+        d.means = np.asarray(means, np.float64)
+        d.weights = np.asarray(weights, np.float64)
+        d.vmin = min(self.vmin, other.vmin)
+        d.vmax = max(self.vmax, other.vmax)
+        return d
+
+    def _copy(self):
+        return TDigest(self.delta, self.means.copy(), self.weights.copy(),
+                       self.vmin, self.vmax)
+
+    def quantile(self, q):
+        """Estimate the q-quantile: each centroid i sits at cumulative
+        weight C_i = sum(w[:i]) + w[i]/2; linear interpolation between
+        adjacent centroid means, clamped to the tracked [vmin, vmax]."""
+        n = self.means.size
+        if n == 0:
+            return float('nan')
+        if n == 1:
+            return float(self.means[0])
+        W = float(self.weights.sum())
+        target = q * W
+        centers = np.cumsum(self.weights) - self.weights / 2.0
+        if target <= centers[0]:
+            # interpolate from vmin at rank 0 to the first centroid
+            t = max(target, 0.0) / centers[0] if centers[0] > 0 else 1.0
+            return float(self.vmin + t * (self.means[0] - self.vmin))
+        if target >= centers[-1]:
+            span = W - centers[-1]
+            t = (target - centers[-1]) / span if span > 0 else 1.0
+            return float(self.means[-1]
+                         + min(t, 1.0) * (self.vmax - self.means[-1]))
+        j = int(np.searchsorted(centers, target, side='right'))
+        lo_c, hi_c = centers[j - 1], centers[j]
+        t = (target - lo_c) / (hi_c - lo_c)
+        return float(self.means[j - 1] + t * (self.means[j]
+                                              - self.means[j - 1]))
 
 
 def distinct_users_kmv(sf_dir, k=64):

@@ -76,7 +76,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'events_hour_value_corr', 'lineitem_checksum',
                   'events_debounced', 'user_event_paths', 'conv_text_md5',
                   'shared_span_pairs', 'orders_price_percentile',
-                  'embedding_norms', 'daily_activity']
+                  'embedding_norms', 'daily_activity',
+                  'events_value_tdigest']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
@@ -588,3 +589,84 @@ def test_local_components_random_graphs():
         expect = {x: find(x) for x in set(a.tolist()) | set(b.tolist())}
         got = dict(zip(nodes.tolist(), lbl.tolist()))
         assert got == expect
+
+
+def test_tdigest_rank_error_bound():
+    """Error-bound property: on heavy-tailed random data the digest's
+    estimate at any q must land within the k1 centroid width
+    ~2*pi*q*(1-q)/delta plus interpolation/tie slack of the true rank —
+    checked at a conservative envelope of 1/delta + 2*pi*q*(1-q)/delta
+    across distributions (incl. a heavy-ties one, whose rank function
+    jumps in tie-block-sized steps) and deltas."""
+    import numpy as np
+    from engine.ops.sketches import TDigest
+    rng = np.random.default_rng(23)
+    dists = [rng.lognormal(3, 1.5, 30000),
+             rng.standard_cauchy(30000),
+             rng.uniform(-5, 5, 30000),
+             np.repeat(rng.normal(0, 1, 300), 100)]   # heavy ties
+    for delta in (32, 64, 128):
+        for v in dists:
+            v = np.sort(v)
+            d = TDigest.from_sorted(v, delta)
+            assert d.means.size <= delta
+            assert abs(d.weights.sum() - v.size) < 1e-6
+            for q in np.linspace(0.01, 0.99, 50):
+                est = d.quantile(q)
+                # true rank interval of est (ties make it an interval)
+                lo = np.searchsorted(v, est, side='left') / v.size
+                hi = np.searchsorted(v, est, side='right') / v.size
+                err = 0.0 if lo <= q <= hi else min(abs(q - lo),
+                                                    abs(q - hi))
+                bound = 1.0 / delta + 2 * np.pi * q * (1 - q) / delta
+                assert err <= bound, (delta, q, err, bound)
+
+
+def test_tdigest_merge_commutative_and_bounded():
+    """merge(a,b) == merge(b,a) bit-for-bit (canonical centroid sort),
+    and digests merged from arbitrary partitionings keep the rank-error
+    bound — the mergeable-sketch contract the 100 TB path relies on."""
+    import functools
+    import numpy as np
+    from engine.ops.sketches import TDigest
+    rng = np.random.default_rng(41)
+    v = np.sort(rng.lognormal(2, 1.0, 24000))
+    for n_chunks in (2, 7, 16):
+        chunks = np.array_split(rng.permutation(v), n_chunks)
+        ds = [TDigest.from_sorted(np.sort(c), 64) for c in chunks]
+        a = ds[0].merge(ds[1])
+        b = ds[1].merge(ds[0])
+        assert np.array_equal(a.means, b.means)
+        assert np.array_equal(a.weights, b.weights)
+        m = functools.reduce(lambda x, y: x.merge(y), ds)
+        assert abs(m.weights.sum() - v.size) < 1e-6
+        for q in (0.05, 0.5, 0.9, 0.99):
+            est = m.quantile(q)
+            lo = np.searchsorted(v, est, side='left') / v.size
+            hi = np.searchsorted(v, est, side='right') / v.size
+            err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+            # merged digests accumulate interpolation slack; 2x envelope
+            assert err <= 2 * (1.0 / 64 + 2 * np.pi * q * (1 - q) / 64)
+
+
+def test_tdigest_query_brackets_exact_tier(ray_session, oracle_con):
+    """Bracketing test against the EXACT tier: every events_value_tdigest
+    estimate must lie between the exact values at ranks (q-eps)n and
+    (q+eps)n computed from events_value_quantiles' raw input."""
+    import numpy as np
+    import duckdb
+    _, entrymod = oracle_con
+    est = entrymod.queries()['events_value_tdigest'](SF_DIR).to_pandas()
+    raw = duckdb.sql("SELECT event_type, value FROM '%s/events.parquet' "
+                     "ORDER BY event_type, value" % SF_DIR).df()
+    eps = 0.05
+    for _, row in est.iterrows():
+        vals = np.sort(raw[raw.event_type == row.event_type].value.values)
+        n = len(vals)
+        assert row.n_events == n
+        assert row.n_sample == min(n, 2048)
+        for q, col in ((0.5, 'p50_est'), (0.9, 'p90_est'),
+                       (0.99, 'p99_est')):
+            lo = vals[max(0, int(np.ceil((q - eps) * n)) - 1)]
+            hi = vals[min(n, int(np.ceil((q + eps) * n))) - 1]
+            assert lo <= row[col] <= hi, (row.event_type, col)
