@@ -111,8 +111,14 @@ def conv_text_md5(corpus_dir, num_buckets=64):
             pa.array(offsets, pa.int64()),
             pc.cast(text.combine_chunks(), pa.large_string()))
         joined = pc.binary_join(lists, pa.scalar('\n', pa.large_string()))
-        md5s = [hashlib.md5(s.encode('utf-8')).hexdigest()
-                for s in joined.to_pylist()]
+        # hash straight off the Arrow value buffer (zero-copy slices of
+        # the already-utf-8 data) — a to_pylist() here would duplicate
+        # the bucket's entire assembled text as Python strings
+        joff = np.frombuffer(joined.buffers()[1], np.int64,
+                             len(joined) + 1, joined.offset * 8)
+        jdata = memoryview(joined.buffers()[2])
+        md5s = [hashlib.md5(jdata[joff[i]:joff[i + 1]]).hexdigest()
+                for i in range(len(joined))]
         return pa.table({
             'conv_id': pa.array(c[starts].tolist(), pa.string()),
             'n_turns': pa.array(np.diff(offsets), pa.int64()),

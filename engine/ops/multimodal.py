@@ -11,12 +11,31 @@ documents table): 16-byte header ``MMV1 | width:u32 | height:u32 | ch:u32``
 followed by ``width*height*ch`` content bytes.
 """
 
+import io
+import os
+
 import numpy as np
 import pyarrow as pa
 
 import ray.data
 
 from .common import round_half_up, table_path, read_table, pool
+
+
+def real_codecs_requested():
+    """Env knob for real-codec mode: ``GRAFT_MM_REAL_CODECS=1`` flips
+    the pipeline entry points to ``fake=False`` (PIL decode/resize; the
+    video frame path additionally needs ffmpeg).  Off by default — this
+    container ships no codecs."""
+    return os.environ.get('GRAFT_MM_REAL_CODECS') == '1'
+
+
+def _try_pil():
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
 
 __all__ = ['synthesize_media', 'DecodeMedia', 'decode_media_features',
            'ResizeMedia', 'resize_media', 'resized_features',
@@ -100,21 +119,35 @@ def synthesize_media(sf_dir):
 class DecodeMedia:
     """Actor-pool decode stage.
 
-    ``fake=True`` (default here; the only mode runnable in this container)
-    parses the MMV1 header and computes cheap numpy features.  ``fake=False``
-    is the real-codec seam and raises ``NotImplementedError`` — swap in
-    PIL/ffmpeg there when the runtime has them.  Use a SMALL ``batch_size``
-    (payload bytes × batch_size × concurrency must fit worker heap).
+    ``fake=True`` (default in this container) parses the MMV1 header and
+    computes cheap numpy features.  ``fake=False`` is the real-codec
+    path: PIL decodes the payload as an encoded image (imported ONCE per
+    actor in ``__init__``); if PIL is absent it raises a
+    ``NotImplementedError`` naming the ``GRAFT_MM_REAL_CODECS`` knob.
+    Use a SMALL ``batch_size`` (payload bytes × batch_size × concurrency
+    must fit worker heap).
     """
 
     def __init__(self, fake=True):
         self.fake = fake
+        self._pil = None if fake else _try_pil()
+        if not fake and self._pil is None:
+            raise NotImplementedError(
+                'GRAFT_MM_REAL_CODECS=1 requested real codecs, but PIL is '
+                'not installed in this container; unset the knob (fake '
+                'MMV1 mode) or install Pillow (plus libsndfile/ffmpeg for '
+                'audio/video kinds)')
 
     def _decode(self, payload):
         if not self.fake:
-            raise NotImplementedError(
-                'real codecs (PIL/libsndfile/ffmpeg) are not available in '
-                'this container; run with fake=True')
+            try:
+                img = self._pil.open(io.BytesIO(payload))
+                arr = np.asarray(img)
+            except Exception:
+                return None
+            h, w = arr.shape[:2]
+            ch = 1 if arr.ndim == 2 else int(arr.shape[2])
+            return int(w), int(h), ch, float(arr.mean())
         if payload[:4] != _MAGIC or len(payload) < 16:
             return None
         w, h, ch = np.frombuffer(payload[4:16], dtype='<u4')
@@ -156,28 +189,48 @@ class DecodeMedia:
         })
 
 
-def decode_media_features(sf_dir, batch_size=64):
-    """synthesize → actor-pool decode; returns FEATURES_SCHEMA dataset."""
+def decode_media_features(sf_dir, batch_size=64, fake=None):
+    """synthesize → actor-pool decode; returns FEATURES_SCHEMA dataset.
+    ``fake=None`` follows the GRAFT_MM_REAL_CODECS env knob."""
+    if fake is None:
+        fake = not real_codecs_requested()
     return synthesize_media(sf_dir).map_batches(
-        DecodeMedia, batch_format='pyarrow', batch_size=batch_size,
+        DecodeMedia, fn_constructor_kwargs={'fake': fake},
+        batch_format='pyarrow', batch_size=batch_size,
         concurrency=pool(), zero_copy_batch=True)
 
 
 class ResizeMedia:
     """Actor-pool resize stage: decode → nearest-neighbor resample →
-    re-encode in the same MMV1 container.  ``fake=False`` is the real-codec
-    seam (PIL's ``Image.resize``); the fake path does a REAL nearest-
-    neighbor resample on the fake pixel buffer so the plumbing (payload in,
-    payload out, metadata update) is fully exercised."""
+    re-encode.  ``fake=False`` is the real-codec path (PIL decode →
+    ``Image.resize(NEAREST)`` → PNG re-encode); the fake path does a REAL
+    nearest-neighbor resample on the MMV1 pixel buffer so the plumbing
+    (payload in, payload out, metadata update) is fully exercised either
+    way."""
 
     def __init__(self, target_w, target_h, fake=True):
         self.tw = int(target_w)
         self.th = int(target_h)
         self.fake = fake
+        self._pil = None if fake else _try_pil()
+        if not fake and self._pil is None:
+            raise NotImplementedError(
+                'GRAFT_MM_REAL_CODECS=1 requested real codecs, but PIL is '
+                'not installed in this container; unset the knob or '
+                'install Pillow')
 
     def _resize(self, payload):
         if not self.fake:
-            raise NotImplementedError('PIL not available in this container')
+            try:
+                img = self._pil.open(io.BytesIO(payload))
+                out = img.resize((self.tw, self.th),
+                                 self._pil.Resampling.NEAREST)
+                buf = io.BytesIO()
+                out.save(buf, format='PNG')
+            except Exception:
+                return None
+            ch = len(out.getbands())
+            return buf.getvalue(), ch
         if payload[:4] != _MAGIC or len(payload) < 16:
             return None
         w, h, ch = (int(v) for v in np.frombuffer(payload[4:16], dtype='<u4'))
@@ -230,7 +283,10 @@ class FrameSample:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
-            raise NotImplementedError('ffmpeg not available in this container')
+            raise NotImplementedError(
+                'GRAFT_MM_REAL_CODECS=1 requested real codecs, but frame '
+                'sampling needs ffmpeg, which is not installed in this '
+                'container; unset the knob (fake MMV1 mode)')
         mid, fidx, frames = [], [], []
         kinds = batch.column('kind').to_pylist()
         for i, payload in enumerate(batch.column('payload').to_pylist()):
@@ -255,10 +311,14 @@ class FrameSample:
         })
 
 
-def resize_media(sf_dir, target_w=16, target_h=16, batch_size=64):
-    """synthesize → actor-pool resize; returns MEDIA_SCHEMA dataset."""
+def resize_media(sf_dir, target_w=16, target_h=16, batch_size=64, fake=None):
+    """synthesize → actor-pool resize; returns MEDIA_SCHEMA dataset.
+    ``fake=None`` follows the GRAFT_MM_REAL_CODECS env knob."""
+    if fake is None:
+        fake = not real_codecs_requested()
     return synthesize_media(sf_dir).map_batches(
         ResizeMedia, fn_constructor_args=(target_w, target_h),
+        fn_constructor_kwargs={'fake': fake},
         batch_format='pyarrow', batch_size=batch_size,
         concurrency=pool(), zero_copy_batch=True)
 
@@ -306,10 +366,14 @@ def frame_features(sf_dir, stride=4, batch_size=64):
         concurrency=pool(), zero_copy_batch=True)
 
 
-def sample_frames(sf_dir, stride=4, batch_size=64):
-    """synthesize → actor-pool frame sampling (row-expanding stage)."""
+def sample_frames(sf_dir, stride=4, batch_size=64, fake=None):
+    """synthesize → actor-pool frame sampling (row-expanding stage).
+    ``fake=None`` follows the GRAFT_MM_REAL_CODECS env knob."""
+    if fake is None:
+        fake = not real_codecs_requested()
     return synthesize_media(sf_dir).map_batches(
         FrameSample, fn_constructor_args=(stride,),
+        fn_constructor_kwargs={'fake': fake},
         batch_format='pyarrow', batch_size=batch_size,
         concurrency=pool(), zero_copy_batch=True)
 

@@ -670,3 +670,59 @@ def test_tdigest_query_brackets_exact_tier(ray_session, oracle_con):
             lo = vals[max(0, int(np.ceil((q - eps) * n)) - 1)]
             hi = vals[min(n, int(np.ceil((q + eps) * n))) - 1]
             assert lo <= row[col] <= hi, (row.event_type, col)
+
+
+def test_multimodal_real_codec_decode():
+    """Real-codec branch (skip-if-unavailable): when Pillow is present,
+    DecodeMedia(fake=False) must decode an actual PNG payload to its true
+    dims/mean and ResizeMedia(fake=False) must emit a decodable resized
+    PNG.  In the codec-less container this skips; the fake=False seam is
+    separately pinned to raise a NotImplementedError naming the
+    GRAFT_MM_REAL_CODECS knob (test_multimodal_real_codec_seam_honest)."""
+    PIL = pytest.importorskip('PIL')
+    import io
+    import numpy as np
+    import pyarrow as pa
+    from PIL import Image
+    from engine.ops.multimodal import DecodeMedia, ResizeMedia
+    arr = (np.arange(12 * 9 * 3) % 251).astype(np.uint8).reshape(9, 12, 3)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format='PNG')
+    payload = buf.getvalue()
+    batch = pa.table({
+        'media_id': pa.array([1], pa.int64()),
+        'kind': pa.array(['image'], pa.string()),
+        'payload': pa.array([payload], pa.large_binary()),
+        'meta_width': pa.array([12], pa.int32()),
+        'meta_height': pa.array([9], pa.int32()),
+        'meta_channels': pa.array([3], pa.int32()),
+    })
+    feats = DecodeMedia(fake=False)(batch)
+    assert feats.column('decode_ok').to_pylist() == [True]
+    assert feats.column('width').to_pylist() == [12]
+    assert feats.column('height').to_pylist() == [9]
+    assert feats.column('channels').to_pylist() == [3]
+    assert abs(feats.column('mean_value')[0].as_py()
+               - round(float(arr.mean()), 4)) < 1e-3
+    resized = ResizeMedia(4, 3, fake=False)(batch)
+    assert resized.column('meta_width').to_pylist() == [4]
+    assert resized.column('meta_height').to_pylist() == [3]
+    out = Image.open(io.BytesIO(resized.column('payload')[0].as_py()))
+    assert out.size == (4, 3)
+
+
+def test_multimodal_real_codec_seam_honest():
+    """Without Pillow the fake=False constructors must raise a
+    NotImplementedError that names the GRAFT_MM_REAL_CODECS knob (the
+    honest-stub contract).  With Pillow present this skips — the real
+    branch is covered above."""
+    try:
+        import PIL  # noqa: F401
+        pytest.skip('Pillow installed: real branch covered elsewhere')
+    except ImportError:
+        pass
+    from engine.ops.multimodal import DecodeMedia, ResizeMedia
+    for ctor in (lambda: DecodeMedia(fake=False),
+                 lambda: ResizeMedia(4, 3, fake=False)):
+        with pytest.raises(NotImplementedError, match='GRAFT_MM_REAL_CODECS'):
+            ctor()
