@@ -51,7 +51,8 @@ def _init_ray(num_cpus):
                  logging_level='ERROR')
 
 
-def run_headline(num_cpus, sf_dir=SF_DIR, sf_mult=1, payload_lru=False):
+def run_headline(num_cpus, sf_dir=SF_DIR, sf_mult=1, payload_lru=False,
+                 payload_dedup=False):
     """Flagship extraction: transcripts → extract → ordered bucketed write.
 
     ``sf_mult`` scales the synthesized corpus relative to the sf_dir hint —
@@ -76,12 +77,15 @@ def run_headline(num_cpus, sf_dir=SF_DIR, sf_mult=1, payload_lru=False):
     _init_ray(num_cpus)
     out_dir = '/tmp/graft_bench_out/cpus%d' % num_cpus
     t0 = time.perf_counter()
-    summary = run_extraction(corpus, out_dir, resume=False)
+    summary = run_extraction(corpus, out_dir, resume=False,
+                             payload_dedup=payload_dedup)
     wall = time.perf_counter() - t0
     return {'wall_s': wall, 'rows': summary['rows_out'],
             'turns_per_sec': summary['rows_out'] / wall,
             'stage_a_s': round(summary['stage_a_s'], 3),
             'stage_b_s': round(summary['stage_b_s'], 3),
+            'dedup_s': round(summary['dedup_s'], 3),
+            'n_distinct_payloads': summary['n_distinct_payloads'],
             'decode_failures': summary['decode_failures'],
             'span_count': summary['span_count']}
 
@@ -118,6 +122,11 @@ def main_default():
     _init_ray(NUM_CPUS)
     head = run_headline(NUM_CPUS, sf_mult=BENCH_SF_MULT)
     lru_head = run_headline(NUM_CPUS, sf_mult=BENCH_SF_MULT, payload_lru=True)
+    # distinct-payload pre-pass mode, LRU OFF: isolates the global-dedup
+    # win (each distinct payload extracted ONCE corpus-wide, results
+    # broadcast-joined back) vs the raw headline on the same corpus
+    dedup_head = run_headline(NUM_CPUS, sf_mult=BENCH_SF_MULT,
+                              payload_dedup=True)
     os.environ.pop('GRAFT_PAYLOAD_LRU', None)   # queries use the default
     queries = run_queries()
     sf = os.path.basename(os.path.normpath(SF_DIR)).lstrip('sf')
@@ -130,6 +139,10 @@ def main_default():
         # corpus (24 distinct payloads) — reported separately, see
         # run_headline docstring
         'turns_per_sec_lru': round(lru_head['turns_per_sec'], 1),
+        # opt-in distinct-payload mode (GRAFT_PAYLOAD_DEDUP=1): global
+        # dedup pre-pass + broadcast join, LRU off, byte-identical output
+        'turns_per_sec_dedup': round(dedup_head['turns_per_sec'], 1),
+        'n_distinct_payloads': dedup_head['n_distinct_payloads'],
         'rows': head['rows'],
         'decode_failures': head['decode_failures'],
         'span_count': head['span_count'],

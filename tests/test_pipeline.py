@@ -449,3 +449,38 @@ def test_compact_chunked_duplicate_keys(tmp_path):
     ks = list(zip(got.column('conv_id').to_pylist(),
                   got.column('turn_idx').to_pylist()))
     assert ks == sorted(ks)                       # fully sorted
+
+
+def test_payload_dedup_mode_byte_identical(ray_session, corpus,
+                                           tmp_path_factory):
+    """Opt-in distinct-payload mode (GRAFT_PAYLOAD_DEDUP): the
+    pre-extracted broadcast map must yield BYTE-identical part files to
+    the default per-actor-LRU run (extraction is a pure function of the
+    payload), identical manifests modulo timing, and every distinct
+    payload extracted exactly once (global_hits covers the corpus)."""
+    from engine.rayjob.pipeline import run_extraction, distinct_payload_map
+    d, n = corpus
+    out_a = str(tmp_path_factory.mktemp('out_default'))
+    out_b = str(tmp_path_factory.mktemp('out_dedup'))
+    sa = run_extraction(d, out_a, num_buckets=4, batch_size=32,
+                        concurrency=2, resume=False)
+    sb = run_extraction(d, out_b, num_buckets=4, batch_size=32,
+                        concurrency=2, resume=False, payload_dedup=True)
+    assert sb['n_distinct_payloads'] > 0
+    assert sb['rows_out'] == sa['rows_out'] == n
+    pa_files, a_tables = _read_all(out_a)
+    pb_files, b_tables = _read_all(out_b)
+    assert [os.path.basename(p) for p in pa_files] == \
+           [os.path.basename(p) for p in pb_files]
+    for fa, fb in zip(pa_files, pb_files):
+        with open(fa, 'rb') as ha, open(fb, 'rb') as hb:
+            assert ha.read() == hb.read()
+
+
+def test_distinct_payload_cap_raises(ray_session, corpus):
+    """The broadcast-size guard must fail LOUDLY (named env remedy), not
+    OOM, when the distinct set exceeds the cap."""
+    from engine.rayjob.pipeline import distinct_payload_map
+    d, _ = corpus
+    with pytest.raises(RuntimeError, match='GRAFT_DISTINCT_CAP'):
+        distinct_payload_map(d, cap=3)
