@@ -490,19 +490,34 @@ def minhash_near_dup(sf_dir, threshold=0.8, k=3, num_buckets=64,
     """
     if num_buckets & (num_buckets - 1):
         raise ValueError('num_buckets must be a power of two')
+    import os
+
+    from .spill_exchange import bucketed_group_map
+
     docs = read_table(sf_dir, 'documents', columns=['doc_id', 'text'],
                       min_blocks=pool()[1])
     band_rows = docs.map_batches(_make_signatures(k, num_buckets),
                                  batch_format='pyarrow',
                                  zero_copy_batch=True)
-    cand = band_rows.groupby('bucket').map_groups(
-        _make_emit_pairs_bucket(max_band_docs), batch_format='pyarrow')
+    # band exchange rides the external-spill path once it's big enough:
+    # band rows are 24 B × BANDS per doc ≈ 0.75× the compressed corpus
+    # file size (~1 KB/doc), so the file size is the approx_bytes proxy;
+    # below the threshold Ray's in-memory groupby keeps its lower fixed
+    # cost (GRAFT_OPS_SPILL=1/0 force-overrides for A/B)
+    try:
+        approx = os.path.getsize(table_path(sf_dir, 'documents'))
+    except OSError:
+        approx = None
+    cand = bucketed_group_map(band_rows,
+                              _make_emit_pairs_bucket(max_band_docs),
+                              num_buckets, approx_bytes=approx)
     sides = cand.map_batches(_make_explode_pair_sides(num_buckets),
                              batch_format='pyarrow', zero_copy_batch=True)
     doc_side = docs.map_batches(_make_doc_side_rows(num_buckets),
                                 batch_format='pyarrow', zero_copy_batch=True)
-    attached = sides.union(doc_side).groupby('bucket').map_groups(
-        _make_attach_bucket(num_buckets), batch_format='pyarrow')
+    attached = bucketed_group_map(sides.union(doc_side),
+                                  _make_attach_bucket(num_buckets),
+                                  num_buckets, approx_bytes=approx)
     return attached.groupby('vbucket').map_groups(
         _make_bucket_verifier(threshold, k), batch_format='pyarrow')
 

@@ -726,3 +726,45 @@ def test_multimodal_real_codec_seam_honest():
                  lambda: ResizeMedia(4, 3, fake=False)):
         with pytest.raises(NotImplementedError, match='GRAFT_MM_REAL_CODECS'):
             ctor()
+
+
+def test_spill_exchange_matches_groupby(ray_session):
+    """bucketed_group_map's external-spill path must produce the same
+    group-map results as the in-memory groupby path (order-insensitive),
+    call fn only for NON-EMPTY buckets (groupby parity), and handle an
+    empty input."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from engine.ops.spill_exchange import bucketed_group_map
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    tbl = pa.table({
+        'bucket': pa.array(rng.integers(0, 13, n) * 3 % 16, pa.int64()),
+        'v': pa.array(rng.integers(0, 1000, n), pa.int64()),
+    })
+
+    def agg(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if group.num_rows == 0:
+            raise AssertionError('fn called for an empty bucket')
+        return pa.table({
+            'bucket': group.column('bucket').slice(0, 1),
+            'sum_v': pa.array([pc.sum(group.column('v')).as_py()],
+                              pa.int64()),
+            'n': pa.array([group.num_rows], pa.int64()),
+        })
+
+    ds1 = ray.data.from_arrow(tbl).map_batches(lambda b: b,
+                                               batch_format='pyarrow')
+    a = bucketed_group_map(ds1, agg, 16, mode='spill').to_pandas() \
+        .sort_values('bucket').reset_index(drop=True)
+    ds2 = ray.data.from_arrow(tbl).map_batches(lambda b: b,
+                                               batch_format='pyarrow')
+    b = bucketed_group_map(ds2, agg, 16, mode='groupby').to_pandas() \
+        .sort_values('bucket').reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # empty input: spill path returns an empty dataset without calling fn
+    empty = ray.data.from_arrow(tbl.slice(0, 0))
+    assert bucketed_group_map(empty, agg, 16, mode='spill').count() == 0
