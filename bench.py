@@ -31,7 +31,9 @@ BENCH_QUERIES = ['q1_pricing', 'events_by_type', 'dedup_exact',
                  'events_user_running',
                  # late round-3 additions, one per new family
                  'urgent_order_lineitems', 'conv_text_md5',
-                 'shared_span_pairs', 'doc_chunks']
+                 'shared_span_pairs', 'doc_chunks',
+                 # round-4 additions
+                 'events_value_tdigest']
 
 
 def _init_ray(num_cpus):
