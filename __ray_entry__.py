@@ -189,6 +189,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'multimodal_frame_blobs': multimodal.frame_blob_md5,
         # -- new in round 4 -------------------------------------------
         'events_value_tdigest': relational.events_value_tdigest,
+        'distinct_users_hll': sketches.distinct_users_hll,
+        'token_heavy_hitters': textstats.token_heavy_hitters,
+        'token_postings': textstats.token_postings,
+        'events_windowed_distinct_users':
+            relational.events_windowed_distinct_users,
+        'events_value_mad_outliers': relational.events_value_mad_outliers,
+        'orders_cohort_retention': relational.orders_cohort_retention,
+        'embedding_dedup_clusters': clusters.embedding_dedup_clusters,
         # -- code changed in round 4 (re-check) -----------------------
         'embedding_norms': similarity.embedding_norms,
         'minhash_near_dup': dedup.minhash_near_dup,
@@ -265,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
         # generated oracles (hash constants / plane literals / trained
         # centroids) — see engine/ops/oracles.py for the parity rules
         'distinct_users_kmv': sketches.kmv_oracle_sql(),
+        'distinct_users_hll': sketches.hll_oracle_sql(),
         'fingerprint_winnow': oracles.winnow_oracle_sql(),
         'multimodal_features': oracles.multimodal_features_oracle_sql(),
         'minhash_near_dup': oracles.minhash_oracle_sql(),
@@ -272,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
         'shared_span_pairs': oracles.shared_span_oracle_sql(),
         'dedup_clusters': oracles.clusters_oracle_sql(),
         'corpus_clean': oracles.corpus_clean_oracle_sql(),
+        'embedding_dedup_clusters': oracles.embedding_clusters_oracle_sql(),
         'multimodal_resize_stats': oracles.multimodal_resized_oracle_sql(),
         'multimodal_frame_stats': oracles.multimodal_frames_oracle_sql(),
         'events_value_tdigest': oracles.tdigest_oracle_sql(),
@@ -303,6 +313,18 @@ def oracle_sql() -> dict[str, str]:
     generated['lineitem_checksum'] = _checksum.CHECKSUM_SQL
     generated['embedding_norms'] = _similarity.EMBEDDING_NORMS_SQL
     generated['sample_weighted_mix'] = _sampling.weighted_mix_oracle_sql()
+    from engine.ops import textstats as _textstats
+    generated['token_heavy_hitters'] = _textstats.heavy_hitters_oracle_sql()
+    generated['token_postings'] = _textstats.postings_oracle_sql()
+    generated['events_windowed_distinct_users'] = """
+SELECT event_type, date_trunc('day', ts) AS window_start,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS distinct_users
+FROM events GROUP BY event_type, date_trunc('day', ts)
+"""
+    from engine.ops import relational as _relational
+    generated['events_value_mad_outliers'] = _relational.MAD_OUTLIERS_SQL
+    generated['orders_cohort_retention'] = _relational.COHORT_RETENTION_SQL
     generated['sample_uniform'] = """
 SELECT doc_id, lang,
        (md5_number_lower(doc_id::VARCHAR) & 9223372036854775807)::BIGINT AS skey

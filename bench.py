@@ -33,7 +33,9 @@ BENCH_QUERIES = ['q1_pricing', 'events_by_type', 'dedup_exact',
                  'urgent_order_lineitems', 'conv_text_md5',
                  'shared_span_pairs', 'doc_chunks',
                  # round-4 additions
-                 'events_value_tdigest']
+                 'events_value_tdigest', 'distinct_users_hll',
+                 'token_heavy_hitters', 'token_postings',
+                 'orders_cohort_retention', 'embedding_dedup_clusters']
 
 
 def _init_ray(num_cpus):

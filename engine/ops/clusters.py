@@ -39,7 +39,8 @@ import ray.data
 from .common import read_table, pool
 from .dedup import minhash_near_dup
 
-__all__ = ['dedup_clusters', 'corpus_clean']
+__all__ = ['dedup_clusters', 'corpus_clean', 'components_from_pairs',
+           'embedding_dedup_clusters']
 
 
 def _bucket(ids, nb):
@@ -185,9 +186,25 @@ def dedup_clusters(sf_dir, threshold=0.8, k=3, num_buckets=64, max_iters=50,
     """Connected components over minhash near-dup pairs via distributed
     min-label propagation (see module docstring).  Returns one row per
     document: (doc_id, cluster_id, is_survivor)."""
+    pairs = minhash_near_dup(sf_dir, threshold, k, num_buckets)
+    docs = read_table(sf_dir, 'documents', columns=['doc_id'],
+                      min_blocks=pool()[1])
+    return components_from_pairs(pairs, docs, num_buckets=num_buckets,
+                                 max_iters=max_iters,
+                                 small_edge_limit=small_edge_limit)
+
+
+def components_from_pairs(pairs, entities, num_buckets=64, max_iters=50,
+                          small_edge_limit=SMALL_EDGE_LIMIT):
+    """The component-collapse CORE, parameterized over the pair source:
+    ``pairs`` is any Dataset of (doc_id_a, doc_id_b) edges, ``entities``
+    any Dataset with a ``doc_id`` column enumerating the full entity
+    set (unpaired entities come out as singletons).  Shared by the
+    minhash path (:func:`dedup_clusters`) and the embedding path
+    (:func:`embedding_dedup_clusters`) — ONE solver, one measured
+    small-graph gate, one convergence contract."""
     nb = num_buckets
     width = pool()[1]
-    pairs = minhash_near_dup(sf_dir, threshold, k, num_buckets)
     # compact the edge list to ~cluster-width blocks BEFORE iterating:
     # minhash's bucketed output is many near-empty blocks, and every
     # label-prop exchange pays per-BLOCK task overhead × max_iters
@@ -275,10 +292,9 @@ def dedup_clusters(sf_dir, threshold=0.8, k=3, num_buckets=64, max_iters=50,
             'raise max_iters or pre-collapse exact dups first'
             % (max_iters, max_iters))
 
-    docs = read_table(sf_dir, 'documents', columns=['doc_id'],
-                      min_blocks=pool()[1])
-    doc_rows = docs.map_batches(_make_doc_rows(nb), batch_format='pyarrow',
-                                zero_copy_batch=True)
+    doc_rows = entities.map_batches(_make_doc_rows(nb),
+                                    batch_format='pyarrow',
+                                    zero_copy_batch=True)
     lbl_rows = labels.map_batches(
         lambda b: pa.table({
             'node': b.column('node'),
@@ -288,6 +304,37 @@ def dedup_clusters(sf_dir, threshold=0.8, k=3, num_buckets=64, max_iters=50,
         batch_format='pyarrow', zero_copy_batch=True)
     return doc_rows.union(lbl_rows).groupby('bucket').map_groups(
         _finalize_bucket, batch_format='pyarrow')
+
+
+def embedding_dedup_clusters(sf_dir, threshold=0.42, num_buckets=64,
+                             max_iters=50,
+                             small_edge_limit=SMALL_EDGE_LIMIT):
+    """SEMANTIC dedup: connected components over the exact
+    embedding-cosine near-dup pair graph
+    (:func:`~engine.ops.similarity.embedding_dup_pairs_blocked` — the
+    broadcast-free 100 TB path; swap in ``embedding_dup_lsh`` as the
+    subquadratic discovery tier when exactness isn't required), then
+    the SAME min-label component solver as the text path.  Returns one
+    row per embedding: (vec_id, cluster_id, is_survivor) — survivors
+    are the semantic representatives a training run keeps."""
+    from .similarity import embedding_dup_pairs_blocked
+
+    pairs = embedding_dup_pairs_blocked(sf_dir, threshold).map_batches(
+        lambda b: pa.table({'doc_id_a': b.column('vec_id_a'),
+                            'doc_id_b': b.column('vec_id_b')}),
+        batch_format='pyarrow', zero_copy_batch=True)
+    vecs = read_table(sf_dir, 'embeddings', columns=['vec_id'],
+                      min_blocks=pool()[1]).map_batches(
+        lambda b: pa.table({'doc_id': b.column('vec_id')}),
+        batch_format='pyarrow', zero_copy_batch=True)
+    out = components_from_pairs(pairs, vecs, num_buckets=num_buckets,
+                                max_iters=max_iters,
+                                small_edge_limit=small_edge_limit)
+    return out.map_batches(
+        lambda b: pa.table({'vec_id': b.column('doc_id'),
+                            'cluster_id': b.column('cluster_id'),
+                            'is_survivor': b.column('is_survivor')}),
+        batch_format='pyarrow', zero_copy_batch=True)
 
 
 def corpus_clean(sf_dir, threshold=0.8, k=3, num_buckets=64):

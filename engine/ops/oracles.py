@@ -388,25 +388,50 @@ def clusters_oracle_sql(threshold=0.8, k=3):
     CTE: cluster_id = min reachable doc_id; docs in no pair are
     singletons."""
     pairs_sql = minhash_oracle_sql(threshold=threshold, k=k)
+    return _components_cte(pairs_sql, 'doc_id_a', 'doc_id_b',
+                           'documents', 'doc_id')
+
+
+def _components_cte(pairs_sql, col_a, col_b, entity_table, entity_col):
+    """Recursive transitive-closure CTE shared by the minhash and
+    embedding cluster oracles: cluster_id = min reachable entity id;
+    entities in no pair are singletons."""
     return """
 WITH RECURSIVE pairs AS (
-  SELECT doc_id_a, doc_id_b FROM ({pairs_sql}) mh
+  SELECT {a} AS pa, {b} AS pb FROM ({pairs_sql}) src
 ), sym AS (
-  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  SELECT pa AS a, pb AS b FROM pairs
   UNION ALL
-  SELECT doc_id_b AS a, doc_id_a AS b FROM pairs
+  SELECT pb AS a, pa AS b FROM pairs
 ), reach(n, m) AS (
   SELECT a, a FROM sym
   UNION
   SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
 ), cl AS (
-  SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+  SELECT n AS eid, min(m) AS cluster_id FROM reach GROUP BY n
 )
-SELECT d.doc_id,
-       coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
-       (coalesce(cl.cluster_id, d.doc_id) = d.doc_id) AS is_survivor
-FROM documents d LEFT JOIN cl USING (doc_id)
-""".format(pairs_sql=pairs_sql)
+SELECT d.{ec},
+       coalesce(cl.cluster_id, d.{ec}) AS cluster_id,
+       (coalesce(cl.cluster_id, d.{ec}) = d.{ec}) AS is_survivor
+FROM {et} d LEFT JOIN cl ON cl.eid = d.{ec}
+""".format(pairs_sql=pairs_sql, a=col_a, b=col_b,
+           et=entity_table, ec=entity_col)
+
+
+EMBEDDING_PAIRS_SQL = """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= 0.42
+"""
+
+
+def embedding_clusters_oracle_sql(threshold=0.42):
+    """Connected components over the exact embedding-cosine pairs (the
+    same pair predicate as the embedding_dup_pairs oracle), for
+    :func:`engine.ops.clusters.embedding_dedup_clusters`."""
+    return _components_cte(EMBEDDING_PAIRS_SQL, 'vec_id_a', 'vec_id_b',
+                           'embeddings', 'vec_id')
 
 
 def payload_dedup_oracle_sql(sf_dir=None):

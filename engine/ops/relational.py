@@ -33,7 +33,7 @@ import ray
 import ray.data
 
 from .common import (BroadcastLookup, round_half_up,
-                     read_small_table, read_table, pool)
+                     read_small_table, read_table, pool, hash63_keys)
 
 __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'supplier_balance_by_nation', 'events_by_type', 'events_sessionize',
@@ -50,7 +50,8 @@ __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'events_value_deciles', 'events_hour_value_corr',
            'events_debounced', 'user_event_paths',
            'orders_price_percentile', 'daily_activity',
-           'events_value_tdigest']
+           'events_value_tdigest', 'events_windowed_distinct_users',
+           'events_value_mad_outliers', 'orders_cohort_retention']
 
 
 def rank_in_sorted_key(keys_sorted):
@@ -407,6 +408,46 @@ def events_windowed(sf_dir):
     ds = read_table(sf_dir, 'events',
                                columns=['event_type', 'ts', 'value'])
     return (ds.map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
+              .groupby(['event_type', 'window_start'])
+              .map_groups(final, batch_format='pyarrow'))
+
+
+def events_windowed_distinct_users(sf_dir):
+    """Tumbling 1-day window per event type with an EXACT distinct-user
+    count — the exact tier beside the O(m)-state approximate tier
+    (:func:`~engine.ops.sketches.distinct_users_hll`): exact
+    count-distinct inherently exchanges one row per distinct
+    (type, window, user) per block — the per-block Arrow group_by
+    combiner collapses raw events to that floor (carrying the event
+    multiplicity alongside, so ``n_events`` rides the same exchange),
+    and the per-group fold is a C++ distinct + two column folds.  At
+    100 TB, windows bound the per-group distinct state (a day's users,
+    not the corpus's); if even that overflows, the HLL tier is the
+    documented fallback."""
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column('ts'), unit='day')
+        t = pa.table({'event_type': batch.column('event_type'),
+                      'window_start': day,
+                      'user_id': batch.column('user_id')})
+        g = t.group_by(['event_type', 'window_start', 'user_id']) \
+             .aggregate([([], 'count_all')])
+        return g.rename_columns(['event_type', 'window_start', 'user_id',
+                                 'cnt'])
+
+    def final(group: pa.Table) -> pa.Table:
+        users = group.group_by('user_id').aggregate([])
+        n = int(pc.sum(group.column('cnt')).as_py() or 0)
+        return pa.table({
+            'event_type': group.column('event_type').slice(0, 1),
+            'window_start': group.column('window_start').slice(0, 1),
+            'n_events': pa.array([n], pa.int64()),
+            'distinct_users': pa.array([users.num_rows], pa.int64()),
+        })
+
+    ds = read_table(sf_dir, 'events',
+                    columns=['event_type', 'ts', 'user_id'])
+    return (ds.map_batches(partial, batch_format='pyarrow',
+                           zero_copy_batch=True)
               .groupby(['event_type', 'window_start'])
               .map_groups(final, batch_format='pyarrow'))
 
@@ -796,6 +837,197 @@ def events_value_quantiles(sf_dir, qs=(0.5, 0.9, 0.99)):
     return ds.map_batches(partial, batch_format='pyarrow',
                           zero_copy_batch=True) \
              .groupby('event_type').map_groups(final, batch_format='pyarrow')
+
+
+_MAD_K = 4.4478          # 3 sigma-equivalents x 1.4826 (normal consistency)
+
+
+def events_value_mad_outliers(sf_dir):
+    """Robust anomaly detection per event type: median / MAD (median
+    absolute deviation) and the count of events beyond
+    ``_MAD_K * MAD`` — the outlier gate that survives heavy tails where
+    mean/stddev z-scores (:func:`events_value_zscore`) blow up.
+
+    percentile_disc semantics throughout (the value at 1-based sorted
+    position ceil(0.5·n)), so ``median`` and ``mad`` are actual DATA
+    values, not interpolations — there is no float-formula drift for the
+    oracle to chase; the only arithmetic is |v − med| and one threshold
+    compare, identical IEEE ops on both sides.
+
+    Scale shape: same combiner contract as the exact-quantile tier —
+    each block folds to (type, value, cnt) rows, each group resolves
+    median, then MAD, from the merged distinct-value histogram (two
+    weighted searchsorted passes over distinct values).  O(distinct
+    values) group state; for heavy continuous data the tdigest tier is
+    the documented fallback."""
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(['event_type', 'value']) \
+                 .aggregate([([], 'count_all')])
+        return g.rename_columns(['event_type', 'value', 'cnt'])
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by('value').aggregate([('cnt', 'sum')])
+        vals = g.column('value').to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+        cnts = g.column('cnt_sum').to_numpy(zero_copy_only=False)
+        order = np.argsort(vals, kind='mergesort')
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        med = float(vals[np.searchsorted(cum, int(np.ceil(0.5 * n)),
+                                         side='left')])
+        dev = np.abs(vals - med)
+        dorder = np.argsort(dev, kind='mergesort')
+        dcum = np.cumsum(cnts[dorder])
+        mad = float(dev[dorder][np.searchsorted(
+            dcum, int(np.ceil(0.5 * n)), side='left')])
+        n_out = int(cnts[dev > _MAD_K * mad].sum())
+        return pa.table({
+            'event_type': group.column('event_type').slice(0, 1),
+            'median': pa.array([med], pa.float64()),
+            'mad': pa.array([mad], pa.float64()),
+            'n_outliers': pa.array([n_out], pa.int64()),
+            'n_events': pa.array([n], pa.int64()),
+        })
+
+    ds = read_table(sf_dir, 'events', columns=['event_type', 'value'])
+    return ds.map_batches(partial, batch_format='pyarrow',
+                          zero_copy_batch=True) \
+             .groupby('event_type').map_groups(final, batch_format='pyarrow')
+
+
+MAD_OUTLIERS_SQL = """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), med AS (
+  SELECT event_type, max(n) AS n,
+         max(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS med
+  FROM r GROUP BY event_type
+), d AS (
+  SELECT e.event_type, abs(e.value - m.med) AS dev, m.med, m.n
+  FROM events e JOIN med m USING (event_type)
+), r2 AS (
+  SELECT event_type, dev, med, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn
+  FROM d
+), mad AS (
+  SELECT event_type, max(med) AS med, max(n) AS n,
+         max(CASE WHEN rn = ceil(0.5 * n) THEN dev END) AS mad
+  FROM r2 GROUP BY event_type
+)
+SELECT m.event_type, m.med AS median, m.mad,
+       (SELECT count(*) FROM d
+        WHERE d.event_type = m.event_type
+          AND d.dev > {k} * m.mad)::BIGINT AS n_outliers,
+       m.n AS n_events
+FROM mad m
+""".format(k=repr(_MAD_K))
+
+
+def orders_cohort_retention(sf_dir, num_buckets=64):
+    """Cohort retention analysis: customers are cohorted by the month of
+    their FIRST order; for every (cohort_month, months_since) cell,
+    count the distinct cohort customers who ordered in that month and
+    the retention ratio vs the cohort size — the standard
+    user-retention matrix, expressed with ONE bucketed exchange.
+
+    Scale shape: per block — distinct (custkey, order_month) via Arrow
+    group_by (the exchange floor for exact cohorting; months bound the
+    per-customer row count); md5-bucketed custkey exchange; per
+    bucket — first-month per customer and the (cohort, month) distinct-
+    customer counts are both resolved vectorized (a customer lives in
+    exactly ONE bucket, so per-bucket counts sum globally without
+    double-counting); the driver folds the tiny cohort-matrix partials
+    (months² rows per bucket).  months_since and the month label are
+    derived from an integer month number (year·12 + month−1) — no
+    timestamp arithmetic parity risk with the oracle."""
+    nb = num_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = pc.year(batch.column('o_orderdate')).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        mo = pc.month(batch.column('o_orderdate')).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        t = pa.table({
+            'custkey': batch.column('o_custkey'),
+            'month_num': pa.array(y * 12 + (mo - 1), pa.int64()),
+        })
+        g = t.group_by(['custkey', 'month_num']).aggregate([])
+        ck = g.column('custkey').to_numpy(zero_copy_only=False)
+        return g.append_column(
+            'bucket', pa.array(hash63_keys(ck) & (nb - 1), pa.int64()))
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by(['custkey', 'month_num']).aggregate([])
+        ck = g.column('custkey').to_numpy(zero_copy_only=False)
+        mn = g.column('month_num').to_numpy(zero_copy_only=False)
+        order = np.lexsort((mn, ck))
+        ck, mn = ck[order], mn[order]
+        starts = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
+        run_id = np.cumsum(np.r_[False, ck[1:] != ck[:-1]])
+        cohort = mn[starts][run_id]          # per-customer first month
+        cells = pa.table({
+            'cohort_num': pa.array(cohort, pa.int64()),
+            'month_num': pa.array(mn, pa.int64()),
+        }).group_by(['cohort_num', 'month_num']) \
+          .aggregate([([], 'count_all')])
+        return cells.rename_columns(['cohort_num', 'month_num', 'n_cust'])
+
+    cells = read_table(sf_dir, 'orders',
+                       columns=['o_custkey', 'o_orderdate']) \
+        .map_batches(partial, batch_format='pyarrow', zero_copy_batch=True) \
+        .groupby('bucket').map_groups(fold, batch_format='pyarrow')
+    # ≤ buckets × months² partial cells: tiny, finish driver-side
+    tbl = cells.take_batch(1 << 20, batch_format='pyarrow')
+    g = tbl.group_by(['cohort_num', 'month_num']) \
+           .aggregate([('n_cust', 'sum')])
+    coh = g.column('cohort_num').to_numpy(zero_copy_only=False)
+    mon = g.column('month_num').to_numpy(zero_copy_only=False)
+    n = g.column('n_cust_sum').to_numpy(zero_copy_only=False)
+    # cohort size = the months_since-0 cell of each cohort
+    base = {int(c): int(v) for c, m, v in zip(coh, mon, n) if c == m}
+    size = np.array([base[int(c)] for c in coh], np.int64)
+    label = ['%04d-%02d' % (c // 12, c % 12 + 1) for c in coh]
+    out = pa.table({
+        'cohort_month': pa.array(label, pa.string()),
+        'months_since': pa.array(mon - coh, pa.int64()),
+        'n_customers': pa.array(n, pa.int64()),
+        'cohort_size': pa.array(size, pa.int64()),
+        'retention': pa.array(
+            round_half_up(n.astype(np.float64) / size.astype(np.float64), 6),
+            pa.float64()),
+    })
+    return out.sort_by([('cohort_month', 'ascending'),
+                        ('months_since', 'ascending')])
+
+
+COHORT_RETENTION_SQL = """
+WITH om AS (
+  SELECT DISTINCT o_custkey,
+         (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT
+           AS month_num
+  FROM orders
+), fm AS (
+  SELECT o_custkey, min(month_num) AS cohort_num FROM om GROUP BY o_custkey
+), c AS (
+  SELECT f.cohort_num, o.month_num, count(*)::BIGINT AS n_customers
+  FROM om o JOIN fm f USING (o_custkey)
+  GROUP BY f.cohort_num, o.month_num
+), s AS (
+  SELECT cohort_num, n_customers AS cohort_size
+  FROM c WHERE cohort_num = month_num
+)
+SELECT printf('%04d-%02d', (c.cohort_num // 12)::INT,
+              (c.cohort_num % 12 + 1)::INT) AS cohort_month,
+       (c.month_num - c.cohort_num) AS months_since,
+       c.n_customers, s.cohort_size,
+       floor(c.n_customers::DOUBLE / s.cohort_size::DOUBLE * 1000000 + 0.5)
+         / 1000000 AS retention
+FROM c JOIN s USING (cohort_num)
+"""
 
 
 _Q3_SEMI_EMPTY = pa.table({'o_orderkey': pa.array([], pa.int64()),

@@ -20,7 +20,7 @@ import ray.data
 
 from .common import round_half_up, read_table, hash63_keys
 
-__all__ = ['distinct_users_kmv', 'TDigest']
+__all__ = ['distinct_users_kmv', 'distinct_users_hll', 'TDigest']
 
 _MASK63 = (1 << 63) - 1
 _M63F = float(_MASK63)
@@ -249,3 +249,138 @@ SELECT event_type,
        n_hashes
 FROM kv
 """.format(k=k)
+
+
+# -- HyperLogLog ------------------------------------------------------
+#
+# The O(m)-state cardinality tier beside KMV: a KMV sketch needs its k
+# hashes exchanged per (group, block) and its accuracy is ~1/sqrt(k);
+# HLL (Flajolet et al. 2007) holds m = 2^P 6-bit registers per group
+# (fixed 4 KiB at P=12 for ~1.04/sqrt(m) = 1.6% error) and merges by
+# element-wise register MAX — the canonical mergeable-distinct sketch a
+# 100 TB pipeline keeps per partition and folds up a tree.
+#
+# Register rule over the oracle-shared 63-bit md5 key (hash63_keys):
+# top P bits select the register, the remaining W = 63-P bits w give
+# rho = (leading zeros of w within W bits) + 1 = W+1-floor(log2 w)
+# (w == 0 → W+1).  All estimate arithmetic is EXACT-RATIONAL until the
+# final division: sum(2^-M_j) is computed as the integer
+# S = sum_j 2^(Mmax - M_j) over all m registers (Python int / DuckDB
+# HUGEINT — order-independent, no float-accumulation drift), and the
+# raw estimate is the single float expression
+# (alpha * m^2) * 2^Mmax / float(S) with the identical parenthesization
+# on both sides.  Small-range correction (raw <= 2.5m and empty
+# registers exist): m * ln(m / V) — linear counting.  The large-range
+# correction is irrelevant in a 63-bit hash space and omitted.
+
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P            # 4096 registers
+_HLL_W = 63 - _HLL_P            # 51 value bits
+_HLL_WMASK = (1 << _HLL_W) - 1
+
+
+def distinct_users_hll(sf_dir, table='events'):
+    """Approximate distinct ``user_id`` per event type via HyperLogLog.
+
+    Scale shape: per block — distinct (type, user) via Arrow group_by,
+    hash, vectorized register/rho extraction (the floor-log2 is exact:
+    w < 2^51 is exactly representable in float64 and np.log2 is
+    correctly rounded), then a per-(type, register) MAX combiner — the
+    exchange carries ≤ m rows per (type, block), never users; per
+    group — element-wise register max, then the exact-rational fold
+    described in the module comment.  Deterministic (md5, no seeds), so
+    the DuckDB oracle re-derives the identical estimate."""
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(['event_type', 'user_id']).aggregate([])
+        hk = _hash63(g.column('user_id').to_numpy(zero_copy_only=False))
+        reg = hk >> _HLL_W
+        w = hk & _HLL_WMASK
+        # rho: leading-zero count within the 51 value bits, plus one
+        rho = np.full(len(hk), _HLL_W + 1, np.int64)
+        nz = w > 0
+        rho[nz] = _HLL_W - np.floor(
+            np.log2(w[nz].astype(np.float64))).astype(np.int64)
+        t = pa.table({
+            'event_type': g.column('event_type'),
+            'reg': pa.array(reg, pa.int64()),
+            'rho': pa.array(rho, pa.int64()),
+        })
+        g2 = t.group_by(['event_type', 'reg']).aggregate([('rho', 'max')])
+        return g2.rename_columns(['event_type', 'reg', 'm_j'])
+
+    m = _HLL_M
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by('reg').aggregate([('m_j', 'max')])
+        mj = g.column('m_j_max').to_numpy(zero_copy_only=False)
+        n_present = len(mj)
+        v_zero = m - n_present          # registers still at 0
+        mmax = int(mj.max()) if n_present else 0
+        # exact-rational sum(2^-M_j) = S / 2^mmax, S a Python int
+        s_int = int(sum(1 << (mmax - int(x)) for x in mj)) \
+            + v_zero * (1 << mmax)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        raw = (alpha * (float(m) * float(m))) * (2.0 ** mmax) / float(s_int)
+        if raw <= 2.5 * m and v_zero > 0:
+            est = m * math.log(m / v_zero)
+        else:
+            est = raw
+        return pa.table({
+            'event_type': group.column('event_type').slice(0, 1),
+            'est_distinct': pa.array(round_half_up([est], 4), pa.float64()),
+            'n_zero_regs': pa.array([v_zero], pa.int64()),
+            'max_rho': pa.array([mmax], pa.int64()),
+        })
+
+    ds = read_table(sf_dir, table, columns=['event_type', 'user_id'])
+    return ds.map_batches(partial, batch_format='pyarrow',
+                          zero_copy_batch=True) \
+             .groupby('event_type').map_groups(fold, batch_format='pyarrow')
+
+
+def hll_oracle_sql():
+    """DuckDB re-derivation of :func:`distinct_users_hll` — identical
+    register rule, exact-rational HUGEINT fold and float expression
+    (see the module comment; ``1::BIGINT << x`` is exact for
+    x <= mmax <= 52, and the empties term is widened to HUGEINT before
+    the multiply)."""
+    return """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         (md5_number_lower(user_id::VARCHAR) & 9223372036854775807)::BIGINT AS hk
+  FROM events
+), rr AS (
+  SELECT event_type, hk >> {W} AS reg,
+         CASE WHEN (hk & {WMASK}) = 0 THEN {W1}
+              ELSE {W} - floor(log2((hk & {WMASK})::DOUBLE))::BIGINT
+         END AS rho
+  FROM h
+), regs AS (
+  SELECT event_type, reg, max(rho) AS m_j FROM rr GROUP BY event_type, reg
+), wm AS (
+  SELECT event_type, m_j,
+         max(m_j) OVER (PARTITION BY event_type) AS mmax
+  FROM regs
+), agg AS (
+  SELECT event_type, max(mmax) AS mmax,
+         ({m} - count(*))::BIGINT AS v_zero,
+         (sum(((1::BIGINT) << (mmax - m_j))::HUGEINT)
+          + ({m} - count(*))::HUGEINT
+            * ((1::BIGINT) << max(mmax))::HUGEINT) AS s_int
+  FROM wm GROUP BY event_type
+), est AS (
+  SELECT event_type, v_zero, mmax,
+         ((0.7213 / (1.0 + 1.079 / {m}.0)) * ({m}.0 * {m}.0))
+           * power(2.0, mmax) / s_int::DOUBLE AS raw
+  FROM agg
+)
+SELECT event_type,
+       floor(CASE WHEN raw <= 2.5 * {m} AND v_zero > 0
+                  THEN {m} * ln({m} / v_zero)
+                  ELSE raw END * 10000 + 0.5) / 10000 AS est_distinct,
+       v_zero AS n_zero_regs,
+       mmax AS max_rho
+FROM est
+""".format(W=_HLL_W, W1=_HLL_W + 1, WMASK=_HLL_WMASK, m=_HLL_M)

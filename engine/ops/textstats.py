@@ -22,6 +22,7 @@ __all__ = ['doc_token_stats', 'doc_quality', 'lang_id', 'fingerprint_md5',
            'doc_scrub', 'doc_repetition', 'doc_chunks',
            'fingerprint_winnow', 'doc_token_bpe', 'token_frequencies',
            'doc_tfidf_topk', 'bigram_pmi_topk',
+           'token_heavy_hitters', 'token_postings',
            'TOKEN_RE', 'BPE_RE',
            'STOPWORD_RE', 'PUNCT_RE', 'DIGIT_RE', 'LANG_MARKERS']
 
@@ -623,3 +624,199 @@ def doc_chunks(sf_dir, chunk_tokens=CHUNK_TOKENS, stride=CHUNK_STRIDE):
 
     return _read_docs(sf_dir, ['doc_id', 'text']).map_batches(
         chunks, batch_format='pyarrow', zero_copy_batch=True)
+
+
+def token_heavy_hitters(sf_dir, capacity=8, top_k=10, num_buckets=8):
+    """Approximate global top-k tokens with DETERMINISTIC error bounds —
+    the bounded-state heavy-hitters tier beside the exact
+    :func:`token_frequencies` (whose per-bucket state is O(distinct
+    tokens); this one's is O(capacity) per partition).
+
+    The classic SpaceSaving/Misra–Gries summary is processing-ORDER
+    dependent, so its estimates can't be hash-compared across runs.
+    This operator instead uses the mergeable partition-top-c scheme
+    (Cao & Wang's "summary + threshold" bound): partition docs by an
+    md5 key into ``num_buckets`` EXPLICIT logical partitions (never
+    Ray's physical blocks — partitioning must be data-derived for the
+    result to be partitioning-invariant), keep each partition's exact
+    top-``capacity`` tokens plus its threshold thr_b = count of the
+    first DROPPED token, and bound any token's true global count by
+    ``est_lower = sum(kept counts) <= true <= est_lower +
+    sum(thr_b over partitions where the token was dropped) =
+    est_upper``.  Every quantity is integer arithmetic over md5
+    partitions — bit-reproducible, so the DuckDB oracle re-derives
+    lower/upper/rank exactly while ALSO certifying the bound logic
+    (``exact`` marks tokens whose bound collapsed).
+
+    Scale shape: per block — explode + Arrow group_by count combiner
+    (one row per distinct (bucket, token) per block); exchange — the
+    bucketed combiner rows; per bucket — C++ sum fold + one O(V log V)
+    sort of that bucket's vocabulary, emitting capacity+0/1 rows; the
+    driver folds ≤ num_buckets·capacity candidate rows."""
+    from .common import hash63_keys
+
+    B, c = num_buckets, capacity
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bucket = pa.array(
+            hash63_keys(batch.column('doc_id').to_numpy(
+                zero_copy_only=False)) & (B - 1), pa.int64())
+        # split on whitespace == extract \S+ runs once empties are dropped
+        toks = pc.split_pattern_regex(batch.column('text'), pattern=r'\s+')
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        bk = np.repeat(bucket.to_numpy(zero_copy_only=False), lens)
+        flat = pc.list_flatten(toks)
+        t = pa.table({'bucket': pa.array(bk, pa.int64()), 'token': flat})
+        t = t.filter(pc.not_equal(t.column('token'), ''))
+        g = t.group_by(['bucket', 'token']).aggregate([('token', 'count')])
+        return g.rename_columns(['bucket', 'token', 'cnt'])
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by('token').aggregate([('cnt', 'sum')])
+        g = g.rename_columns(['token', 'cnt'])
+        g = g.sort_by([('cnt', 'descending'), ('token', 'ascending')])
+        thr = int(g.column('cnt')[c].as_py()) if g.num_rows > c else 0
+        kept = g.slice(0, c)
+        return pa.table({
+            'bucket': pa.repeat(group.column('bucket')[0], kept.num_rows),
+            'token': kept.column('token'),
+            'cnt': kept.column('cnt').cast(pa.int64()),
+            'thr': pa.array(np.full(kept.num_rows, thr, np.int64),
+                            pa.int64()),
+        })
+
+    cand = _read_docs(sf_dir, ['doc_id', 'text']).map_batches(
+        partial, batch_format='pyarrow', zero_copy_batch=True) \
+        .groupby('bucket').map_groups(fold, batch_format='pyarrow')
+    # ≤ num_buckets·capacity candidate rows: tiny, finish driver-side
+    tbl = cand.take_batch(max(1, B * c), batch_format='pyarrow')
+    bks = tbl.column('bucket').to_numpy(zero_copy_only=False)
+    thrs = tbl.column('thr').to_numpy(zero_copy_only=False)
+    # one thr per bucket (identical on every kept row of the bucket)
+    _, first = np.unique(bks, return_index=True)
+    total_thr = int(thrs[first].sum())
+    g = tbl.group_by('token').aggregate([('cnt', 'sum'), ('thr', 'sum'),
+                                         ('bucket', 'count')])
+    lower = g.column('cnt_sum').to_numpy(zero_copy_only=False)
+    upper = lower + total_thr - g.column('thr_sum').to_numpy(
+        zero_copy_only=False)
+    out = pa.table({
+        'token': g.column('token'),
+        'est_lower': pa.array(lower, pa.int64()),
+        'est_upper': pa.array(upper, pa.int64()),
+        'n_buckets': g.column('bucket_count').cast(pa.int64()),
+        'exact': pa.array(lower == upper, pa.bool_()),
+    }).sort_by([('est_lower', 'descending'), ('token', 'ascending')]) \
+      .slice(0, top_k)
+    n = out.num_rows
+    return out.append_column('rank',
+                             pa.array(np.arange(1, n + 1), pa.int64()))
+
+
+def heavy_hitters_oracle_sql(capacity=8, top_k=10, num_buckets=8):
+    """DuckDB re-derivation of :func:`token_heavy_hitters` — identical
+    md5 doc-partitioning, per-partition top-c cut, threshold rule and
+    bound arithmetic (all integers)."""
+    return r"""
+WITH t AS (
+  SELECT (md5_number_lower(doc_id::VARCHAR) & 9223372036854775807) & {bm}
+           AS bucket,
+         unnest(regexp_extract_all(text, '\S+')) AS token
+  FROM documents
+), g AS (
+  SELECT bucket, token, count(*)::BIGINT AS cnt FROM t GROUP BY bucket, token
+), r AS (
+  SELECT bucket, token, cnt,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY cnt DESC, token ASC) AS rn
+  FROM g
+), thr AS (
+  SELECT bucket,
+         coalesce(max(CASE WHEN rn = {c1} THEN cnt END), 0) AS thr_b
+  FROM r GROUP BY bucket
+), tot AS (
+  SELECT coalesce(sum(thr_b), 0) AS total_thr FROM thr
+), cand AS (
+  SELECT k.token,
+         sum(k.cnt)::BIGINT AS est_lower,
+         (sum(k.cnt) + (SELECT total_thr FROM tot)
+          - sum(th.thr_b))::BIGINT AS est_upper,
+         count(*)::BIGINT AS n_buckets
+  FROM (SELECT * FROM r WHERE rn <= {c}) k
+  JOIN thr th USING (bucket)
+  GROUP BY k.token
+)
+SELECT token, est_lower, est_upper, n_buckets,
+       (est_lower = est_upper) AS exact,
+       row_number() OVER (ORDER BY est_lower DESC, token ASC)::BIGINT AS rank
+FROM cand QUALIFY rank <= {k}
+""".format(bm=num_buckets - 1, c=capacity, c1=capacity + 1, k=top_k)
+
+
+def token_postings(sf_dir, cap=50, num_buckets=64):
+    """Inverted-index build: one row per token with its document
+    frequency and a posting list of the first ``cap`` doc_ids
+    (ascending, comma-joined) — the search/retrieval-index primitive
+    over a document corpus.
+
+    Scale shape: per block — explode + Arrow group_by DISTINCT
+    (doc_id, token) combiner (the exchange carries one row per distinct
+    pair per block, never raw token occurrences); md5-bucketed token
+    exchange; per bucket — one C++ distinct fold + one lexsort, df via
+    vectorized run ranks, the posting string via ListArray offsets +
+    ``binary_join`` (no Python per token).  The CAP bounds output-row
+    state: full postings for hot tokens would concentrate O(corpus) in
+    one row — the capped list plus the exact ``df`` count is the
+    standard scale-safe index row."""
+    from .relational import rank_in_sorted_key
+
+    nb = num_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _explode_tokens(batch)
+        g = t.group_by(['token', 'doc_id']).aggregate([])
+        return g.append_column('bucket',
+                               _string_bucket(g.column('token'), nb))
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by(['token', 'doc_id']).aggregate([])
+        g = g.sort_by([('token', 'ascending'), ('doc_id', 'ascending')])
+        toks = g.column('token').to_numpy(zero_copy_only=False)
+        rank = rank_in_sorted_key(toks)
+        starts = np.flatnonzero(np.r_[True, toks[1:] != toks[:-1]])
+        df = np.diff(np.r_[starts, len(toks)])
+        keep = rank <= cap
+        kept_per_tok = np.minimum(df, cap)
+        offsets = np.r_[0, np.cumsum(kept_per_tok)]
+        ids = pc.cast(g.column('doc_id').filter(pa.array(keep)),
+                      pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                         ids.combine_chunks())
+        return pa.table({
+            'token': g.column('token').take(pa.array(starts, pa.int64())),
+            'df': pa.array(df, pa.int64()),
+            'postings': pc.binary_join(lists, ','),
+        })
+
+    return _read_docs(sf_dir, ['doc_id', 'text']).map_batches(
+        partial, batch_format='pyarrow', zero_copy_batch=True) \
+        .groupby('bucket').map_groups(fold, batch_format='pyarrow')
+
+
+def postings_oracle_sql(cap=50):
+    """DuckDB re-derivation of :func:`token_postings`."""
+    return r"""
+WITH t AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+  FROM documents
+), r AS (
+  SELECT doc_id, token,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY token) AS df
+  FROM t
+)
+SELECT token, max(df)::BIGINT AS df,
+       string_agg(CASE WHEN rn <= {cap} THEN doc_id::VARCHAR END,
+                  ',' ORDER BY doc_id) AS postings
+FROM r GROUP BY token
+""".format(cap=cap)

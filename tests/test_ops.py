@@ -77,7 +77,11 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'events_debounced', 'user_event_paths', 'conv_text_md5',
                   'shared_span_pairs', 'orders_price_percentile',
                   'embedding_norms', 'daily_activity',
-                  'events_value_tdigest']
+                  'events_value_tdigest', 'distinct_users_hll',
+                  'token_heavy_hitters', 'token_postings',
+                  'events_windowed_distinct_users',
+                  'events_value_mad_outliers', 'orders_cohort_retention',
+                  'embedding_dedup_clusters']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
@@ -768,3 +772,77 @@ def test_spill_exchange_matches_groupby(ray_session):
     # empty input: spill path returns an empty dataset without calling fn
     empty = ray.data.from_arrow(tbl.slice(0, 0))
     assert bucketed_group_map(empty, agg, 16, mode='spill').count() == 0
+
+
+def test_hll_estimate_accuracy(ray_session):
+    """HLL relative error must stay within 3 standard errors
+    (3·1.04/sqrt(m) ≈ 4.9% at m=4096) of the exact distinct count —
+    the sketch's published bound, far looser than what md5's
+    uniformity actually delivers."""
+    import duckdb
+    import numpy as np
+    from engine.ops import sketches
+    est = sketches.distinct_users_hll(SF_DIR).to_pandas()
+    con = duckdb.connect()
+    exact = con.execute("""
+        SELECT event_type, count(DISTINCT user_id) AS n
+        FROM read_parquet('%s/events.parquet') GROUP BY event_type
+    """ % SF_DIR).fetchdf().set_index('event_type')['n']
+    con.close()
+    m = sketches._HLL_M
+    bound = 3 * 1.04 / np.sqrt(m)
+    for _, row in est.iterrows():
+        ex = exact[row.event_type]
+        assert abs(row.est_distinct - ex) / ex <= bound, \
+            (row.event_type, row.est_distinct, ex)
+
+
+def test_heavy_hitters_bounds_and_exact_mode(ray_session):
+    """The partition-top-c bound must bracket the true counts, and with
+    capacity ≥ vocabulary the bound collapses to the exact counts (the
+    ``exact`` flag certifies it)."""
+    import duckdb
+    from engine.ops import textstats
+    hh = textstats.token_heavy_hitters(SF_DIR).to_pandas()
+    con = duckdb.connect()
+    exact = con.execute(r"""
+        SELECT token, count(*) AS n FROM (
+          SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+          FROM read_parquet('%s/documents.parquet')
+        ) GROUP BY token
+    """ % SF_DIR).fetchdf().set_index('token')['n']
+    con.close()
+    assert len(hh)
+    for _, row in hh.iterrows():
+        assert row.est_lower <= exact[row.token] <= row.est_upper
+        if row.exact:
+            assert row.est_lower == exact[row.token]
+    # capacity ≥ vocab ⇒ every bound collapses and counts are exact
+    wide = textstats.token_heavy_hitters(SF_DIR, capacity=10_000).to_pandas()
+    assert wide['exact'].all()
+    for _, row in wide.iterrows():
+        assert row.est_lower == exact[row.token]
+
+
+def test_postings_cap_and_df(ray_session):
+    """Posting lists are ascending, capped at ``cap``, and consistent
+    with the exact document frequency."""
+    from engine.ops import textstats
+    post = textstats.token_postings(SF_DIR, cap=7).to_pandas()
+    assert len(post)
+    for _, row in post.iterrows():
+        ids = [int(x) for x in row.postings.split(',')]
+        assert ids == sorted(ids)
+        assert len(ids) == min(row.df, 7)
+
+
+def test_cohort_retention_invariants(ray_session):
+    """Month-0 cell of every cohort is the cohort itself (retention 1.0),
+    and no later cell exceeds the cohort size."""
+    from engine.ops import relational
+    df = relational.orders_cohort_retention(SF_DIR).to_pandas()
+    base = df[df.months_since == 0]
+    assert (base.n_customers == base.cohort_size).all()
+    assert (base.retention == 1.0).all()
+    assert (df.n_customers <= df.cohort_size).all()
+    assert (df.months_since >= 0).all()
