@@ -418,20 +418,25 @@ FROM {et} d LEFT JOIN cl ON cl.eid = d.{ec}
            et=entity_table, ec=entity_col)
 
 
-EMBEDDING_PAIRS_SQL = """
+def embedding_pairs_sql(threshold=0.42):
+    """The exact embedding-cosine pair predicate (same as the
+    embedding_dup_pairs oracle's WHERE clause), with the threshold
+    threaded through — callers verifying a non-default engine threshold
+    get a matching oracle, not a silently-0.42 one."""
+    return """
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-                             b.embedding::DOUBLE[]) >= 0.42
-"""
+                             b.embedding::DOUBLE[]) >= {t}
+""".format(t=repr(float(threshold)))
 
 
 def embedding_clusters_oracle_sql(threshold=0.42):
     """Connected components over the exact embedding-cosine pairs (the
     same pair predicate as the embedding_dup_pairs oracle), for
     :func:`engine.ops.clusters.embedding_dedup_clusters`."""
-    return _components_cte(EMBEDDING_PAIRS_SQL, 'vec_id_a', 'vec_id_b',
-                           'embeddings', 'vec_id')
+    return _components_cte(embedding_pairs_sql(threshold),
+                           'vec_id_a', 'vec_id_b', 'embeddings', 'vec_id')
 
 
 def payload_dedup_oracle_sql(sf_dir=None):

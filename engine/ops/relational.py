@@ -980,8 +980,10 @@ def orders_cohort_retention(sf_dir, num_buckets=64):
                        columns=['o_custkey', 'o_orderdate']) \
         .map_batches(partial, batch_format='pyarrow', zero_copy_batch=True) \
         .groupby('bucket').map_groups(fold, batch_format='pyarrow')
-    # ≤ buckets × months² partial cells: tiny, finish driver-side
-    tbl = cells.take_batch(1 << 20, batch_format='pyarrow')
+    # ≤ buckets × months² partial cells: tiny by construction, finish
+    # driver-side — full refs, no fixed take_batch cap that could
+    # silently truncate a long-history table
+    tbl = pa.concat_tables(ray.get(cells.to_arrow_refs()))
     g = tbl.group_by(['cohort_num', 'month_num']) \
            .aggregate([('n_cust', 'sum')])
     coh = g.column('cohort_num').to_numpy(zero_copy_only=False)

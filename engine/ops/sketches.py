@@ -283,9 +283,12 @@ def distinct_users_hll(sf_dir, table='events'):
     """Approximate distinct ``user_id`` per event type via HyperLogLog.
 
     Scale shape: per block — distinct (type, user) via Arrow group_by,
-    hash, vectorized register/rho extraction (the floor-log2 is exact:
-    w < 2^51 is exactly representable in float64 and np.log2 is
-    correctly rounded), then a per-(type, register) MAX combiner — the
+    hash, vectorized register/rho extraction (EXACT integer bit-length
+    on both sides: np.frexp's exponent here — w < 2^51 is exactly
+    representable in float64 and frexp is a bit-level op, no
+    transcendental — and ``length(bin(w))`` in the oracle, so parity
+    never rests on log2 rounding at power-of-two boundaries), then a
+    per-(type, register) MAX combiner — the
     exchange carries ≤ m rows per (type, block), never users; per
     group — element-wise register max, then the exact-rational fold
     described in the module comment.  Deterministic (md5, no seeds), so
@@ -297,11 +300,12 @@ def distinct_users_hll(sf_dir, table='events'):
         hk = _hash63(g.column('user_id').to_numpy(zero_copy_only=False))
         reg = hk >> _HLL_W
         w = hk & _HLL_WMASK
-        # rho: leading-zero count within the 51 value bits, plus one
+        # rho: leading-zero count within the 51 value bits, plus one =
+        # W + 1 - bit_length(w); bit_length = frexp exponent (exact)
         rho = np.full(len(hk), _HLL_W + 1, np.int64)
         nz = w > 0
-        rho[nz] = _HLL_W - np.floor(
-            np.log2(w[nz].astype(np.float64))).astype(np.int64)
+        rho[nz] = _HLL_W + 1 - np.frexp(
+            w[nz].astype(np.float64))[1].astype(np.int64)
         t = pa.table({
             'event_type': g.column('event_type'),
             'reg': pa.array(reg, pa.int64()),
@@ -354,7 +358,7 @@ WITH h AS (
 ), rr AS (
   SELECT event_type, hk >> {W} AS reg,
          CASE WHEN (hk & {WMASK}) = 0 THEN {W1}
-              ELSE {W} - floor(log2((hk & {WMASK})::DOUBLE))::BIGINT
+              ELSE {W1} - length(bin(hk & {WMASK}))
          END AS rho
   FROM h
 ), regs AS (

@@ -273,14 +273,22 @@ def token_frequencies(sf_dir, top_n=100, num_buckets=64):
     return tbl.append_column('rank', pa.array(np.arange(1, n + 1), pa.int64()))
 
 
-def _explode_tokens(batch: pa.Table, cols=('text',)):
-    """(doc_id, token) rows via Arrow list kernels — no Python per token."""
+def _explode_tokens(batch: pa.Table, extra=None):
+    """(doc_id, token) rows via Arrow list kernels — no Python per
+    token.  THE one home for the tokenize rule that must stay in sync
+    with the oracles' ``regexp_extract_all(text, '\\S+')`` (whitespace
+    split + empty-edge filter).  ``extra`` replicates additional
+    PER-DOC int64 columns (e.g. a precomputed doc bucket) onto the
+    exploded rows."""
     toks = pc.split_pattern_regex(batch.column('text'), pattern=r'\s+')
     lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
     ids = np.repeat(batch.column('doc_id').to_numpy(zero_copy_only=False),
                     lens)
     flat = pc.list_flatten(toks)
-    t = pa.table({'doc_id': pa.array(ids, pa.int64()), 'token': flat})
+    data = {'doc_id': pa.array(ids, pa.int64()), 'token': flat}
+    for name, vals in (extra or {}).items():
+        data[name] = pa.array(np.repeat(vals, lens), pa.int64())
+    t = pa.table(data)
     return t.filter(pc.not_equal(t.column('token'), ''))
 
 
@@ -658,16 +666,9 @@ def token_heavy_hitters(sf_dir, capacity=8, top_k=10, num_buckets=8):
     B, c = num_buckets, capacity
 
     def partial(batch: pa.Table) -> pa.Table:
-        bucket = pa.array(
-            hash63_keys(batch.column('doc_id').to_numpy(
-                zero_copy_only=False)) & (B - 1), pa.int64())
-        # split on whitespace == extract \S+ runs once empties are dropped
-        toks = pc.split_pattern_regex(batch.column('text'), pattern=r'\s+')
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        bk = np.repeat(bucket.to_numpy(zero_copy_only=False), lens)
-        flat = pc.list_flatten(toks)
-        t = pa.table({'bucket': pa.array(bk, pa.int64()), 'token': flat})
-        t = t.filter(pc.not_equal(t.column('token'), ''))
+        bucket = hash63_keys(batch.column('doc_id').to_numpy(
+            zero_copy_only=False)) & (B - 1)
+        t = _explode_tokens(batch, extra={'bucket': bucket})
         g = t.group_by(['bucket', 'token']).aggregate([('token', 'count')])
         return g.rename_columns(['bucket', 'token', 'cnt'])
 
@@ -775,8 +776,12 @@ def token_postings(sf_dir, cap=50, num_buckets=64):
     def partial(batch: pa.Table) -> pa.Table:
         t = _explode_tokens(batch)
         g = t.group_by(['token', 'doc_id']).aggregate([])
-        return g.append_column('bucket',
-                               _string_bucket(g.column('token'), nb))
+        # hash each DISTINCT token once (Python md5 per vocabulary
+        # entry), then scatter to the pair rows — not md5 per pair
+        uniq = pc.unique(g.column('token'))
+        buckets = _string_bucket(uniq, nb)
+        idx = pc.index_in(g.column('token'), value_set=uniq)
+        return g.append_column('bucket', pc.take(buckets, idx))
 
     def fold(group: pa.Table) -> pa.Table:
         g = group.group_by(['token', 'doc_id']).aggregate([])
