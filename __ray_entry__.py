@@ -150,7 +150,7 @@ def _extract_metrics(sf_dir: str) -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from engine.ops import (dedup, relational, similarity, textstats,
                             multimodal, sampling, clusters, sketches, ingest,
-                            bloomjoin, checksum)
+                            bloomjoin, checksum, graph, modelscore)
 
     # ORDERING CONTRACT: the driver's correctness check caps at the
     # FIRST 50 entries, so the dict front-loads (a) every query with no
@@ -197,6 +197,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_value_mad_outliers': relational.events_value_mad_outliers,
         'orders_cohort_retention': relational.orders_cohort_retention,
         'embedding_dedup_clusters': clusters.embedding_dedup_clusters,
+        'part_pagerank': graph.part_pagerank,
+        'token_cooccur_topk': textstats.token_cooccur_topk,
+        'source_token_topk': textstats.source_token_topk,
+        'user_decay_score': relational.user_decay_score,
+        'doc_model_score': modelscore.doc_model_score,
+        'ann_topk_pq': similarity.ann_topk_pq,
+        'events_user_gini': relational.events_user_gini,
         # -- code changed in round 4 (re-check) -----------------------
         'embedding_norms': similarity.embedding_norms,
         'minhash_near_dup': dedup.minhash_near_dup,
@@ -289,6 +296,7 @@ def oracle_sql() -> dict[str, str]:
     try:
         generated['ann_topk_lsh'] = oracles.lsh_oracle_sql(oracles.embedding_dim())
         generated['ann_topk_ivf'] = oracles.ivf_oracle_sql()
+        generated['ann_topk_pq'] = oracles.pq_oracle_sql()
         generated['embedding_dup_lsh'] = oracles.dup_lsh_oracle_sql()
         generated['dedup_exact_payloads'] = oracles.payload_dedup_oracle_sql()
         from engine.ops import ingest
@@ -316,6 +324,12 @@ def oracle_sql() -> dict[str, str]:
     from engine.ops import textstats as _textstats
     generated['token_heavy_hitters'] = _textstats.heavy_hitters_oracle_sql()
     generated['token_postings'] = _textstats.postings_oracle_sql()
+    generated['token_cooccur_topk'] = _textstats.cooccur_oracle_sql()
+    generated['source_token_topk'] = _textstats.source_topk_oracle_sql()
+    from engine.ops import graph as _graph
+    generated['part_pagerank'] = _graph.pagerank_oracle_sql()
+    from engine.ops import modelscore as _modelscore
+    generated['doc_model_score'] = _modelscore.model_score_oracle_sql()
     generated['events_windowed_distinct_users'] = """
 SELECT event_type, date_trunc('day', ts) AS window_start,
        count(*)::BIGINT AS n_events,
@@ -324,6 +338,8 @@ FROM events GROUP BY event_type, date_trunc('day', ts)
 """
     from engine.ops import relational as _relational
     generated['events_value_mad_outliers'] = _relational.MAD_OUTLIERS_SQL
+    generated['user_decay_score'] = _relational.DECAY_SCORE_SQL
+    generated['events_user_gini'] = _relational.USER_GINI_SQL
     generated['orders_cohort_retention'] = _relational.COHORT_RETENTION_SQL
     generated['sample_uniform'] = """
 SELECT doc_id, lang,

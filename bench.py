@@ -35,7 +35,10 @@ BENCH_QUERIES = ['q1_pricing', 'events_by_type', 'dedup_exact',
                  # round-4 additions
                  'events_value_tdigest', 'distinct_users_hll',
                  'token_heavy_hitters', 'token_postings',
-                 'orders_cohort_retention', 'embedding_dedup_clusters']
+                 'orders_cohort_retention', 'embedding_dedup_clusters',
+                 # round-4b additions
+                 'part_pagerank', 'token_cooccur_topk',
+                 'user_decay_score', 'doc_model_score', 'ann_topk_pq']
 
 
 def _init_ray(num_cpus):
@@ -180,10 +183,13 @@ def _pin_cpus(n):
     lower per-core contention — slack a real 8-core node never has — which
     deflates measured efficiency.  Affinity-aware thread pools (glibc
     nprocs) also size to n, matching what an n-core node would spawn.
-    Off by default: measured ambiguous on this host (the 8-leg speedup it
-    gave is fully delivered by the Stage-A server-call-thread trim, with
-    less machinery); enable with GRAFT_PIN_CPUS=1 for experiments."""
-    if os.environ.get('GRAFT_PIN_CPUS', '0') != '1':
+    ON by default since round 4: across pair sets the pinned 8-leg is
+    reproducible within 0.1% (9,857 vs 9,863 turns/s) while the
+    unpinned 8-leg swings with idle-host turbo/thread slack a real
+    8-core node never has — pinning measures the node-faithful
+    denominator.  Disable with GRAFT_PIN_CPUS=0 to study the unpinned
+    behavior (BASELINE.md round-4 records both)."""
+    if os.environ.get('GRAFT_PIN_CPUS', '1') != '1':
         return False
     try:
         cpus = sorted(os.sched_getaffinity(0))[:n]

@@ -1,0 +1,310 @@
+"""Iterative graph analytics: PageRank over the part co-purchase graph.
+
+The capability this adds is the ITERATIVE distributed-graph shape — the
+same round structure a 100 TB link-graph (web-page rank for crawl
+prioritization, document-citation centrality) runs: a materialized edge
+list co-partitioned with a per-node state table, K rounds of
+(attach state to edge sources → per-destination fold), each round two
+bucketed exchanges of ONE ROW PER NODE/EDGE, never the raw corpus.  The
+component solver in :mod:`engine.ops.clusters` iterates min-labels to a
+fixpoint; this iterates a rank sum a FIXED K rounds — together they
+cover both fixpoint- and round-bounded iteration.
+
+EXACT-PARITY design (the oracle hash-compares int64 values): the whole
+computation is FIXED-POINT INTEGER arithmetic — ranks are scaled by
+10^12, the damping step is ``B + (85 · S) // 100`` with integer floor
+division, and every per-edge contribution ``r // deg`` is an int64.
+Integer sums are order-independent (float sums are not), so the
+distributed fold, the local small-graph path and DuckDB's HUGEINT
+``SUM`` agree bit-for-bit regardless of block order.  All operands are
+positive, so numpy's floor ``//`` and DuckDB's truncating ``//``
+agree.  Overflow headroom: Σ ranks ≤ N·10^12; at N = 10^6 parts,
+85·S ≈ 8.5e19 exceeds int64 — the engine folds per-destination sums
+(far below N nodes' total), and the documented contract is
+SCALE = 10^12 for catalogs ≤ 10^5 nodes (drop SCALE one decade per
+decade of nodes; the oracle generator takes the same constant).
+
+Graph definition (deterministic from lineitem alone): nodes are parts,
+with an edge between two parts iff they appear in the SAME order
+(distinct (orderkey, partkey) first, so duplicate lineitems don't
+multiply edges).  Directed both ways; deg = distinct-neighbor count.
+R0(u) = SCALE; R_{i+1}(u) = B + (85 · Σ_{(v,u)∈E} R_i(v)//deg(v)) // 100
+with B = (15 · SCALE) // 100.  Every node in the graph has in- and
+out-edges (edges are symmetric), so there is no dangling-mass term.
+
+Like :mod:`engine.ops.clusters`, a MEASURED small-graph gate
+(edges.count() ≤ SMALL_EDGE_LIMIT) solves tiny graphs driver-side with
+the identical integer math — below ~32 MB of edges the K-round
+distributed loop is pure scheduling overhead; the distributed path is
+exercised by forcing ``small_edge_limit=0`` in tests.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .common import pool, read_small_table, read_table
+
+__all__ = ['part_pagerank', 'pagerank_oracle_sql']
+
+PR_SCALE = 10 ** 12
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+PR_BASE = ((PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE) // PR_DAMP_DEN
+PR_ITERS = 5
+PR_TOPK = 20
+SMALL_EDGE_LIMIT = 1 << 21     # ~32 MB of (src, dst) rows — measured gate
+
+
+def _bucket(ids, nb):
+    return ids & (nb - 1)
+
+
+def _pairs_in_runs(key, val):
+    """All ordered pairs (a ≠ b) of ``val`` within each equal-``key`` run
+    of a LEXSORTED (key, val) pair of arrays — vectorized over runs via
+    one meshgrid per run (runs are order baskets: a handful of parts
+    each, so the per-run python step is bounded by basket count, not
+    row count; same contract as the per-order pairgen in the oracle)."""
+    starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+    lens = np.diff(np.r_[starts, len(key)])
+    srcs, dsts = [], []
+    for s, l in zip(starts, lens):
+        if l < 2:
+            continue
+        parts = val[s:s + l]
+        a, b = np.meshgrid(parts, parts, indexing='ij')
+        m = a != b
+        srcs.append(a[m])
+        dsts.append(b[m])
+    if not srcs:
+        z = np.empty(0, np.int64)
+        return z, z
+    return np.concatenate(srcs), np.concatenate(dsts)
+
+
+def _make_order_parts(nb):
+    def fn(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(['l_orderkey', 'l_partkey']).aggregate([])
+        ok = g.column('l_orderkey').to_numpy(zero_copy_only=False)
+        return g.append_column('bucket',
+                               pa.array(_bucket(ok, nb), pa.int64()))
+    return fn
+
+
+def _make_order_pairs(nb):
+    def fn(group: pa.Table) -> pa.Table:
+        """Per orderkey-bucket: re-distinct across blocks, then per-order
+        pair expansion; bucket-local distinct caps the emit, the
+        src-bucketed edge fold removes cross-bucket duplicates."""
+        g = group.group_by(['l_orderkey', 'l_partkey']).aggregate([])
+        ok = g.column('l_orderkey').to_numpy(zero_copy_only=False)
+        pk = g.column('l_partkey').to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, ok))
+        src, dst = _pairs_in_runs(ok[order], pk[order])
+        e = pa.table({'src': pa.array(src, pa.int64()),
+                      'dst': pa.array(dst, pa.int64())}) \
+              .group_by(['src', 'dst']).aggregate([])
+        return e.append_column('bucket', pa.array(
+            _bucket(e.column('src').to_numpy(zero_copy_only=False), nb),
+            pa.int64()))
+    return fn
+
+
+def _edge_fold(group: pa.Table) -> pa.Table:
+    """Per src-bucket: global-distinct edges (a given (src, dst) lands in
+    exactly this bucket) + deg(src) attached to every edge row."""
+    e = group.group_by(['src', 'dst']).aggregate([])
+    deg = e.group_by('src').aggregate([([], 'count_all')]) \
+           .rename_columns(['src', 'deg'])
+    j = e.join(deg, keys='src', join_type='inner')
+    return pa.table({'src': j.column('src'), 'dst': j.column('dst'),
+                     'deg': j.column('deg').cast(pa.int64())})
+
+
+def _local_pagerank(src, dst, iters):
+    """Driver-side path of the measured gate — the IDENTICAL integer
+    recurrence as the distributed loop (int64 sums are associative, so
+    fold order cannot matter)."""
+    nodes, inv_src = np.unique(src, return_inverse=True)
+    inv_dst = np.searchsorted(nodes, dst)     # symmetric edges: dst ⊆ nodes
+    deg = np.bincount(inv_src, minlength=len(nodes)).astype(np.int64)
+    r = np.full(len(nodes), PR_SCALE, np.int64)
+    for _ in range(iters):
+        contrib = r[inv_src] // deg[inv_src]
+        s = np.zeros(len(nodes), np.int64)
+        np.add.at(s, inv_dst, contrib)
+        r = PR_BASE + (PR_DAMP_NUM * s) // PR_DAMP_DEN
+    return nodes, r
+
+
+def _make_rank_rows(nb):
+    def fn(batch: pa.Table) -> pa.Table:
+        """Edge rows → per-block distinct src rows.  Block-local distinct
+        is NOT global after the width compaction (a node's edges can
+        span blocks), and a duplicated rank row would DOUBLE that node's
+        contributions in the attach join — so these partials must go
+        through :func:`_init_fold`'s per-bucket distinct before the
+        first iteration (cf. clusters.py, where the min fold absorbs
+        duplicates for free; a sum fold does not)."""
+        g = batch.group_by(['src']).aggregate([])
+        ids = g.column('src')
+        return pa.table({
+            'node': ids,
+            'r': pa.array(np.full(g.num_rows, PR_SCALE, np.int64)),
+            'bucket': pa.array(
+                _bucket(ids.to_numpy(zero_copy_only=False), nb), pa.int64()),
+        })
+    return fn
+
+
+def _init_fold(group: pa.Table) -> pa.Table:
+    """Per node-bucket: global-distinct initial rank rows."""
+    return group.group_by(['node', 'r', 'bucket']).aggregate([])
+
+
+def _make_attach(nb):
+    def fn(group: pa.Table) -> pa.Table:
+        """Per src-bucket of (edges ∪ rank rows): contribution rows
+        (dst, r(src) // deg(src)), re-bucketed by dst."""
+        import pyarrow.compute as pc
+        is_rank = pc.is_null(group.column('dst'))
+        ranks = group.filter(is_rank).select(['src', 'r'])
+        edges = group.filter(pc.invert(is_rank)).select(['src', 'dst', 'deg'])
+        if edges.num_rows == 0 or ranks.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({'dst': z, 'contrib': z, 'bucket': z})
+        j = edges.join(ranks, keys='src', join_type='inner')
+        contrib = (j.column('r').to_numpy(zero_copy_only=False)
+                   // j.column('deg').to_numpy(zero_copy_only=False))
+        dst = j.column('dst').to_numpy(zero_copy_only=False)
+        return pa.table({'dst': pa.array(dst, pa.int64()),
+                         'contrib': pa.array(contrib, pa.int64()),
+                         'bucket': pa.array(_bucket(dst, nb), pa.int64())})
+    return fn
+
+
+def _make_rank_fold(nb):
+    def fn(group: pa.Table) -> pa.Table:
+        """Per dst-bucket: S per node, then the damped update."""
+        g = group.group_by('dst').aggregate([('contrib', 'sum')])
+        s = g.column('contrib_sum').to_numpy(zero_copy_only=False)
+        node = g.column('dst').to_numpy(zero_copy_only=False)
+        r = PR_BASE + (PR_DAMP_NUM * s) // PR_DAMP_DEN
+        return pa.table({'node': pa.array(node, pa.int64()),
+                         'r': pa.array(r, pa.int64()),
+                         'bucket': pa.array(_bucket(node, nb), pa.int64())})
+    return fn
+
+
+def _make_topk_fold(topk):
+    def fn(group: pa.Table) -> pa.Table:
+        """Per node-bucket local top-k (a node lives in exactly one
+        bucket, so the global top-k is a subset of the bucket top-ks)."""
+        return group.sort_by([('r', 'descending'), ('node', 'ascending')]) \
+                    .slice(0, topk).select(['node', 'r'])
+    return fn
+
+
+def part_pagerank(sf_dir, iters=PR_ITERS, topk=PR_TOPK, num_buckets=64,
+                  small_edge_limit=SMALL_EDGE_LIMIT):
+    """Top-``topk`` parts by fixed-point-integer PageRank over the
+    co-purchase graph (module docstring).  Returns
+    (p_partkey, p_name, pr_rank) ordered by rank desc, partkey asc."""
+    nb = num_buckets
+    width = pool()[1]
+    li = read_table(sf_dir, 'lineitem', columns=['l_orderkey', 'l_partkey'])
+    # edge build: distinct (order, part) → per-order pairs → src-bucketed
+    # distinct fold with deg attached; materialized ONCE (re-read every
+    # iteration, must not re-run the pair expansion) and compacted to
+    # ~cluster-width blocks so each round's exchange pays per-block task
+    # overhead proportional to width, not to the pairgen's bucket count.
+    edges = li.map_batches(_make_order_parts(nb), batch_format='pyarrow',
+                           zero_copy_batch=True) \
+              .groupby('bucket').map_groups(_make_order_pairs(nb),
+                                            batch_format='pyarrow') \
+              .groupby('bucket').map_groups(_edge_fold,
+                                            batch_format='pyarrow') \
+              .repartition(width).materialize()
+
+    n_edges = edges.count()
+    if n_edges <= small_edge_limit:
+        # MEASURED gate (clusters.py precedent): below ~32 MB of edges
+        # the K-round loop is pure per-round scheduling overhead; the
+        # integer math is identical, so results are bit-equal.
+        tbl = pa.concat_tables(ray.get(edges.to_arrow_refs())) \
+                .combine_chunks()
+        nodes, r = _local_pagerank(
+            tbl.column('src').to_numpy(zero_copy_only=False),
+            tbl.column('dst').to_numpy(zero_copy_only=False), iters)
+        order = np.lexsort((nodes, -r))[:topk]
+        cand = pa.table({'node': pa.array(nodes[order], pa.int64()),
+                         'r': pa.array(r[order], pa.int64())})
+    else:
+        ranks = edges.map_batches(_make_rank_rows(nb),
+                                  batch_format='pyarrow',
+                                  zero_copy_batch=True) \
+                     .groupby('bucket').map_groups(_init_fold,
+                                                   batch_format='pyarrow')
+        for _ in range(iters):
+            edge_rows = edges.map_batches(
+                lambda b: b.append_column('r', pa.nulls(b.num_rows,
+                                                        pa.int64()))
+                           .append_column('bucket', pa.array(
+                               _bucket(b.column('src').to_numpy(
+                                   zero_copy_only=False), nb), pa.int64())),
+                batch_format='pyarrow', zero_copy_batch=True)
+            rank_rows = ranks.map_batches(
+                lambda b: pa.table({
+                    'src': b.column('node'),
+                    'dst': pa.nulls(b.num_rows, pa.int64()),
+                    'deg': pa.nulls(b.num_rows, pa.int64()),
+                    'r': b.column('r'),
+                    'bucket': b.column('bucket')}),
+                batch_format='pyarrow', zero_copy_batch=True)
+            ranks = edge_rows.union(rank_rows).groupby('bucket').map_groups(
+                _make_attach(nb), batch_format='pyarrow') \
+                .groupby('bucket').map_groups(_make_rank_fold(nb),
+                                              batch_format='pyarrow') \
+                .repartition(width).materialize()
+        cand_rows = ranks.groupby('bucket').map_groups(
+            _make_topk_fold(topk), batch_format='pyarrow') \
+            .take_batch(max(1, nb * topk), batch_format='pyarrow')
+        cand = cand_rows.sort_by([('r', 'descending'),
+                                  ('node', 'ascending')]).slice(0, topk)
+
+    part = read_small_table(sf_dir, 'part', columns=['p_partkey', 'p_name'])
+    j = cand.rename_columns(['p_partkey', 'pr_rank']) \
+            .join(part, keys='p_partkey', join_type='inner')
+    return ray.data.from_arrow(
+        j.sort_by([('pr_rank', 'descending'), ('p_partkey', 'ascending')])
+         .select(['p_partkey', 'p_name', 'pr_rank']))
+
+
+def pagerank_oracle_sql(iters=PR_ITERS, topk=PR_TOPK):
+    """Generated oracle: the K iterations unrolled as chained CTEs (SQL
+    recursive CTEs forbid aggregation in the recursive term), with the
+    SAME integer constants — HUGEINT sums, ``//`` floor division on
+    positive operands, cast back to BIGINT each level."""
+    cte = [
+        "op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        "edges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
+        "FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey <> b.l_partkey)",
+        "deg AS (SELECT src AS node, COUNT(*)::BIGINT AS d "
+        "FROM edges GROUP BY src)",
+        "pr0 AS (SELECT node, CAST(%d AS BIGINT) AS r FROM deg)" % PR_SCALE,
+    ]
+    for i in range(1, iters + 1):
+        cte.append(
+            "pr%d AS (SELECT d.node, CAST(%d + (%d * COALESCE(s.s, 0)) "
+            "// %d AS BIGINT) AS r FROM deg d LEFT JOIN "
+            "(SELECT e.dst AS node, SUM(p.r // g.d) AS s FROM edges e "
+            "JOIN pr%d p ON p.node = e.src JOIN deg g ON g.node = e.src "
+            "GROUP BY e.dst) s ON s.node = d.node)"
+            % (i, PR_BASE, PR_DAMP_NUM, PR_DAMP_DEN, i - 1))
+    return ("WITH " + ",\n".join(cte) +
+            "\nSELECT p_partkey, p_name, r AS pr_rank FROM pr%d "
+            "JOIN part ON p_partkey = node "
+            "ORDER BY r DESC, p_partkey LIMIT %d" % (iters, topk))

@@ -229,20 +229,21 @@ FROM r WHERE rank <= {k}
            ebucket=_bucket_expr('ee', plane_lists))
 
 
-def _sample_matrix(path, max_train):
+def _sample_matrix(path, max_train, raw=False):
     """The ``max_train`` rows with the smallest md5(vec_id) sample key, in
     (skey, vec_id) order — the pq twin of similarity._train_matrix's
     distributed hash-order sample (same key function, same tie-break, so
-    the training matrix is row-for-row identical)."""
+    the training matrix is row-for-row identical).  ``raw=True`` skips
+    normalization (the PQ tier trains on raw vectors)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
-    from .similarity import _batch_matrix, _sample_keys
+    from .similarity import _batch_matrix, _raw_matrix, _sample_keys
     tbl = pq.read_table(path, columns=['vec_id', 'embedding'])
     keys = _sample_keys(tbl.column('vec_id').to_numpy(zero_copy_only=False))
     tbl = tbl.append_column('skey', pa.array(keys, pa.int64()))
     tbl = tbl.sort_by([('skey', 'ascending'),
                        ('vec_id', 'ascending')]).slice(0, max_train)
-    return _batch_matrix(tbl)
+    return _raw_matrix(tbl) if raw else _batch_matrix(tbl)
 
 
 def ivf_oracle_sql(sf_dir=None, n_queries=16, k=5, nlist=16, nprobe=4,
@@ -763,3 +764,69 @@ FROM v JOIN br ON br.event_type = v.event_type
 """.format(qcols=', '.join(qcols), rows=',\n    '.join(rows),
            brackets=',\n       '.join(bracket_sql),
            ests=',\n       '.join(est_sql), k=k)
+
+
+def pq_oracle_sql(sf_dir=None, n_queries=16, k=5, max_train=65536):
+    """Full SQL re-derivation of ann_topk_pq.  The per-subspace codebooks
+    are data-dependent, so the oracle trains the SAME deterministic
+    k-means on the SAME bounded raw md5-keyed sample at build time and
+    inlines them as literals (ivf precedent).  Assignment parity: the
+    engine's ``c·c − 2·x·c`` argmin (ties → lowest code, _seq_dot
+    sequential folds) is exactly DuckDB's sequential
+    ``list_dot_product``; score parity: integer LUT sums — DuckDB's
+    BIGINT SUM and the engine's int64 adds are both exact."""
+    from .similarity import _PQ_K, _PQ_LUT_SCALE, _PQ_M, _pq_fit
+    sf_dir = sf_dir or _oracle_sf_dir()
+    path = os.path.join(sf_dir, 'embeddings.parquet')
+    _, train = _sample_matrix(path, max_train, raw=True)
+    books = _pq_fit(train, _PQ_M, _PQ_K)
+    dsub = train.shape[1] // _PQ_M
+    book_rows = ',\n  '.join(
+        '(%d, %d, %s)' % (s, j, _dlist(books[s][j]))
+        for s in range(_PQ_M) for j in range(len(books[s])))
+    sub_cases = ' '.join(
+        'WHEN %d THEN ee[%d:%d]' % (s, s * dsub + 1, (s + 1) * dsub)
+        for s in range(_PQ_M))
+    qsub_cases = ' '.join(
+        'WHEN %d THEN qe[%d:%d]' % (s, s * dsub + 1, (s + 1) * dsub)
+        for s in range(_PQ_M))
+    return """
+WITH book(s, j, cv) AS (VALUES
+  {book_rows}
+), e AS (
+  SELECT vec_id AS nid, embedding::DOUBLE[] AS ee FROM embeddings
+), sub AS (
+  SELECT nid, s, CASE s {sub_cases} END AS sv
+  FROM e, (SELECT DISTINCT s FROM book) b
+), asn AS (
+  SELECT nid, s, j AS code FROM (
+    SELECT sub.nid, sub.s, book.j,
+           row_number() OVER (PARTITION BY sub.nid, sub.s
+             ORDER BY list_dot_product(book.cv, book.cv)
+                      - 2 * list_dot_product(sub.sv, book.cv) ASC,
+                      book.j ASC) AS rn
+    FROM sub JOIN book ON book.s = sub.s) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+  WHERE vec_id < {nq}
+), lut AS (
+  SELECT q.qid, book.s, book.j,
+         CAST(floor(list_dot_product(CASE book.s {qsub_cases} END, book.cv)
+                    * {scale} + 0.5) AS BIGINT) AS v
+  FROM q, book
+), sc AS (
+  SELECT lut.qid, asn.nid, SUM(lut.v)::BIGINT AS score_int
+  FROM asn JOIN lut ON lut.s = asn.s AND lut.j = asn.code
+  WHERE asn.nid <> lut.qid
+  GROUP BY lut.qid, asn.nid
+), r AS (
+  SELECT qid, nid, score_int,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score_int DESC, nid ASC)::BIGINT AS rank
+  FROM sc
+)
+SELECT qid AS query_id, nid AS neighbor_id, score_int, rank
+FROM r WHERE rank <= {k}
+""".format(book_rows=book_rows, sub_cases=sub_cases,
+           qsub_cases=qsub_cases, nq=n_queries,
+           scale=_PQ_LUT_SCALE, k=k)

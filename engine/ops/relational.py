@@ -2379,3 +2379,187 @@ def daily_activity(sf_dir):
         .union(events.map_batches(event_days, batch_format='pyarrow',
                                   zero_copy_batch=True)) \
         .groupby('day').map_groups(fold, batch_format='pyarrow')
+
+
+# ---------------------------------------------------------------------------
+# Exponential time-decay engagement score (exact binary fixed point)
+
+
+DECAY_WINDOW_DAYS = 20
+_US_PER_DAY = 86_400_000_000
+
+
+def user_decay_score(sf_dir, window_days=DECAY_WINDOW_DAYS, num_buckets=64):
+    """Per-user engagement score with EXPONENTIAL TIME DECAY — weight
+    halves per day of age: ``score = Σ cents(value) · 2^(W − age_days)``
+    over events at most ``window_days`` old (older events carry zero
+    weight — the decay horizon; at 20 days the dropped tail weighs
+    < 2^-20 of a same-day event).
+
+    EXACT-parity design: ages are integer days
+    (``epoch_us // us_per_day``, positive operands so numpy floor and
+    DuckDB truncating ``//`` agree), values go through the shared
+    cents convention (``floor(v·100 + 0.5)``,
+    cf. ``events_user_running``), and the decay multiply is a BINARY
+    SHIFT — the whole score is an int64 sum, order-independent, no
+    float expression to drift.  Headroom: cents ≤ ~5·10^4, shift ≤ 2^20,
+    so ~1.7·10^8 in-window events per user fit int64 — beyond any real
+    per-user stream.
+
+    Scale shape: pass 0 folds one per-block max-day row (tiny; at 100 TB
+    the max event date is typically known from partition metadata — the
+    read is ts-column-only either way); pass 1 is a per-block per-user
+    partial-sum combiner → md5-free power-of-two user bucket → per-bucket
+    C++ sum fold.  One bucketed exchange of one row per (block, user)."""
+    w = int(window_days)
+    nb = num_buckets
+
+    def block_max(batch: pa.Table) -> pa.Table:
+        us = batch.column('ts').cast(pa.int64()).to_numpy()
+        return pa.table({'d': pa.array([int(us.max()) // _US_PER_DAY]
+                                       if len(us) else [], pa.int64())})
+
+    days = read_table(sf_dir, 'events', columns=['ts']) \
+        .map_batches(block_max, batch_format='pyarrow',
+                     zero_copy_batch=True).take_all()
+    max_day = max(r['d'] for r in days)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch.column('ts').cast(pa.int64()).to_numpy()
+        age = max_day - us // _US_PER_DAY
+        keep = age <= w
+        uid = batch.column('user_id').to_numpy()[keep]
+        cents = np.floor(
+            batch.column('value').to_numpy() * 100 + 0.5).astype(
+                np.int64)[keep]
+        contrib = cents << (w - age[keep])
+        g = pa.table({'user_id': pa.array(uid, pa.int64()),
+                      'c': pa.array(contrib, pa.int64())}) \
+              .group_by('user_id') \
+              .aggregate([('c', 'sum'), ([], 'count_all')]) \
+              .rename_columns(['user_id', 'c', 'n'])
+        ids = g.column('user_id').to_numpy(zero_copy_only=False)
+        return g.append_column('bucket',
+                               pa.array(ids & (nb - 1), pa.int64()))
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by('user_id') \
+                 .aggregate([('c', 'sum'), ('n', 'sum')])
+        g = g.rename_columns(['user_id', 'decay_score', 'n_recent'])
+        return pa.table({
+            'user_id': g.column('user_id'),
+            'decay_score': g.column('decay_score').cast(pa.int64()),
+            'n_recent': g.column('n_recent').cast(pa.int64()),
+        }).sort_by('user_id')
+
+    return read_table(sf_dir, 'events',
+                      columns=['user_id', 'ts', 'value']) \
+        .map_batches(partial, batch_format='pyarrow',
+                     zero_copy_batch=True) \
+        .groupby('bucket').map_groups(fold, batch_format='pyarrow')
+
+
+DECAY_SCORE_SQL = """
+WITH md AS (SELECT max(epoch_us(ts) // {us_day}) AS m FROM events),
+e AS (SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             (SELECT m FROM md) - epoch_us(ts) // {us_day} AS age
+      FROM events)
+SELECT user_id,
+       CAST(SUM(cents << CAST({w} - age AS INT)) AS BIGINT) AS decay_score,
+       count(*)::BIGINT AS n_recent
+FROM e WHERE age <= {w} GROUP BY user_id
+""".format(us_day=_US_PER_DAY, w=DECAY_WINDOW_DAYS)
+
+
+# ---------------------------------------------------------------------------
+# Key-skew audit (the diagnosis a partitioning decision runs on)
+
+
+def events_user_gini(sf_dir, num_buckets=64):
+    """Per-event-type KEY-SKEW AUDIT over the ``user_id`` distribution:
+    user count, event count, the hottest user's share, and the Gini
+    coefficient of per-user event counts — the numbers that decide
+    whether a keyed exchange needs salting BEFORE it runs (a Gini near
+    1 / top share in the percent range means a hot key will serialize
+    one bucket; cf. the salting/chunked-compaction contracts in
+    SCALE.md).
+
+    Parity design: Gini over sorted counts is
+    ``(2·Σ i·c_i)/(n·Σc) − (n+1)/n`` with c ascending, 1-based rank i.
+    Both Σ are int64 (order of equal counts within a tie run cannot
+    change Σ i·c_i — the run's ranks sum the same either way), so the
+    only float arithmetic is the final expression, written with
+    IDENTICAL parenthesization on both sides and r6-rounded.
+
+    Scale shape: per-block (type, user) count combiner → md5-free
+    power-of-two user bucket → per-bucket exact count fold → ONE
+    re-exchange by type whose payload is one row per (type, user) —
+    the audit's state is the distinct-user count, the same contract as
+    exact windowed distinct; for unbounded user sets the HLL tier
+    estimates n_users and top-share comes from token_heavy_hitters'
+    bounded summary instead."""
+    nb = num_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(['event_type', 'user_id']) \
+                 .aggregate([([], 'count_all')]) \
+                 .rename_columns(['event_type', 'user_id', 'cnt'])
+        ids = g.column('user_id').to_numpy(zero_copy_only=False)
+        return g.append_column('bucket',
+                               pa.array(ids & (nb - 1), pa.int64()))
+
+    def count_fold(group: pa.Table) -> pa.Table:
+        g = group.group_by(['event_type', 'user_id']) \
+                 .aggregate([('cnt', 'sum')])
+        return g.rename_columns(['event_type', 'user_id', 'cnt'])
+
+    def gini_fold(group: pa.Table) -> pa.Table:
+        c = np.sort(group.column('cnt').to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+        n = len(c)
+        s = int(c.sum())
+        s1 = int((np.arange(1, n + 1, dtype=np.int64) * c).sum())
+        gini = (2.0 * float(s1)) / (float(n) * float(s)) \
+            - (float(n) + 1.0) / float(n)
+        top = float(c[-1]) / float(s)
+        return pa.table({
+            'event_type': group.column('event_type').slice(0, 1),
+            'n_users': pa.array([n], pa.int64()),
+            'n_events': pa.array([s], pa.int64()),
+            'top_user_share': pa.array(round_half_up([top], 6),
+                                       pa.float64()),
+            'gini': pa.array(round_half_up([gini], 6), pa.float64()),
+        })
+
+    return read_table(sf_dir, 'events', columns=['event_type', 'user_id']) \
+        .map_batches(partial, batch_format='pyarrow', zero_copy_batch=True) \
+        .groupby('bucket').map_groups(count_fold, batch_format='pyarrow') \
+        .groupby('event_type').map_groups(gini_fold, batch_format='pyarrow')
+
+
+USER_GINI_SQL = """
+WITH uc AS (
+  SELECT event_type, user_id, count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+), rk AS (
+  SELECT event_type, cnt,
+         row_number() OVER (PARTITION BY event_type ORDER BY cnt) AS i
+  FROM uc
+), agg AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_users,
+         sum(cnt)::BIGINT AS n_events,
+         max(cnt)::BIGINT AS max_cnt,
+         sum(i * cnt)::BIGINT AS s1
+  FROM rk GROUP BY event_type
+)
+SELECT event_type, n_users, n_events,
+       floor(CAST(max_cnt AS DOUBLE) / CAST(n_events AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS top_user_share,
+       floor(((2.0 * CAST(s1 AS DOUBLE))
+              / (CAST(n_users AS DOUBLE) * CAST(n_events AS DOUBLE))
+              - (CAST(n_users AS DOUBLE) + 1.0) / CAST(n_users AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS gini
+FROM agg
+"""

@@ -28,7 +28,7 @@ from .common import round_half_up, table_path, read_table, pool
 
 __all__ = ['embedding_dup_pairs', 'embedding_dup_pairs_blocked',
            'embedding_dup_lsh', 'ann_topk', 'ann_topk_lsh', 'ann_topk_ivf',
-           'embedding_norms', 'EMBEDDING_NORMS_SQL']
+           'ann_topk_pq', 'embedding_norms', 'EMBEDDING_NORMS_SQL']
 
 
 def _read_embeddings(sf_dir):
@@ -350,7 +350,7 @@ def _sample_keys(ids):
     return hash63_keys(ids)
 
 
-def _train_matrix(sf_dir, max_train=65536):
+def _train_matrix(sf_dir, max_train=65536, raw=False):
     """Bounded, ORDER-INDEPENDENT training sample for the IVF coarse
     quantizer: the ``max_train`` corpus rows with the smallest seeded
     md5(vec_id) key.  Unlike a head sample this is unbiased under any
@@ -373,7 +373,7 @@ def _train_matrix(sf_dir, max_train=65536):
                  .take_batch(max_train, batch_format='pyarrow')
     # take_batch does not guarantee block order — one tiny deterministic sort
     tbl = tbl.sort_by([('skey', 'ascending'), ('vec_id', 'ascending')])
-    return _batch_matrix(tbl)
+    return _raw_matrix(tbl) if raw else _batch_matrix(tbl)
 
 
 def _kmeans(mat, nlist, iters=10, seed=0):
@@ -567,3 +567,157 @@ SELECT vec_id, label::BIGINT AS label,
              * 1000000 + 0.5) / 1000000 AS norm
 FROM embeddings
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN (the memory-bounded 100 TB tier)
+
+
+_PQ_M = 16          # subspaces (dim must divide evenly)
+_PQ_K = 64          # codes per subspace → 6 bits; stored as one byte
+_PQ_LUT_SCALE = 1 << 20
+_PQ_ITERS = 10
+
+
+def _seq_dot(mat, vec):
+    """Dot product folded STRICTLY SEQUENTIALLY across dims while staying
+    vectorized across rows — the embedding_norms parity rule: numpy's
+    BLAS dot reorders partial sums, DuckDB's ``list_dot_product`` folds
+    left-to-right, and PQ's code assignment compares these floats
+    directly, so both sides must run the identical IEEE op sequence."""
+    acc = mat[:, 0] * vec[0]
+    for d in range(1, mat.shape[1]):
+        acc = acc + mat[:, d] * vec[d]
+    return acc
+
+
+def _kmeans_l2(mat, k, iters=_PQ_ITERS, seed=0):
+    """Deterministic L2 k-means for one PQ subspace (seeded init, fixed
+    iters).  Training internals need NO SQL parity — only the resulting
+    codebook constants are shared with the oracle (ivf precedent)."""
+    rng = np.random.RandomState(seed)
+    cent = mat[rng.choice(len(mat), size=min(k, len(mat)),
+                          replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def _pq_fit(train, m=_PQ_M, k=_PQ_K):
+    """Per-subspace codebooks off the bounded md5-keyed training sample.
+    RAW (un-normalized) vectors throughout: PQ here approximates the
+    dot-product (MIPS) score — the corpus embeddings are unit-norm by
+    construction, so dot ≈ cosine without a per-batch normalize that the
+    oracle would have to replicate."""
+    dsub = train.shape[1] // m
+    return [_kmeans_l2(train[:, s * dsub:(s + 1) * dsub], k, seed=s)
+            for s in range(m)]
+
+
+def _pq_encode(mat, books):
+    """Nearest-code assignment per subspace: argmin over
+    ``c·c − 2·x·c`` (the ‖x‖² term is constant per row), ties → lowest
+    code — the EXACT expression and tie order the oracle's row_number
+    reproduces, built from _seq_dot folds."""
+    m = len(books)
+    dsub = mat.shape[1] // m
+    codes = np.empty((len(mat), m), np.int64)
+    for s in range(m):
+        sub = mat[:, s * dsub:(s + 1) * dsub]
+        cb = books[s]
+        dists = np.empty((len(mat), len(cb)))
+        for j in range(len(cb)):
+            c2 = _seq_dot(cb[j:j + 1], cb[j])[0]
+            dists[:, j] = c2 - 2.0 * _seq_dot(sub, cb[j])
+        codes[:, s] = dists.argmin(axis=1)
+    return codes
+
+
+def _pq_lut(qmat, books):
+    """INTEGER ADC lookup tables: lut[q, s, j] = half-up-rounded
+    ``dot(q_s, c_{s,j}) · 2^20``.  Quantizing the LUT (fast-scan PQ
+    practice) makes every score an int64 SUM — order-independent, so the
+    distributed fold and DuckDB's aggregate agree exactly, with no float
+    accumulation to chase."""
+    m = len(books)
+    dsub = qmat.shape[1] // m
+    lut = np.empty((len(qmat), m, len(books[0])), np.int64)
+    for qi in range(len(qmat)):
+        for s in range(m):
+            dots = _seq_dot(books[s], qmat[qi, s * dsub:(s + 1) * dsub])
+            lut[qi, s, :] = np.floor(
+                dots * _PQ_LUT_SCALE + 0.5).astype(np.int64)
+    return lut
+
+
+def _pq_partial_fn(ref, k0):
+    def fn(batch: pa.Table) -> pa.Table:
+        qids, lut, books = _fetch_broadcast(ref)
+        bids, bmat = _raw_matrix(batch)
+        codes = _pq_encode(bmat, books)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            sc = np.zeros(len(bids), np.int64)
+            for s in range(len(books)):
+                sc += lut[qi, s, codes[:, s]]
+            mask = bids != qids[qi]
+            cids, csc = bids[mask], sc[mask]
+            k = min(k0, len(cids))
+            top = np.lexsort((cids, -csc))[:k]
+            out_q.extend([qids[qi]] * k)
+            out_n.extend(cids[top].tolist())
+            out_s.extend(csc[top].tolist())
+        return pa.table({
+            'query_id': pa.array(out_q, pa.int64()),
+            'neighbor_id': pa.array(out_n, pa.int64()),
+            'score_int': pa.array(out_s, pa.int64()),
+        })
+    return fn
+
+
+def _final_topk_int(k):
+    def fin(group: pa.Table) -> pa.Table:
+        ordered = group.sort_by([('score_int', 'descending'),
+                                 ('neighbor_id', 'ascending')]).slice(0, k)
+        n = ordered.num_rows
+        return pa.table({
+            'query_id': ordered.column('query_id'),
+            'neighbor_id': ordered.column('neighbor_id'),
+            'score_int': ordered.column('score_int'),
+            'rank': pa.array(np.arange(1, n + 1), pa.int64()),
+        })
+    return fin
+
+
+def ann_topk_pq(sf_dir, n_queries=16, k=5, m=_PQ_M, n_codes=_PQ_K):
+    """Product-quantization approximate top-k (à la FAISS PQ/ADC): the
+    MEMORY-bounded ANN tier — each corpus vector compresses to ``m``
+    byte codes (16 bytes vs 256 bytes of float32 at dim 64), so a
+    100 TB embedding store scans as ~6 TB of codes with the float
+    corpus left in cold storage; LSH and IVF bound COMPUTE, PQ bounds
+    RESIDENT BYTES.  Codebooks train driver-side on the bounded
+    order-independent md5-keyed sample (``_train_matrix`` precedent),
+    ride one ``ray.put`` broadcast with the integer LUTs; each batch
+    encodes and scores via int64 LUT sums — the whole approximate score
+    is integer arithmetic end-to-end (no float drift; see _pq_lut).
+    Returns (query_id, neighbor_id, score_int, rank)."""
+    _, train = _train_matrix(sf_dir, raw=True)
+    books = _pq_fit(train, m, n_codes)
+
+    import pyarrow.dataset as pads
+    dset = pads.dataset(table_path(sf_dir, 'embeddings'), format='parquet')
+    qtbl = dset.to_table(columns=['vec_id', 'embedding'],
+                         filter=pads.field('vec_id') < n_queries)
+    qids, qmat = _raw_matrix(qtbl.sort_by('vec_id'))
+    lut = _pq_lut(qmat, books)
+    ref = ray.put((qids, lut, books))
+    partial = _read_embeddings(sf_dir).map_batches(
+        _pq_partial_fn(ref, k),
+        batch_format='pyarrow', zero_copy_batch=True)
+    return partial.groupby('query_id').map_groups(_final_topk_int(k),
+                                                  batch_format='pyarrow')

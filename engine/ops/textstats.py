@@ -23,6 +23,7 @@ __all__ = ['doc_token_stats', 'doc_quality', 'lang_id', 'fingerprint_md5',
            'fingerprint_winnow', 'doc_token_bpe', 'token_frequencies',
            'doc_tfidf_topk', 'bigram_pmi_topk',
            'token_heavy_hitters', 'token_postings',
+           'token_cooccur_topk', 'source_token_topk',
            'TOKEN_RE', 'BPE_RE',
            'STOPWORD_RE', 'PUNCT_RE', 'DIGIT_RE', 'LANG_MARKERS']
 
@@ -825,3 +826,201 @@ SELECT token, max(df)::BIGINT AS df,
                   ',' ORDER BY doc_id) AS postings
 FROM r GROUP BY token
 """.format(cap=cap)
+
+
+# ---------------------------------------------------------------------------
+# Token co-occurrence (market-basket over documents, a-priori pruned)
+
+
+COOCCUR_MIN_SUPPORT = 25
+COOCCUR_TOPK = 50
+
+
+def token_cooccur_topk(sf_dir, min_support=COOCCUR_MIN_SUPPORT,
+                       topk=COOCCUR_TOPK, num_buckets=64):
+    """Top-``topk`` co-occurring token PAIRS: support = number of
+    documents containing BOTH tokens, pairs kept when support ≥
+    ``min_support`` — the association-mining pass a corpus audit runs to
+    find boilerplate phrases and template co-occurrence.
+
+    Scale shape (the a-priori trick bounds the quadratic step): the raw
+    pair space is vocab², so pairs are generated ONLY among tokens that
+    individually clear ``min_support`` — a pair can never out-support
+    its rarer member.  Three bucketed exchanges, none carrying raw text:
+
+    1. per-block per-doc DISTINCT (doc_id, token) rows (documents are one
+       row per doc, so block-local distinct is global) → md5 token
+       bucket → per-bucket df count; frequent tokens SEMI-JOIN the doc
+       rows inside the same bucket (no broadcast of an unbounded
+       frequent set);
+    2. surviving rows re-bucket by doc_id → per-doc pair expansion
+       (upper-triangle over the doc's sorted frequent tokens — bounded
+       by frequent-tokens-per-doc², the documented contract);
+    3. pairs bucket by token_a (a pair lives in exactly one bucket) →
+       per-bucket exact support fold + LOCAL top-k → driver-side final
+       sort of ≤ num_buckets·topk candidate rows."""
+    nb = num_buckets
+
+    def doc_tokens(batch: pa.Table) -> pa.Table:
+        t = _explode_tokens(batch)
+        g = t.group_by(['doc_id', 'token']).aggregate([])
+        return g.append_column('bucket',
+                               _string_bucket(g.column('token'), nb))
+
+    def df_fold(group: pa.Table) -> pa.Table:
+        df = group.group_by('token').aggregate([([], 'count_all')]) \
+                  .rename_columns(['token', 'df'])
+        freq = df.filter(pc.greater_equal(df.column('df'),
+                                          min_support)).select(['token'])
+        j = group.select(['doc_id', 'token']).join(freq, keys='token',
+                                                   join_type='inner')
+        ids = j.column('doc_id').to_numpy(zero_copy_only=False)
+        return j.append_column('bucket',
+                               pa.array(ids & (nb - 1), pa.int64()))
+
+    def pairgen(group: pa.Table) -> pa.Table:
+        ids = group.column('doc_id').to_numpy(zero_copy_only=False)
+        tok = group.column('token').to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, ids))
+        ids, tok = ids[order], tok[order]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        lens = np.diff(np.r_[starts, len(ids)])
+        aa, bb = [], []
+        for s, l in zip(starts, lens):
+            if l < 2:
+                continue
+            ts = tok[s:s + l]
+            iu, ju = np.triu_indices(l, k=1)
+            aa.append(ts[iu])
+            bb.append(ts[ju])
+        if not aa:
+            z = pa.array([], pa.string())
+            return pa.table({'token_a': z, 'token_b': z,
+                             'bucket': pa.array([], pa.int64())})
+        t = pa.table({'token_a': pa.array(np.concatenate(aa)),
+                      'token_b': pa.array(np.concatenate(bb))})
+        return t.append_column('bucket',
+                               _string_bucket(t.column('token_a'), nb))
+
+    def support_fold(group: pa.Table) -> pa.Table:
+        g = group.group_by(['token_a', 'token_b']) \
+                 .aggregate([([], 'count_all')]) \
+                 .rename_columns(['token_a', 'token_b', 'support'])
+        g = g.filter(pc.greater_equal(g.column('support'), min_support))
+        g = g.sort_by([('support', 'descending'), ('token_a', 'ascending'),
+                       ('token_b', 'ascending')]).slice(0, topk)
+        return pa.table({'token_a': g.column('token_a'),
+                         'token_b': g.column('token_b'),
+                         'support': g.column('support').cast(pa.int64())})
+
+    cand = _read_docs(sf_dir, ['doc_id', 'text']) \
+        .map_batches(doc_tokens, batch_format='pyarrow',
+                     zero_copy_batch=True) \
+        .groupby('bucket').map_groups(df_fold, batch_format='pyarrow') \
+        .groupby('bucket').map_groups(pairgen, batch_format='pyarrow') \
+        .groupby('bucket').map_groups(support_fold, batch_format='pyarrow')
+    tbl = cand.take_batch(max(1, nb * topk), batch_format='pyarrow')
+    return tbl.sort_by([('support', 'descending'), ('token_a', 'ascending'),
+                        ('token_b', 'ascending')]).slice(0, topk)
+
+
+def cooccur_oracle_sql(min_support=COOCCUR_MIN_SUPPORT, topk=COOCCUR_TOPK):
+    """DuckDB re-derivation of :func:`token_cooccur_topk` (self-join on
+    per-doc distinct tokens; counts are integers — no parity risk)."""
+    return r"""
+WITH dt AS (SELECT DISTINCT doc_id,
+                   unnest(regexp_extract_all(text, '\S+')) AS token
+            FROM documents),
+freq AS (SELECT token FROM dt GROUP BY token HAVING count(*) >= {ms}),
+ft AS (SELECT dt.doc_id, dt.token FROM dt JOIN freq USING (token)),
+pairs AS (SELECT a.token AS token_a, b.token AS token_b,
+                 count(*)::BIGINT AS support
+          FROM ft a JOIN ft b
+            ON a.doc_id = b.doc_id AND a.token < b.token
+          GROUP BY 1, 2 HAVING count(*) >= {ms})
+SELECT token_a, token_b, support FROM pairs
+ORDER BY support DESC, token_a, token_b LIMIT {k}
+""".format(ms=min_support, k=topk)
+
+
+# ---------------------------------------------------------------------------
+# Per-source top tokens (grouped heavy hitters with share-of-source)
+
+
+SOURCE_TOPK = 10
+
+
+def source_token_topk(sf_dir, k=SOURCE_TOPK, num_buckets=64):
+    """Per-``source`` top-``k`` tokens by occurrence count, with each
+    token's share of the source's total token mass — the per-slice
+    vocabulary audit (what dominates each crawl/source before mixing).
+
+    Scale shape: per-block (source, token) count combiner (shuffle
+    payload = one row per distinct (source, token) per block, never raw
+    tokens) → md5 TOKEN bucket exchange → per-bucket exact count fold
+    (all partials of a (source, token) share the token's bucket) → ONE
+    re-exchange keyed by source folds each source's distinct-token rows:
+    total mass + local top-k + share, vectorized.  The per-source row
+    count is the source's vocabulary — the documented skew contract; for
+    unbounded vocabularies the bounded-state tier is
+    :func:`token_heavy_hitters` per source.
+
+    ``pct`` = cnt / total, both int64 < 2^53 cast to float64: a single
+    IEEE division, identical on both sides — no rounding needed."""
+    nb = num_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column('text'),
+                                      pattern=r'\s+')
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(batch.num_rows), lens)
+        t = pa.table({
+            'source': batch.column('source').take(pa.array(parent)),
+            'token': pc.list_flatten(toks),
+        })
+        t = t.filter(pc.not_equal(t.column('token'), ''))
+        g = t.group_by(['source', 'token']).aggregate([([], 'count_all')]) \
+             .rename_columns(['source', 'token', 'cnt'])
+        return g.append_column('bucket',
+                               _string_bucket(g.column('token'), nb))
+
+    def count_fold(group: pa.Table) -> pa.Table:
+        g = group.group_by(['source', 'token']).aggregate([('cnt', 'sum')])
+        return g.rename_columns(['source', 'token', 'cnt'])
+
+    def source_fold(group: pa.Table) -> pa.Table:
+        tok = group.column('token').to_numpy(zero_copy_only=False)
+        cnt = group.column('cnt').to_numpy(zero_copy_only=False) \
+                   .astype(np.int64)
+        total = cnt.sum()
+        order = np.lexsort((tok, -cnt))[:k]
+        return pa.table({
+            'source': group.column('source').take(pa.array(order)),
+            'token': pa.array(tok[order]),
+            'cnt': pa.array(cnt[order], pa.int64()),
+            'pct': pa.array(cnt[order].astype(np.float64)
+                            / np.float64(total), pa.float64()),
+        })
+
+    return _read_docs(sf_dir, ['source', 'text']) \
+        .map_batches(partial, batch_format='pyarrow', zero_copy_batch=True) \
+        .groupby('bucket').map_groups(count_fold, batch_format='pyarrow') \
+        .groupby('source').map_groups(source_fold, batch_format='pyarrow')
+
+
+def source_topk_oracle_sql(k=SOURCE_TOPK):
+    """DuckDB re-derivation of :func:`source_token_topk`."""
+    return r"""
+WITH tok AS (SELECT source,
+                    unnest(regexp_extract_all(text, '\S+')) AS token
+             FROM documents),
+cnt AS (SELECT source, token, count(*)::BIGINT AS cnt
+        FROM tok GROUP BY 1, 2),
+tot AS (SELECT source, sum(cnt)::BIGINT AS total FROM cnt GROUP BY source),
+rk AS (SELECT c.source, c.token, c.cnt,
+              CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS pct,
+              row_number() OVER (PARTITION BY c.source
+                                 ORDER BY c.cnt DESC, c.token) AS rn
+       FROM cnt c JOIN tot t ON c.source = t.source)
+SELECT source, token, cnt, pct FROM rk WHERE rn <= {k}
+""".format(k=k)

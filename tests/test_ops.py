@@ -81,7 +81,10 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'token_heavy_hitters', 'token_postings',
                   'events_windowed_distinct_users',
                   'events_value_mad_outliers', 'orders_cohort_retention',
-                  'embedding_dedup_clusters']
+                  'embedding_dedup_clusters',
+                  'part_pagerank', 'token_cooccur_topk', 'source_token_topk',
+                  'user_decay_score', 'doc_model_score', 'ann_topk_pq',
+                  'events_user_gini']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
@@ -846,3 +849,107 @@ def test_cohort_retention_invariants(ray_session):
     assert (base.retention == 1.0).all()
     assert (df.n_customers <= df.cohort_size).all()
     assert (df.months_since >= 0).all()
+
+
+def test_pagerank_distributed_matches_local(ray_session):
+    """small_edge_limit=0 forces the K-round distributed exchange loop;
+    the fixed-point integer math must make it bit-equal to the measured
+    gate's driver-side path (int64 sums are order-independent)."""
+    from engine.ops import graph
+    local = graph.part_pagerank(SF_DIR).to_pandas()
+    dist = graph.part_pagerank(SF_DIR, small_edge_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(local, dist)
+    # ranks are the damped-sum fixed point: every rank ≥ the base mass
+    assert (local.pr_rank >= graph.PR_BASE).all()
+    assert local.pr_rank.is_monotonic_decreasing
+
+
+def test_cooccur_apriori_invariant(ray_session, oracle_con):
+    """A pair's support can never exceed either member's document
+    frequency (the invariant the a-priori prune relies on)."""
+    con, _ = oracle_con
+    from engine.ops import textstats
+    pairs = textstats.token_cooccur_topk(SF_DIR).to_pandas()
+    df = con.execute("""
+        SELECT token, count(*) AS df FROM (
+          SELECT DISTINCT doc_id,
+                 unnest(regexp_extract_all(text, '\\S+')) AS token
+          FROM read_parquet('%s/documents.parquet')) GROUP BY token
+    """ % SF_DIR).fetchdf().set_index('token')['df']
+    assert len(pairs) > 0
+    for row in pairs.itertuples():
+        assert row.support <= df[row.token_a]
+        assert row.support <= df[row.token_b]
+        assert row.token_a < row.token_b
+    assert (pairs.support >= textstats.COOCCUR_MIN_SUPPORT).all()
+
+
+def test_source_topk_shares(ray_session):
+    """Per-source shares are positive, ≤ 1, and each source emits at most
+    k rows ordered by count."""
+    from engine.ops import textstats
+    t = textstats.source_token_topk(SF_DIR).to_pandas()
+    assert ((t.pct > 0) & (t.pct <= 1.0)).all()
+    for _, g in t.groupby('source'):
+        assert len(g) <= textstats.SOURCE_TOPK
+        assert g.cnt.is_monotonic_decreasing or len(g) == 1
+
+
+def test_decay_score_halving(ray_session):
+    """The decay weighting is an exact binary shift: an event aged one
+    more day contributes exactly half (integer) — checked by recomputing
+    the score from raw events with plain Python ints."""
+    import pyarrow.parquet as pq
+    from engine.ops import relational
+    got = relational.user_decay_score(SF_DIR).to_pandas() \
+        .set_index('user_id')
+    ev = pq.read_table(SF_DIR + '/events.parquet',
+                       columns=['user_id', 'ts', 'value']).to_pandas()
+    us = ev.ts.astype('int64')
+    day = us // 86_400_000_000
+    w = relational.DECAY_WINDOW_DAYS
+    age = day.max() - day
+    import math
+    expect = {}
+    for uid, a, v in zip(ev.user_id, age, ev.value):
+        if a <= w:
+            cents = math.floor(v * 100 + 0.5)
+            expect[uid] = expect.get(uid, 0) + (cents << int(w - a))
+    assert dict(zip(got.index, got.decay_score)) == expect
+
+
+def test_model_score_decision_boundary(ray_session):
+    """softsign keeps sign(score) == sign(z); keep ⇔ z > 0; |score| < 1."""
+    from engine.ops import modelscore
+    t = modelscore.doc_model_score(SF_DIR).to_pandas()
+    import numpy as np
+    assert (np.sign(t.model_score) == np.sign(t.z_num)).all()
+    assert (t.keep == (t.z_num > 0)).all()
+    assert (t.model_score.abs() < 1.0).all()
+
+
+def test_ann_pq_recall(ray_session):
+    """PQ-ADC is approximate but must overlap the exact top-k on
+    clustered embeddings; every neighbor must be a real corpus id and
+    never the query itself; scores are the int64 LUT sums (monotone
+    per query by construction)."""
+    from engine.ops import similarity
+    exact = similarity.ann_topk(SF_DIR).to_pandas()
+    pqr = similarity.ann_topk_pq(SF_DIR).to_pandas()
+    assert (pqr.query_id != pqr.neighbor_id).all()
+    for _, g in pqr.groupby('query_id'):
+        g = g.sort_values('rank')
+        assert g.score_int.is_monotonic_decreasing or len(g) == 1
+    ek = set(zip(exact.query_id, exact.neighbor_id))
+    pk = set(zip(pqr.query_id, pqr.neighbor_id))
+    assert len(ek & pk) / len(ek) > 0.2
+
+
+def test_user_gini_bounds(ray_session):
+    """Gini of a count distribution lies in [0, 1); the hottest user's
+    share is at least the uniform share 1/n_users."""
+    from engine.ops import relational
+    t = relational.events_user_gini(SF_DIR).to_pandas()
+    assert ((t.gini >= 0) & (t.gini < 1)).all()
+    assert (t.top_user_share >= 1.0 / t.n_users - 1e-9).all()
+    assert (t.n_events >= t.n_users).all()
