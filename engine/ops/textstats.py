@@ -885,20 +885,17 @@ def token_cooccur_topk(sf_dir, min_support=COOCCUR_MIN_SUPPORT,
         ids, tok = ids[order], tok[order]
         starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
         lens = np.diff(np.r_[starts, len(ids)])
-        aa, bb = [], []
-        for s, l in zip(starts, lens):
-            if l < 2:
-                continue
-            ts = tok[s:s + l]
-            iu, ju = np.triu_indices(l, k=1)
-            aa.append(ts[iu])
-            bb.append(ts[ju])
-        if not aa:
+        # tokens sorted asc within each doc run, so upper-triangle
+        # element pairs ARE the token_a < token_b pairs — one vectorized
+        # expansion, no per-doc loop (common.run_pairs)
+        from .common import run_pairs
+        ia, ib = run_pairs(lens, upper=True)
+        if not len(ia):
             z = pa.array([], pa.string())
             return pa.table({'token_a': z, 'token_b': z,
                              'bucket': pa.array([], pa.int64())})
-        t = pa.table({'token_a': pa.array(np.concatenate(aa)),
-                      'token_b': pa.array(np.concatenate(bb))})
+        t = pa.table({'token_a': pa.array(tok[ia]),
+                      'token_b': pa.array(tok[ib])})
         return t.append_column('bucket',
                                _string_bucket(t.column('token_a'), nb))
 

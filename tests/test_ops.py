@@ -84,7 +84,7 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'embedding_dedup_clusters',
                   'part_pagerank', 'token_cooccur_topk', 'source_token_topk',
                   'user_decay_score', 'doc_model_score', 'ann_topk_pq',
-                  'events_user_gini']
+                  'events_user_gini', 'part_assoc_rules']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
@@ -953,3 +953,16 @@ def test_user_gini_bounds(ray_session):
     assert ((t.gini >= 0) & (t.gini < 1)).all()
     assert (t.top_user_share >= 1.0 / t.n_users - 1e-9).all()
     assert (t.n_events >= t.n_users).all()
+
+
+def test_assoc_rules_metrics(ray_session):
+    """Rule metrics obey their definitions: 0 < confidence ≤ 1, lift > 0,
+    support ≥ the threshold, and confidence = support/sup(antecedent)
+    implies support ≤ sup(antecedent)."""
+    from engine.ops import graph
+    t = graph.part_assoc_rules(SF_DIR).to_pandas()
+    assert len(t) > 0
+    assert ((t.confidence > 0) & (t.confidence <= 1.0)).all()
+    assert (t.lift > 0).all()
+    assert (t.support >= graph.RULES_MIN_SUPPORT).all()
+    assert (t.antecedent != t.consequent).all()
