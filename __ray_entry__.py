@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # + flagship; these are tool/pytest-verified now and will be
         # front-loaded for the r5 driver check) -----------------------
         'part_assoc_rules': graph.part_assoc_rules,
+        'events_funnel_windowed': relational.events_funnel_windowed,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -346,6 +347,8 @@ FROM events GROUP BY event_type, date_trunc('day', ts)
     generated['events_value_mad_outliers'] = _relational.MAD_OUTLIERS_SQL
     generated['user_decay_score'] = _relational.DECAY_SCORE_SQL
     generated['events_user_gini'] = _relational.USER_GINI_SQL
+    generated['events_funnel_windowed'] = \
+        _relational.funnel_windowed_oracle_sql()
     generated['orders_cohort_retention'] = _relational.COHORT_RETENTION_SQL
     generated['sample_uniform'] = """
 SELECT doc_id, lang,

@@ -54,8 +54,15 @@ def _init_ray(num_cpus):
         # on the real pipeline — one gRPC server-call thread serializes task
         # dispatch / block handoff; the thread census win doesn't survive
         # contact with the read+spill stages).
+        kw = {}
+        # bounded plasma for concurrent same-host sessions (the saturated
+        # scaling 8-leg runs 4 at once; default sizing would ask for
+        # 4 × ~40 GB of /dev/shm)
+        obj_gb = os.environ.get('GRAFT_OBJ_STORE_GB')
+        if obj_gb:
+            kw['object_store_memory'] = int(float(obj_gb) * (1 << 30))
         ray.init(address='local', num_cpus=num_cpus, include_dashboard=False,
-                 logging_level='ERROR')
+                 logging_level='ERROR', **kw)
 
 
 def run_headline(num_cpus, sf_dir=SF_DIR, sf_mult=1, payload_lru=False,
@@ -82,7 +89,10 @@ def run_headline(num_cpus, sf_dir=SF_DIR, sf_mult=1, payload_lru=False,
     sf = float(sf_from_dir(sf_dir)) * sf_mult
     corpus = ensure_corpus('%g' % sf)             # built before the clock
     _init_ray(num_cpus)
-    out_dir = '/tmp/graft_bench_out/cpus%d' % num_cpus
+    # saturated-mode children run concurrently at the same width: the
+    # pin offset keys each child's output (and its spill dirs beneath it)
+    out_dir = '/tmp/graft_bench_out/cpus%d-off%s' % (
+        num_cpus, os.environ.get('GRAFT_PIN_OFFSET', '0'))
     t0 = time.perf_counter()
     summary = run_extraction(corpus, out_dir, resume=False,
                              payload_dedup=payload_dedup)
@@ -192,7 +202,8 @@ def _pin_cpus(n):
     if os.environ.get('GRAFT_PIN_CPUS', '1') != '1':
         return False
     try:
-        cpus = sorted(os.sched_getaffinity(0))[:n]
+        off = int(os.environ.get('GRAFT_PIN_OFFSET', '0'))
+        cpus = sorted(os.sched_getaffinity(0))[off:off + n]
         os.sched_setaffinity(0, set(cpus))
         return True
     except (AttributeError, OSError):
@@ -216,23 +227,64 @@ def main_child(num_cpus):
 SCALING_PAIRS = int(os.environ.get('GRAFT_SCALING_PAIRS', '1'))
 
 
+def _parse_child(stdout, stderr, cpus):
+    line = [l for l in stdout.splitlines() if l.startswith('CHILD_RESULT ')]
+    if not line:
+        sys.stderr.write(stdout + stderr)
+        raise RuntimeError('child run at %d cpus produced no result' % cpus)
+    return json.loads(line[-1][len('CHILD_RESULT '):])
+
+
 def _run_child(cpus):
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), '--child', str(cpus)],
         capture_output=True, text=True, timeout=3600,
         cwd=os.path.dirname(os.path.abspath(__file__)))
-    line = [l for l in proc.stdout.splitlines()
-            if l.startswith('CHILD_RESULT ')]
-    if not line:
-        sys.stderr.write(proc.stdout + proc.stderr)
-        raise RuntimeError('child run at %d cpus produced no result' % cpus)
-    return json.loads(line[-1][len('CHILD_RESULT '):])
+    return _parse_child(proc.stdout, proc.stderr, cpus)
+
+
+def _run_saturated_8(groups=4, n=8):
+    """The SATURATED 8-leg: ``groups`` concurrent 8-cpu children, each
+    pinned to its own core slice, together filling the host — so BOTH
+    legs of the ratio run at identical host utilization (all cores
+    busy, no per-package turbo or bandwidth slack for the narrow leg to
+    borrow).  This isolates the engine's parallelization loss from the
+    hardware's all-cores-busy frequency drop, which the zero-Ray
+    control measured at ~0.73 on the idle-8-leg basis.  Efficiency on
+    this basis = T32 / Σ T8ᵢ — 'does one 32-wide job beat four 8-wide
+    jobs?', the per-node throughput-retention question the north rule's
+    N-vs-4N-node comparison actually asks.  Each child gets a bounded
+    object store (4 concurrent sessions must fit the host's /dev/shm;
+    the flagship's spill shuffle needs little plasma)."""
+    procs = []
+    for i in range(groups):
+        env = dict(os.environ)
+        env['GRAFT_PIN_OFFSET'] = str(i * n)
+        env['GRAFT_OBJ_STORE_GB'] = env.get('GRAFT_OBJ_STORE_GB', '8')
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), '--child', str(n)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=os.path.dirname(os.path.abspath(__file__))))
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=3600)
+        results.append(_parse_child(out, err, n))
+    return results
 
 
 def main_scaling():
+    saturate = os.environ.get('GRAFT_SCALING_SATURATE', '0') == '1'
     pairs = []
     for _ in range(max(1, SCALING_PAIRS)):
-        r8 = _run_child(8)
+        if saturate:
+            r8s = _run_saturated_8()
+            agg = sum(r['turns_per_sec'] for r in r8s)
+            r8 = dict(r8s[0])
+            r8['turns_per_sec'] = agg / 4.0     # per-group mean
+            r8['each_turns_per_sec'] = [round(r['turns_per_sec'], 1)
+                                        for r in r8s]
+        else:
+            r8 = _run_child(8)
         r32 = _run_child(32)
         pairs.append((r8, r32))
     effs = sorted((r32['turns_per_sec'] / r8['turns_per_sec']) / 4.0
@@ -260,6 +312,9 @@ def main_scaling():
         'sf_effective': '%g' % (float(sf) * SCALING_SF_MULT),
         'num_cpus': [8, 32],
         'pinned': [r8.get('pinned'), r32.get('pinned')],
+        'mode': 'saturated' if saturate else 'idle-8-leg',
+        **({'turns_per_sec_8_each': r8.get('each_turns_per_sec')}
+           if saturate else {}),
     }))
 
 

@@ -2563,3 +2563,109 @@ SELECT event_type, n_users, n_events,
              * 1000000 + 0.5) / 1000000 AS gini
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Windowed conversion funnel (time-bounded sequential pattern match)
+
+
+FUNNEL_WINDOW_US = 24 * 3600 * 1000000
+
+
+def events_funnel_windowed(sf_dir, stages=_FUNNEL_STAGES,
+                           window_us=FUNNEL_WINDOW_US, num_buckets=64):
+    """TIME-BOUNDED funnel: like :func:`events_funnel` but each stage
+    must land within ``window_us`` of the PREVIOUS stage's frontier
+    (greedy earliest-match, the standard analytics-tool semantics:
+    frontier_k = min ts of stage-k events with
+    frontier_{k-1} < ts ≤ frontier_{k-1} + W).  The unbounded funnel
+    answers "ever converted"; this answers "converted within a day per
+    step" — the one a retention/conversion report actually wants.
+
+    Same distributed shape as the unbounded funnel (one 2-column
+    bucketed exchange of the relevant event types, per-bucket C++ stage
+    recursion, driver folds ≤ nb × stages count rows); the extra window
+    bound is one more vectorized filter per stage.  ``conversion`` =
+    n_users / n_users(stage 1), a single exact int64→float64 division."""
+    nb = num_buckets
+    stage_arr = pa.array(stages)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch.column('event_type'),
+                                      value_set=stage_arr))
+        b = batch.column('user_id').to_numpy(zero_copy_only=False) & (nb - 1)
+        return batch.append_column('bucket', pa.array(b, pa.int64()))
+
+    def funnel_bucket(group: pa.Table) -> pa.Table:
+        etype = group.column('event_type')
+        us = group.column('ts').cast(pa.int64())
+        group = group.append_column('us', us)
+        counts = []
+        frontier = None
+        for k, stage in enumerate(stages):
+            rows = group.filter(pc.equal(etype, stage)) \
+                        .select(['user_id', 'us'])
+            if k > 0:
+                rows = rows.join(frontier, keys='user_id',
+                                 join_type='inner')
+                ok = pc.and_(
+                    pc.greater(rows.column('us'), rows.column('t')),
+                    pc.less_equal(rows.column('us'),
+                                  pc.add(rows.column('t'),
+                                         np.int64(window_us))))
+                rows = rows.filter(ok).select(['user_id', 'us'])
+            g = rows.group_by('user_id').aggregate([('us', 'min')])
+            frontier = g.rename_columns(['user_id', 't'])
+            counts.append(frontier.num_rows)
+        return pa.table({
+            'stage': pa.array(list(stages), pa.string()),
+            'stage_idx': pa.array(np.arange(1, len(stages) + 1), pa.int64()),
+            'n_users': pa.array(counts, pa.int64()),
+        })
+
+    ds = read_table(sf_dir, 'events',
+                    columns=['user_id', 'event_type', 'ts'])
+    cand = ds.map_batches(add_bucket, batch_format='pyarrow',
+                          zero_copy_batch=True) \
+             .groupby('bucket').map_groups(funnel_bucket,
+                                           batch_format='pyarrow')
+    base = pa.table({
+        'stage': pa.array(list(stages), pa.string()),
+        'stage_idx': pa.array(np.arange(1, len(stages) + 1), pa.int64()),
+        'n_users': pa.array([0] * len(stages), pa.int64())})
+    parts = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables([base] + parts, promote_options='none')
+    g = tbl.group_by(['stage', 'stage_idx']).aggregate([('n_users', 'sum')])
+    g = g.rename_columns(['stage', 'stage_idx', 'n_users']) \
+         .sort_by('stage_idx')
+    n = g.column('n_users').to_numpy(zero_copy_only=False).astype(np.int64)
+    n1 = np.float64(n[0]) if len(n) and n[0] else np.float64(1)
+    return pa.table({
+        'stage_idx': g.column('stage_idx'),
+        'stage': g.column('stage'),
+        'n_users': g.column('n_users').cast(pa.int64()),
+        'conversion': pa.array(n.astype(np.float64) / n1, pa.float64()),
+    })
+
+
+def funnel_windowed_oracle_sql(stages=_FUNNEL_STAGES,
+                               window_us=FUNNEL_WINDOW_US):
+    """DuckDB re-derivation of :func:`events_funnel_windowed` — the
+    greedy stage recursion unrolled as chained CTEs."""
+    cte = ["s1 AS (SELECT user_id, min(epoch_us(ts)) AS f FROM events "
+           "WHERE event_type = '%s' GROUP BY user_id)" % stages[0]]
+    for k in range(1, len(stages)):
+        cte.append(
+            "s%d AS (SELECT e.user_id, min(epoch_us(e.ts)) AS f "
+            "FROM events e JOIN s%d p ON p.user_id = e.user_id "
+            "WHERE e.event_type = '%s' AND epoch_us(e.ts) > p.f "
+            "AND epoch_us(e.ts) <= p.f + %d GROUP BY e.user_id)"
+            % (k + 1, k, stages[k], window_us))
+    unions = "\nUNION ALL\n".join(
+        "SELECT %d AS stage_idx, '%s' AS stage, count(*)::BIGINT AS n_users "
+        "FROM s%d" % (k + 1, s, k + 1) for k, s in enumerate(stages))
+    return ("WITH " + ",\n".join(cte) + ", c AS (\n" + unions + "\n)\n"
+            "SELECT stage_idx::BIGINT AS stage_idx, stage, n_users,\n"
+            "       CAST(n_users AS DOUBLE) / CAST((SELECT n_users FROM c "
+            "WHERE stage_idx = 1) AS DOUBLE) AS conversion\n"
+            "FROM c ORDER BY stage_idx")

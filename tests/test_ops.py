@@ -84,7 +84,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'embedding_dedup_clusters',
                   'part_pagerank', 'token_cooccur_topk', 'source_token_topk',
                   'user_decay_score', 'doc_model_score', 'ann_topk_pq',
-                  'events_user_gini', 'part_assoc_rules']
+                  'events_user_gini', 'part_assoc_rules',
+                  'events_funnel_windowed']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
@@ -966,3 +967,79 @@ def test_assoc_rules_metrics(ray_session):
     assert (t.lift > 0).all()
     assert (t.support >= graph.RULES_MIN_SUPPORT).all()
     assert (t.antecedent != t.consequent).all()
+
+
+def test_windowed_funnel_bounded_by_unbounded(ray_session):
+    """The time-bounded funnel can never pass MORE users per stage than
+    the unbounded funnel; counts are monotone non-increasing along
+    stages; conversion is n/n1."""
+    from engine.ops import relational
+    wf = relational.events_funnel_windowed(SF_DIR).to_pandas() \
+        .sort_values('stage_idx')
+    uf = relational.events_funnel(SF_DIR).to_pandas().sort_values('seq')
+    assert (wf.n_users.values <= uf.n_users.values).all()
+    assert (wf.n_users.diff().dropna() <= 0).all()
+    n1 = wf.n_users.iloc[0]
+    assert (wf.conversion == wf.n_users / float(n1)).all()
+
+
+def test_run_pairs_matches_bruteforce():
+    """common.run_pairs against a nested-loop reference on random run
+    layouts (both directed and upper-triangle modes)."""
+    import numpy as np
+    from engine.ops.common import run_pairs
+    rng = np.random.RandomState(7)
+    for _ in range(25):
+        lens = rng.randint(0, 6, size=rng.randint(0, 8))
+        expect_d, expect_u = set(), set()
+        off = 0
+        for l in lens:
+            for i in range(l):
+                for j in range(l):
+                    if i != j:
+                        expect_d.add((off + i, off + j))
+                    if i < j:
+                        expect_u.add((off + i, off + j))
+            off += l
+        a, b = run_pairs(lens)
+        assert set(zip(a.tolist(), b.tolist())) == expect_d
+        assert len(a) == len(expect_d)
+        a, b = run_pairs(lens, upper=True)
+        assert set(zip(a.tolist(), b.tolist())) == expect_u
+        assert len(a) == len(expect_u)
+
+
+def test_local_pagerank_properties():
+    """The fixed-point integer recurrence against a dict-of-ints
+    reference on random graphs: bit-equal ranks, and total rank mass
+    stays within the damping bound."""
+    import numpy as np
+    from engine.ops.graph import _local_pagerank, PR_SCALE, PR_BASE, \
+        PR_DAMP_NUM, PR_DAMP_DEN
+    rng = np.random.RandomState(11)
+    for _ in range(10):
+        n = rng.randint(2, 30)
+        m = rng.randint(1, 80)
+        a = rng.randint(0, n, size=m)
+        b = (a + 1 + rng.randint(0, n - 1, size=m)) % n
+        src = np.concatenate([a, b]).astype(np.int64)
+        dst = np.concatenate([b, a]).astype(np.int64)
+        e = {(int(s), int(d)) for s, d in zip(src, dst)}
+        src = np.array([p[0] for p in sorted(e)], np.int64)
+        dst = np.array([p[1] for p in sorted(e)], np.int64)
+        nodes, r = _local_pagerank(src, dst, 5)
+        # pure-python dict reference (arbitrary iteration order — int
+        # sums are order-independent, so results must be identical)
+        deg = {}
+        for s in src.tolist():
+            deg[s] = deg.get(s, 0) + 1
+        rank = {int(u): PR_SCALE for u in nodes.tolist()}
+        for _i in range(5):
+            S = {int(u): 0 for u in nodes.tolist()}
+            for s, d in zip(src.tolist(), dst.tolist()):
+                S[d] += rank[s] // deg[s]
+            rank = {u: PR_BASE + (PR_DAMP_NUM * S[u]) // PR_DAMP_DEN
+                    for u in rank}
+        assert all(int(rv) == rank[int(u)]
+                   for u, rv in zip(nodes.tolist(), r.tolist()))
+        assert (r >= PR_BASE).all()
