@@ -220,6 +220,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # front-loaded for the r5 driver check) -----------------------
         'part_assoc_rules': graph.part_assoc_rules,
         'events_funnel_windowed': relational.events_funnel_windowed,
+        'lang_confusion': textstats.lang_confusion,
+        'events_dau_wau': relational.events_dau_wau,
+        'daily_revenue_running': relational.daily_revenue_running,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -349,6 +352,9 @@ FROM events GROUP BY event_type, date_trunc('day', ts)
     generated['events_user_gini'] = _relational.USER_GINI_SQL
     generated['events_funnel_windowed'] = \
         _relational.funnel_windowed_oracle_sql()
+    generated['lang_confusion'] = _textstats.lang_confusion_oracle_sql()
+    generated['events_dau_wau'] = _relational.DAU_WAU_SQL
+    generated['daily_revenue_running'] = _relational.REVENUE_RUNNING_SQL
     generated['orders_cohort_retention'] = _relational.COHORT_RETENTION_SQL
     generated['sample_uniform'] = """
 SELECT doc_id, lang,

@@ -2669,3 +2669,155 @@ def funnel_windowed_oracle_sql(stages=_FUNNEL_STAGES,
             "       CAST(n_users AS DOUBLE) / CAST((SELECT n_users FROM c "
             "WHERE stage_idx = 1) AS DOUBLE) AS conversion\n"
             "FROM c ORDER BY stage_idx")
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct actives (DAU / WAU / stickiness)
+
+
+def events_dau_wau(sf_dir, window_days=7, num_buckets=64):
+    """Daily / weekly active users and stickiness (DAU/WAU) — the
+    rolling COUNT-DISTINCT product metric.  Distinct counts don't sum
+    across windows, so the exact shape is: global-distinct (user, day)
+    rows → each expands to the ``window_days`` window days it makes the
+    user active in → per-user re-distinct → count per window day.
+
+    Scale shape: per-block distinct (user, day) combiner → one bucketed
+    user exchange (a user's activity days co-locate); the ×7 expansion
+    and the per-(user, window-day) re-distinct both resolve INSIDE the
+    bucket (a user lives in one bucket, so per-bucket day counts sum
+    globally); buckets emit (day, dau, wau) partial rows and the driver
+    folds ≤ buckets × days tiny cells.  stickiness = dau/wau, one exact
+    int64→float64 division.  State per bucket is bounded by
+    users × active-days — the same contract as exact windowed distinct;
+    the HLL tier is the unbounded fallback."""
+    nb = num_buckets
+    w = int(window_days)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch.column('ts').cast(pa.int64()).to_numpy() // _US_PER_DAY
+        g = pa.table({'u': batch.column('user_id'),
+                      'd': pa.array(day, pa.int64())}) \
+              .group_by(['u', 'd']).aggregate([])
+        ids = g.column('u').to_numpy(zero_copy_only=False)
+        return g.append_column('bucket',
+                               pa.array(ids & (nb - 1), pa.int64()))
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        g = group.group_by(['u', 'd']).aggregate([])
+        u = g.column('u').to_numpy(zero_copy_only=False)
+        d = g.column('d').to_numpy(zero_copy_only=False)
+        dau = pa.table({'d': pa.array(d)}).group_by('d') \
+                .aggregate([([], 'count_all')])
+        wu = np.concatenate([u] * w)
+        wd = np.concatenate([d + off for off in range(w)])
+        wg = pa.table({'u': pa.array(wu), 'd': pa.array(wd)}) \
+               .group_by(['u', 'd']).aggregate([])
+        wau = wg.group_by('d').aggregate([([], 'count_all')])
+        j = wau.rename_columns(['d', 'wau']).join(
+            dau.rename_columns(['d', 'dau']), keys='d',
+            join_type='left outer')
+        import pyarrow.compute as pc_
+        return pa.table({
+            'day_num': j.column('d').cast(pa.int64()),
+            'dau': pc_.coalesce(j.column('dau'),
+                                pa.scalar(0)).cast(pa.int64()),
+            'wau': j.column('wau').cast(pa.int64()),
+        })
+
+    cand = read_table(sf_dir, 'events', columns=['user_id', 'ts']) \
+        .map_batches(partial, batch_format='pyarrow', zero_copy_batch=True) \
+        .groupby('bucket').map_groups(bucket_fold, batch_format='pyarrow')
+    parts = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables(parts).combine_chunks()
+    g = tbl.group_by('day_num').aggregate([('dau', 'sum'), ('wau', 'sum')])
+    g = g.rename_columns(['day_num', 'dau', 'wau']).sort_by('day_num')
+    g = g.filter(pc.greater(g.column('dau'), 0))
+    dau = g.column('dau').to_numpy(zero_copy_only=False).astype(np.int64)
+    wau = g.column('wau').to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        'day_num': g.column('day_num').cast(pa.int64()),
+        'dau': pa.array(dau, pa.int64()),
+        'wau': pa.array(wau, pa.int64()),
+        'stickiness': pa.array(dau.astype(np.float64)
+                               / wau.astype(np.float64), pa.float64()),
+    })
+
+
+DAU_WAU_SQL = """
+WITH ud AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // {us_day} AS d
+            FROM events),
+dau AS (SELECT d, count(*)::BIGINT AS dau FROM ud GROUP BY d),
+w AS (SELECT DISTINCT u, d + off.o AS d
+      FROM ud, (SELECT unnest(generate_series(0, {wm1})) AS o) off),
+wau AS (SELECT d, count(*)::BIGINT AS wau FROM w GROUP BY d)
+SELECT dau.d AS day_num, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau ON wau.d = dau.d
+""".format(us_day=_US_PER_DAY, wm1=6)
+
+
+# ---------------------------------------------------------------------------
+# Cumulative revenue share (running total over the day series)
+
+
+def daily_revenue_running(sf_dir):
+    """Per-day order revenue with RUNNING cumulative total and share of
+    the grand total — the pacing/backfill-progress report shape.
+
+    Scale shape: aggregate-then-enrich (the zscore/deciles contract):
+    each block folds to ≤ distinct-day (day, cents, n) combiner rows,
+    the driver folds ≤ blocks × days tiny rows and runs one vectorized
+    cumsum — a running total over an aggregated series is inherently
+    sequential in its (small) day dimension, never in the fact rows.
+    Cents are the shared floor(x·100 + 0.5) convention; share = one
+    exact division per row."""
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch.column('o_orderdate').cast(pa.int64()).to_numpy() \
+            // _US_PER_DAY
+        cents = np.floor(batch.column('o_totalprice').to_numpy() * 100
+                         + 0.5).astype(np.int64)
+        g = pa.table({'d': pa.array(day, pa.int64()),
+                      'c': pa.array(cents, pa.int64())}) \
+              .group_by('d').aggregate([('c', 'sum'), ([], 'count_all')])
+        return g.rename_columns(['d', 'c', 'n'])
+
+    cand = read_table(sf_dir, 'orders',
+                      columns=['o_orderdate', 'o_totalprice']) \
+        .map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
+    parts = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables(parts).combine_chunks()
+    g = tbl.group_by('d').aggregate([('c', 'sum'), ('n', 'sum')])
+    d = g.column('d').to_numpy(zero_copy_only=False)
+    c = g.column('c_sum').to_numpy(zero_copy_only=False).astype(np.int64)
+    n = g.column('n_sum').to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(d)
+    d, c, n = d[order], c[order], n[order]
+    cum = np.cumsum(c)
+    total = np.float64(cum[-1]) if len(cum) else np.float64(1)
+    return pa.table({
+        'day_num': pa.array(d, pa.int64()),
+        'n_orders': pa.array(n, pa.int64()),
+        'rev_cents': pa.array(c, pa.int64()),
+        'cum_cents': pa.array(cum, pa.int64()),
+        'share': pa.array(cum.astype(np.float64) / total, pa.float64()),
+    })
+
+
+REVENUE_RUNNING_SQL = """
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // {us_day} AS day_num,
+         count(*)::BIGINT AS n_orders,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+           AS rev_cents
+  FROM orders GROUP BY 1
+), c AS (
+  SELECT day_num, n_orders, rev_cents,
+         SUM(rev_cents) OVER (ORDER BY day_num)::BIGINT AS cum_cents
+  FROM d
+)
+SELECT day_num, n_orders, rev_cents, cum_cents,
+       CAST(cum_cents AS DOUBLE)
+         / CAST((SELECT sum(rev_cents) FROM d) AS DOUBLE) AS share
+FROM c
+""".format(us_day=_US_PER_DAY)

@@ -141,13 +141,7 @@ def lang_id(sf_dir):
     """Marker-word language ID: argmax of per-language marker counts,
     first-listed language wins ties; compared against the ``lang`` label."""
     def ident(batch: pa.Table) -> pa.Table:
-        text = batch.column('text')
-        scores = np.stack([
-            _count_re(text, pat).to_numpy(zero_copy_only=False)
-            for _, pat in LANG_MARKERS])           # (L, n)
-        pred_idx = np.argmax(scores, axis=0)       # first max wins (= CASE order)
-        langs = np.array([l for l, _ in LANG_MARKERS])
-        pred = langs[pred_idx]
+        pred = _predict_lang(batch.column('text'))
         label = batch.column('lang').to_numpy(zero_copy_only=False)
         return pa.table({
             'doc_id': batch.column('doc_id'),
@@ -1021,3 +1015,69 @@ rk AS (SELECT c.source, c.token, c.cnt,
        FROM cnt c JOIN tot t ON c.source = t.source)
 SELECT source, token, cnt, pct FROM rk WHERE rn <= {k}
 """.format(k=k)
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation: language-ID confusion matrix
+
+
+def _predict_lang(text_col):
+    """THE shared language predictor (argmax of marker counts, first
+    listed wins ties) — one home for lang_id and lang_confusion so the
+    two can never disagree with each other or the CASE-ladder oracle."""
+    scores = np.stack([
+        _count_re(text_col, pat).to_numpy(zero_copy_only=False)
+        for _, pat in LANG_MARKERS])               # (L, n)
+    langs = np.array([l for l, _ in LANG_MARKERS])
+    return langs[np.argmax(scores, axis=0)]        # first max wins
+
+
+def lang_confusion(sf_dir, num_buckets=8):
+    """CONFUSION MATRIX of the language classifier against the ``lang``
+    label — the evaluation every learned/heuristic filter in a
+    training-data pipeline needs before its predictions gate data
+    (cf. doc_model_score for the inference stage itself).  One row per
+    (lang, predicted) cell with the count.
+
+    Scale shape: the per-block combiner folds each block to ≤ L² cells,
+    so the exchange carries cells, never documents; one tiny groupby
+    finishes.  Counts are integers — no parity risk."""
+    def partial(batch: pa.Table) -> pa.Table:
+        pred = _predict_lang(batch.column('text'))
+        t = pa.table({'lang': batch.column('lang'),
+                      'predicted': pa.array(pred, pa.string())})
+        g = t.group_by(['lang', 'predicted']).aggregate([([], 'count_all')])
+        return g.rename_columns(['lang', 'predicted', 'n'])
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by(['lang', 'predicted']).aggregate([('n', 'sum')])
+        return pa.table({'lang': g.column('lang'),
+                         'predicted': g.column('predicted'),
+                         'n': g.column('n_sum').cast(pa.int64())})
+
+    return _read_docs(sf_dir, ['lang', 'text']) \
+        .map_batches(partial, batch_format='pyarrow', zero_copy_batch=True) \
+        .groupby('lang').map_groups(fold, batch_format='pyarrow')
+
+
+def lang_confusion_oracle_sql():
+    """Same s/p CTEs as the lang_id oracle, aggregated to cells."""
+    exprs = ',\n         '.join(
+        "len(regexp_extract_all(text, '%s')) AS s_%s" % (p, c)
+        for c, p in LANG_MARKERS)
+    codes = [c for c, _ in LANG_MARKERS]
+    ladder = []
+    for i, c in enumerate(codes[:-1]):
+        conds = ' AND '.join('s_%s >= s_%s' % (c, o) for o in codes[i + 1:])
+        ladder.append("WHEN %s THEN '%s'" % (conds, c))
+    case = 'CASE ' + ' '.join(ladder) + " ELSE '%s' END" % codes[-1]
+    return """
+WITH s AS (
+  SELECT lang,
+         {exprs}
+  FROM documents
+), p AS (
+  SELECT lang, {case} AS predicted FROM s
+)
+SELECT lang, predicted, count(*)::BIGINT AS n FROM p GROUP BY 1, 2
+""".format(exprs=exprs, case=case)

@@ -85,7 +85,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'part_pagerank', 'token_cooccur_topk', 'source_token_topk',
                   'user_decay_score', 'doc_model_score', 'ann_topk_pq',
                   'events_user_gini', 'part_assoc_rules',
-                  'events_funnel_windowed']
+                  'events_funnel_windowed', 'lang_confusion',
+                  'events_dau_wau', 'daily_revenue_running']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
