@@ -64,6 +64,11 @@ def _conv_text_md5(sf_dir: str) -> Any:
     return conv_text_md5(_transcripts_dir(sf_dir))
 
 
+def _conv_role_transitions(sf_dir: str) -> Any:
+    from engine.ops.convstats import conv_role_transitions
+    return conv_role_transitions(_transcripts_dir(sf_dir))
+
+
 def _engine_fingerprint() -> str:
     """md5 over the extraction-relevant source files: a resume dir is
     only trusted for output produced by the SAME engine code, so a code
@@ -150,7 +155,8 @@ def _extract_metrics(sf_dir: str) -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from engine.ops import (dedup, relational, similarity, textstats,
                             multimodal, sampling, clusters, sketches, ingest,
-                            bloomjoin, checksum, graph, modelscore)
+                            bloomjoin, checksum, graph, modelscore, decontam,
+                            evals)
 
     # ORDERING CONTRACT: the driver's correctness check caps at the
     # FIRST 50 entries, so the dict front-loads (a) every query with no
@@ -223,6 +229,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'lang_confusion': textstats.lang_confusion,
         'events_dau_wau': relational.events_dau_wau,
         'daily_revenue_running': relational.daily_revenue_running,
+        'decontaminate_split': decontam.decontaminate_split,
+        'dedup_simhash_eval': evals.dedup_simhash_eval,
+        'ann_recall_eval': evals.ann_recall_eval,
+        'tdigest_error_eval': evals.tdigest_error_eval,
+        'conv_role_transitions': _conv_role_transitions,
+        'events_anomaly_days': relational.events_anomaly_days,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -318,6 +330,9 @@ def oracle_sql() -> dict[str, str]:
         _corpus = _ec(_sfd(oracles._oracle_sf_dir()))
         generated['conv_stats'] = conv_stats_oracle_sql(_corpus)
         generated['conv_text_md5'] = conv_text_oracle_sql(_corpus)
+        from engine.ops.convstats import conv_role_transitions_oracle_sql
+        generated['conv_role_transitions'] = \
+            conv_role_transitions_oracle_sql(_corpus)
         # flagship extraction: reference-derived expected tables → SQL joins
         generated.update(oracles.extract_oracle_sqls())
         # multimodal blob md5s vs fixture-time independent recompute
@@ -325,10 +340,12 @@ def oracle_sql() -> dict[str, str]:
     except Exception:
         pass   # oracle sf dir absent: those stay rows-only
     from engine.ops import sampling as _sampling
+    from engine.ops import relational as _relational_mod
     from engine.ops import checksum as _checksum
     from engine.ops import similarity as _similarity
     generated['lineitem_checksum'] = _checksum.CHECKSUM_SQL
     generated['embedding_norms'] = _similarity.EMBEDDING_NORMS_SQL
+    generated['events_anomaly_days'] = _relational_mod.EVENTS_ANOMALY_SQL
     generated['sample_weighted_mix'] = _sampling.weighted_mix_oracle_sql()
     from engine.ops import textstats as _textstats
     generated['token_heavy_hitters'] = _textstats.heavy_hitters_oracle_sql()
@@ -362,7 +379,7 @@ SELECT doc_id, lang,
 FROM documents
 WHERE (md5_number_lower(doc_id::VARCHAR) & 9223372036854775807)::BIGINT < %d
 """ % _sampling.uniform_threshold()
-    return generated | {
+    static = {
         'events_user_running': """
 SELECT event_id, user_id,
        CAST(row_number() OVER w AS BIGINT) AS seq,
@@ -933,3 +950,17 @@ SELECT bg AS bigram, c AS n_occurrences,
 FROM r WHERE rank <= 50
 """,
     }
+    full = generated | static
+    # eval / decontamination oracles compose the production oracles
+    from engine.ops import decontam as _decontam
+    from engine.ops import evals as _evals
+    full['decontaminate_split'] = _decontam.decontam_oracle_sql()
+    full['dedup_simhash_eval'] = _evals.simhash_eval_oracle_sql(
+        full['ngram_jaccard_pairs'], full['simhash_near_dup'])
+    if 'events_value_tdigest' in full:
+        full['tdigest_error_eval'] = _evals.tdigest_error_oracle_sql(
+            full['events_value_tdigest'])
+    if 'ann_topk_ivf' in full:
+        full['ann_recall_eval'] = _evals.ann_recall_oracle_sql(
+            full['ann_topk'], full['ann_topk_ivf'])
+    return full

@@ -17,7 +17,8 @@ import ray.data
 from .textstats import _string_bucket
 
 __all__ = ['conv_stats', 'conv_stats_oracle_sql',
-           'conv_text_md5', 'conv_text_oracle_sql']
+           'conv_text_md5', 'conv_text_oracle_sql',
+           'conv_role_transitions', 'conv_role_transitions_oracle_sql']
 
 
 def conv_stats(corpus_dir, num_buckets=64):
@@ -143,4 +144,76 @@ SELECT conv_id, count(*)::BIGINT AS n_turns,
        md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS doc_md5
 FROM read_parquet('{corpus}/*.parquet')
 GROUP BY conv_id
+""".format(corpus=corpus_dir)
+
+
+def conv_role_transitions(corpus_dir, num_buckets=64):
+    """DIALOGUE-STRUCTURE audit over the flagship's input table: the
+    role-bigram transition counts (role_from, role_to, n) across all
+    conversations, each ordered by turn_idx — the Markov view of the
+    corpus a transcript owner checks before training on tool-use data
+    (are there assistant→assistant runs? user→tool jumps?).
+
+    Same partitioning contract as :func:`conv_text_md5`: one bucketed
+    exchange keyed by conv_id (a conversation's turns land in ONE
+    group), per bucket one lexsort + a vectorized shift compare — the
+    adjacent-pair extraction never loops over conversations.  Bucket
+    partials are (roles × roles)-sized, so the final fold's exchange is
+    bounded by num_buckets × 9 rows regardless of corpus size."""
+    import numpy as np
+
+    nb = num_buckets
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        t = batch.select(['conv_id', 'turn_idx', 'role'])
+        return t.append_column('bucket',
+                               _string_bucket(t.column('conv_id'), nb))
+
+    def pairs(group: pa.Table) -> pa.Table:
+        conv = group.column('conv_id').to_numpy(zero_copy_only=False)
+        tidx = group.column('turn_idx').to_numpy(zero_copy_only=False)
+        role = group.column('role').to_numpy(zero_copy_only=False)
+        order = np.lexsort((tidx, conv))
+        c, r = conv[order], role[order]
+        same = c[1:] == c[:-1]
+        t = pa.table({
+            'role_from': pa.array(r[:-1][same], pa.string()),
+            'role_to': pa.array(r[1:][same], pa.string()),
+        })
+        g = t.group_by(['role_from', 'role_to']).aggregate(
+            [([], 'count_all')])
+        g = g.rename_columns(['role_from', 'role_to', 'n'])
+        # all partials fold in one tiny final group
+        return g.append_column('fbucket',
+                               pa.array(np.zeros(g.num_rows, np.int64)))
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by(['role_from', 'role_to']).aggregate(
+            [('n', 'sum')])
+        return pa.table({
+            'role_from': g.column('role_from'),
+            'role_to': g.column('role_to'),
+            'n': g.column('n_sum').cast(pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(corpus_dir,
+                               columns=['conv_id', 'turn_idx', 'role'])
+    return ds.map_batches(add_bucket, batch_format='pyarrow',
+                          zero_copy_batch=True) \
+             .groupby('bucket').map_groups(pairs, batch_format='pyarrow') \
+             .groupby('fbucket').map_groups(fold, batch_format='pyarrow')
+
+
+def conv_role_transitions_oracle_sql(corpus_dir):
+    """DuckDB recomputes the bigrams with a window lead()."""
+    return """
+WITH o AS (
+  SELECT role,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS role_to
+  FROM read_parquet('{corpus}/*.parquet')
+)
+SELECT role AS role_from, role_to, count(*)::BIGINT AS n
+FROM o WHERE role_to IS NOT NULL
+GROUP BY role, role_to
 """.format(corpus=corpus_dir)

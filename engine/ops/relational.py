@@ -51,7 +51,8 @@ __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'events_debounced', 'user_event_paths',
            'orders_price_percentile', 'daily_activity',
            'events_value_tdigest', 'events_windowed_distinct_users',
-           'events_value_mad_outliers', 'orders_cohort_retention']
+           'events_value_mad_outliers', 'orders_cohort_retention',
+           'events_anomaly_days']
 
 
 def rank_in_sorted_key(keys_sorted):
@@ -2821,3 +2822,73 @@ SELECT day_num, n_orders, rev_cents, cum_cents,
          / CAST((SELECT sum(rev_cents) FROM d) AS DOUBLE) AS share
 FROM c
 """.format(us_day=_US_PER_DAY)
+
+
+def events_anomaly_days(sf_dir, z=2):
+    """ANOMALOUS-DAY detection per event_type: flag days whose event
+    count deviates from the type's mean daily count by more than ``z``
+    population standard deviations — the volume-spike screen a pipeline
+    owner runs over ingestion telemetry before trusting a day's data.
+
+    The flag is INTEGER-EXACT: with per-day counts c_i, N days,
+    S = Σc, S2 = Σc², the test |c·N − S| / N > z·σ (σ² = (N·S2 − S²)/N²)
+    squares to  (c·N − S)² > z²·(N·S2 − S²)  — every operand an integer,
+    so there is NO float expression to drift against the oracle (which
+    evaluates the same inequality in HUGEINT).  Ties (exact equality)
+    are not anomalies on both sides.
+
+    100 TB shape: per-block combiner folds to (event_type, day) counts —
+    the exchange carries types × days rows per block, never events; the
+    per-type final touches one row per day (Python-int arithmetic there
+    is exact at any corpus size where c·N exceeds int64, and the day
+    list per type is calendar-bounded)."""
+    zz = int(z) * int(z)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column('ts').to_numpy(zero_copy_only=False) \
+                  .view(np.int64)
+        t = pa.table({
+            'event_type': batch.column('event_type'),
+            'day': pa.array(ts // _US_PER_DAY, pa.int64()),
+        })
+        g = t.group_by(['event_type', 'day']).aggregate([([], 'count_all')])
+        return g.rename_columns(['event_type', 'day', 'n'])
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by(['event_type', 'day']).aggregate([('n', 'sum')])
+        days = g.column('day').to_numpy(zero_copy_only=False)
+        cnt = g.column('n_sum').to_numpy(zero_copy_only=False)
+        N = len(cnt)
+        S = int(cnt.sum())
+        S2 = sum(int(c) * int(c) for c in cnt)
+        rhs = zz * (N * S2 - S * S)
+        flags = [(int(c) * N - S) ** 2 > rhs for c in cnt]
+        return pa.table({
+            'event_type': g.column('event_type'),
+            'day': pa.array(days, pa.int64()),
+            'n': pa.array(cnt, pa.int64()).cast(pa.int64()),
+            'is_anomaly': pa.array(flags, pa.bool_()),
+        })
+
+    ds = read_table(sf_dir, 'events', columns=['event_type', 'ts'])
+    return ds.map_batches(partial, batch_format='pyarrow',
+                          zero_copy_batch=True) \
+             .groupby('event_type').map_groups(final,
+                                               batch_format='pyarrow')
+
+
+EVENTS_ANOMALY_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // {us_day} AS day,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, count(*)::HUGEINT AS nd, sum(n::HUGEINT) AS sm,
+         sum(n::HUGEINT * n::HUGEINT) AS s2
+  FROM d GROUP BY 1
+)
+SELECT d.event_type, d.day::BIGINT AS day, d.n,
+       (d.n::HUGEINT * s.nd - s.sm) * (d.n::HUGEINT * s.nd - s.sm)
+         > {zz}::HUGEINT * (s.nd * s.s2 - s.sm * s.sm) AS is_anomaly
+FROM d JOIN s USING (event_type)
+""".format(us_day=_US_PER_DAY, zz=4)

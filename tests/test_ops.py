@@ -86,7 +86,10 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'user_decay_score', 'doc_model_score', 'ann_topk_pq',
                   'events_user_gini', 'part_assoc_rules',
                   'events_funnel_windowed', 'lang_confusion',
-                  'events_dau_wau', 'daily_revenue_running']
+                  'events_dau_wau', 'daily_revenue_running',
+                  'decontaminate_split', 'dedup_simhash_eval',
+                  'ann_recall_eval', 'conv_role_transitions',
+                  'events_anomaly_days', 'tdigest_error_eval']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
