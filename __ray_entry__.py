@@ -156,7 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from engine.ops import (dedup, relational, similarity, textstats,
                             multimodal, sampling, clusters, sketches, ingest,
                             bloomjoin, checksum, graph, modelscore, decontam,
-                            evals)
+                            evals, sharding)
 
     # ORDERING CONTRACT: the driver's correctness check caps at the
     # FIRST 50 entries, so the dict front-loads (a) every query with no
@@ -235,6 +235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'tdigest_error_eval': evals.tdigest_error_eval,
         'conv_role_transitions': _conv_role_transitions,
         'events_anomaly_days': relational.events_anomaly_days,
+        'doc_shard_assign': sharding.doc_shard_assign,
+        'embedding_norm_stats': similarity.embedding_norm_stats,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -346,6 +348,9 @@ def oracle_sql() -> dict[str, str]:
     generated['lineitem_checksum'] = _checksum.CHECKSUM_SQL
     generated['embedding_norms'] = _similarity.EMBEDDING_NORMS_SQL
     generated['events_anomaly_days'] = _relational_mod.EVENTS_ANOMALY_SQL
+    from engine.ops import sharding as _sharding
+    generated['doc_shard_assign'] = _sharding.shard_assign_oracle_sql()
+    generated['embedding_norm_stats'] = _similarity.EMBEDDING_NORM_STATS_SQL
     generated['sample_weighted_mix'] = _sampling.weighted_mix_oracle_sql()
     from engine.ops import textstats as _textstats
     generated['token_heavy_hitters'] = _textstats.heavy_hitters_oracle_sql()

@@ -28,7 +28,8 @@ from .common import round_half_up, table_path, read_table, pool
 
 __all__ = ['embedding_dup_pairs', 'embedding_dup_pairs_blocked',
            'embedding_dup_lsh', 'ann_topk', 'ann_topk_lsh', 'ann_topk_ivf',
-           'ann_topk_pq', 'embedding_norms', 'EMBEDDING_NORMS_SQL']
+           'ann_topk_pq', 'embedding_norms', 'EMBEDDING_NORMS_SQL',
+           'embedding_norm_stats', 'EMBEDDING_NORM_STATS_SQL']
 
 
 def _read_embeddings(sf_dir):
@@ -566,6 +567,84 @@ SELECT vec_id, label::BIGINT AS label,
                                           x -> x::DOUBLE * x::DOUBLE)))
              * 1000000 + 0.5) / 1000000 AS norm
 FROM embeddings
+"""
+
+
+def embedding_norm_stats(sf_dir):
+    """Per-label norm statistics — the QUANTIZE-THEN-AGGREGATE pattern
+    for float stats at scale: each vector's r6 norm is carried as its
+    integer micro-unit numerator (floor(norm·10⁶ + 0.5), exactly the
+    :func:`embedding_norms` quantity before the final /10⁶), so the
+    group sums are ORDER-FREE int64 arithmetic — no float summation
+    tree to drift between the engine's block order and the oracle's
+    scan order.  mean_norm is one division of int64-exact operands,
+    half-up r6.
+
+    100 TB shape: per-block combiner folds to one row per (block,
+    label); the exchange never carries vectors."""
+    from .common import round_half_up, pool, read_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch.column('embedding')
+        arr = emb.chunk(0) if emb.num_chunks == 1 else emb.combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False) \
+                  .astype(np.float64)
+        mat = flat.reshape(batch.num_rows, -1)
+        acc = mat[:, 0] * mat[:, 0]
+        for j in range(1, mat.shape[1]):
+            acc = acc + mat[:, j] * mat[:, j]
+        micro = np.floor(np.sqrt(acc) * 1e6 + 0.5).astype(np.int64)
+        t = pa.table({
+            'label': batch.column('label').cast(pa.int64()),
+            'micro': pa.array(micro, pa.int64()),
+        })
+        g = t.group_by('label').aggregate(
+            [('micro', 'sum'), ('micro', 'min'), ('micro', 'max'),
+             ([], 'count_all')])
+        return g.rename_columns(['label', 'sum_micro', 'min_micro',
+                                 'max_micro', 'n'])
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by('label').aggregate(
+            [('sum_micro', 'sum'), ('min_micro', 'min'),
+             ('max_micro', 'max'), ('n', 'sum')])
+        sm = g.column('sum_micro_sum').to_numpy(zero_copy_only=False) \
+              .astype(np.int64)
+        n = g.column('n_sum').to_numpy(zero_copy_only=False) \
+             .astype(np.int64)
+        return pa.table({
+            'label': g.column('label'),
+            'n': pa.array(n, pa.int64()),
+            'sum_micro': pa.array(sm, pa.int64()),
+            'min_micro': g.column('min_micro_min').cast(pa.int64()),
+            'max_micro': g.column('max_micro_max').cast(pa.int64()),
+            'mean_norm': pa.array(
+                round_half_up(sm.astype(np.float64)
+                              / (n.astype(np.float64) * 1e6), 6),
+                pa.float64()),
+        })
+
+    return read_table(sf_dir, 'embeddings', columns=['embedding', 'label'],
+                      min_blocks=pool()[1]) \
+        .map_batches(partial, batch_format='pyarrow',
+                     zero_copy_batch=True) \
+        .groupby('label').map_groups(final, batch_format='pyarrow')
+
+
+EMBEDDING_NORM_STATS_SQL = """
+WITH m AS (
+  SELECT label::BIGINT AS label,
+         CAST(floor(sqrt(list_sum(list_transform(
+                  embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * 1000000 + 0.5) AS BIGINT) AS micro
+  FROM embeddings
+)
+SELECT label, count(*)::BIGINT AS n, sum(micro)::BIGINT AS sum_micro,
+       min(micro) AS min_micro, max(micro) AS max_micro,
+       floor((CAST(sum(micro) AS DOUBLE)
+              / CAST(count(*) * 1000000 AS DOUBLE)) * 1000000 + 0.5)
+         / 1000000 AS mean_norm
+FROM m GROUP BY label
 """
 
 

@@ -89,7 +89,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'events_dau_wau', 'daily_revenue_running',
                   'decontaminate_split', 'dedup_simhash_eval',
                   'ann_recall_eval', 'conv_role_transitions',
-                  'events_anomaly_days', 'tdigest_error_eval']
+                  'events_anomaly_days', 'tdigest_error_eval',
+                  'doc_shard_assign', 'embedding_norm_stats']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
