@@ -237,6 +237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_anomaly_days': relational.events_anomaly_days,
         'doc_shard_assign': sharding.doc_shard_assign,
         'embedding_norm_stats': similarity.embedding_norm_stats,
+        'lang_fertility': textstats.lang_fertility,
+        'events_late_arrivals': relational.events_late_arrivals,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -351,9 +353,11 @@ def oracle_sql() -> dict[str, str]:
     from engine.ops import sharding as _sharding
     generated['doc_shard_assign'] = _sharding.shard_assign_oracle_sql()
     generated['embedding_norm_stats'] = _similarity.EMBEDDING_NORM_STATS_SQL
+    generated['events_late_arrivals'] = _relational_mod.EVENTS_LATE_SQL
     generated['sample_weighted_mix'] = _sampling.weighted_mix_oracle_sql()
     from engine.ops import textstats as _textstats
     generated['token_heavy_hitters'] = _textstats.heavy_hitters_oracle_sql()
+    generated['lang_fertility'] = _textstats.LANG_FERTILITY_SQL
     generated['token_postings'] = _textstats.postings_oracle_sql()
     generated['token_cooccur_topk'] = _textstats.cooccur_oracle_sql()
     generated['source_token_topk'] = _textstats.source_topk_oracle_sql()

@@ -38,7 +38,10 @@ BENCH_QUERIES = ['q1_pricing', 'events_by_type', 'dedup_exact',
                  'orders_cohort_retention', 'embedding_dedup_clusters',
                  # round-4b additions
                  'part_pagerank', 'token_cooccur_topk',
-                 'user_decay_score', 'doc_model_score', 'ann_topk_pq']
+                 'user_decay_score', 'doc_model_score', 'ann_topk_pq',
+                 # round-4c additions
+                 'decontaminate_split', 'doc_shard_assign',
+                 'conv_role_transitions', 'embedding_norm_stats']
 
 
 def _init_ray(num_cpus):

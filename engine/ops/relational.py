@@ -52,7 +52,7 @@ __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'orders_price_percentile', 'daily_activity',
            'events_value_tdigest', 'events_windowed_distinct_users',
            'events_value_mad_outliers', 'orders_cohort_retention',
-           'events_anomaly_days']
+           'events_anomaly_days', 'events_late_arrivals']
 
 
 def rank_in_sorted_key(keys_sorted):
@@ -2892,3 +2892,108 @@ SELECT d.event_type, d.day::BIGINT AS day, d.n,
          > {zz}::HUGEINT * (s.nd * s.s2 - s.sm * s.sm) AS is_anomaly
 FROM d JOIN s USING (event_type)
 """.format(us_day=_US_PER_DAY, zz=4)
+
+
+def events_late_arrivals(sf_dir, range_size=4096, max_rbuckets=1 << 20):
+    """LATE-ARRIVAL accounting in ingestion order: an event is LATE if
+    its timestamp precedes the maximum timestamp among all events with a
+    smaller event_id (event_id = arrival order) — the watermark
+    diagnosis a streaming pipeline runs to size its allowed-lateness
+    window; late_by_us is how far behind the frontier it arrived.
+
+    Second instance of the DISTRIBUTED ORDERED PREFIX-SCAN shape
+    (:mod:`engine.ops.sharding` is the sum instance) with the MAX
+    monoid: per-range-bucket combiner maxes → driver exclusive
+    running-max over the bounded, loudly-guarded bucket list →
+    per-bucket finalize (sort by event_id, vectorized
+    ``np.maximum.accumulate``).  All comparisons are int64 microsecond
+    arithmetic — nothing floats."""
+    import ray as _ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column('event_id')
+        ts = batch.column('ts').to_numpy(zero_copy_only=False) \
+                  .view(np.int64)
+        return pa.table({
+            'event_id': ids,
+            'ts_us': pa.array(ts, pa.int64()),
+            'rbucket': pc.divide(ids, pa.scalar(range_size, pa.int64())),
+        })
+
+    def bucket_maxes(batch: pa.Table) -> pa.Table:
+        g = batch.select(['rbucket', 'ts_us']).group_by('rbucket') \
+                 .aggregate([('ts_us', 'max')])
+        return g.rename_columns(['rbucket', 'ts_max'])
+
+    base = read_table(sf_dir, 'events', columns=['event_id', 'ts']) \
+        .map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
+
+    parts = [t for t in _ray.get(
+        base.map_batches(bucket_maxes, batch_format='pyarrow')
+            .groupby('rbucket')
+            .map_groups(lambda g: g.group_by('rbucket')
+                        .aggregate([('ts_max', 'max')])
+                        .rename_columns(['rbucket', 'ts_max']),
+                        batch_format='pyarrow')
+            .to_arrow_refs()) if t.num_rows]
+    if parts:
+        totals = pa.concat_tables(parts)
+    else:
+        totals = pa.table({'rbucket': pa.array([], pa.int64()),
+                           'ts_max': pa.array([], pa.int64())})
+    if totals.num_rows > max_rbuckets:
+        raise RuntimeError(
+            'events_late_arrivals: %d range buckets exceeds '
+            'max_rbuckets=%d; raise range_size' % (totals.num_rows,
+                                                   max_rbuckets))
+    rb = totals.column('rbucket').to_numpy(zero_copy_only=False)
+    tm = totals.column('ts_max').to_numpy(zero_copy_only=False)
+    order = np.argsort(rb, kind='stable')
+    rb, tm = rb[order], tm[order]
+    # exclusive running max over bucket maxes; int64-min = empty prefix
+    lo = np.int64(np.iinfo(np.int64).min)
+    prefix = {}
+    acc = lo
+    for b, m in zip(rb, tm):
+        prefix[int(b)] = acc
+        acc = max(acc, int(m))
+    prefix_ref = _ray.put(prefix)
+
+    def finalize(group: pa.Table) -> pa.Table:
+        ids = group.column('event_id').to_numpy(zero_copy_only=False)
+        ts = group.column('ts_us').to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind='stable')
+        ids, ts = ids[order], ts[order]
+        off = _ray.get(prefix_ref)[int(ids[0]) // range_size] if len(ids) \
+            else lo
+        run = np.maximum.accumulate(np.r_[off, ts[:-1]])
+        run = np.maximum(run, off)
+        late = ts < run
+        late_by = np.where(late, run - ts, 0).astype(np.int64)
+        return pa.table({
+            'event_id': pa.array(ids, pa.int64()),
+            'ts_us': pa.array(ts, pa.int64()),
+            'is_late': pa.array(late, pa.bool_()),
+            'late_by_us': pa.array(late_by, pa.int64()),
+        })
+
+    return base.groupby('rbucket').map_groups(finalize,
+                                              batch_format='pyarrow')
+
+
+EVENTS_LATE_SQL = """
+WITH e AS (
+  SELECT event_id, epoch_us(ts)::BIGINT AS ts_us FROM events
+), w AS (
+  SELECT event_id, ts_us,
+         max(ts_us) OVER (ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS frontier
+  FROM e
+)
+SELECT event_id, ts_us,
+       coalesce(ts_us < frontier, FALSE) AS is_late,
+       (CASE WHEN ts_us < frontier THEN frontier - ts_us
+             ELSE 0 END)::BIGINT AS late_by_us
+FROM w
+"""

@@ -24,6 +24,7 @@ __all__ = ['doc_token_stats', 'doc_quality', 'lang_id', 'fingerprint_md5',
            'doc_tfidf_topk', 'bigram_pmi_topk',
            'token_heavy_hitters', 'token_postings',
            'token_cooccur_topk', 'source_token_topk',
+           'lang_fertility', 'LANG_FERTILITY_SQL',
            'TOKEN_RE', 'BPE_RE',
            'STOPWORD_RE', 'PUNCT_RE', 'DIGIT_RE', 'LANG_MARKERS']
 
@@ -1081,3 +1082,68 @@ WITH s AS (
 )
 SELECT lang, predicted, count(*)::BIGINT AS n FROM p GROUP BY 1, 2
 """.format(exprs=exprs, case=case)
+
+
+def lang_fertility(sf_dir):
+    """TOKENIZER-FERTILITY audit per language: BPE-ish tokens per
+    whitespace token — the multilingual-pipeline metric that tells you
+    which languages pay a tokenization tax (fertility > ~1.4 means the
+    corpus share in tokens diverges from its share in text, skewing the
+    training mix).  Sums are pure int64 regex counts folded per lang
+    (order-free), fertility is ONE division of int64-exact operands,
+    half-up r6 — nothing to drift.
+
+    100 TB shape: per-block combiner emits one row per (block, lang);
+    the exchange never carries text."""
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column('text')
+        t = pa.table({
+            'lang': batch.column('lang'),
+            'nt': _count_re(text, TOKEN_RE),
+            'nb': _count_re(text, BPE_RE),
+        })
+        g = t.group_by('lang').aggregate(
+            [('nt', 'sum'), ('nb', 'sum'), ([], 'count_all')])
+        return g.rename_columns(['lang', 'sum_tokens', 'sum_bpe', 'n_docs'])
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by('lang').aggregate(
+            [('sum_tokens', 'sum'), ('sum_bpe', 'sum'), ('n_docs', 'sum')])
+        st = g.column('sum_tokens_sum').to_numpy(zero_copy_only=False) \
+              .astype(np.int64)
+        sb = g.column('sum_bpe_sum').to_numpy(zero_copy_only=False) \
+              .astype(np.int64)
+        fert = np.where(st > 0,
+                        round_half_up(sb.astype(np.float64)
+                                      / np.maximum(st, 1).astype(np.float64),
+                                      6), 0.0)
+        return pa.table({
+            'lang': g.column('lang'),
+            'n_docs': g.column('n_docs_sum').cast(pa.int64()),
+            'sum_tokens': pa.array(st, pa.int64()),
+            'sum_bpe': pa.array(sb, pa.int64()),
+            'fertility': pa.array(fert, pa.float64()),
+        })
+
+    return _read_docs(sf_dir, ['lang', 'text']) \
+        .map_batches(partial, batch_format='pyarrow',
+                     zero_copy_batch=True) \
+        .groupby('lang').map_groups(final, batch_format='pyarrow')
+
+
+LANG_FERTILITY_SQL = r"""
+WITH d AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '\S+'))::BIGINT AS nt,
+         len(regexp_extract_all(text,
+             ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))::BIGINT AS nb
+  FROM documents
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(nt)::BIGINT AS sum_tokens, sum(nb)::BIGINT AS sum_bpe,
+       CASE WHEN sum(nt) > 0
+            THEN floor(CAST(sum(nb) AS DOUBLE) / CAST(sum(nt) AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS fertility
+FROM d GROUP BY lang
+"""

@@ -90,7 +90,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'decontaminate_split', 'dedup_simhash_eval',
                   'ann_recall_eval', 'conv_role_transitions',
                   'events_anomaly_days', 'tdigest_error_eval',
-                  'doc_shard_assign', 'embedding_norm_stats']
+                  'doc_shard_assign', 'embedding_norm_stats',
+                  'lang_fertility', 'events_late_arrivals']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
@@ -1048,3 +1049,34 @@ def test_local_pagerank_properties():
         assert all(int(rv) == rank[int(u)]
                    for u, rv in zip(nodes.tolist(), r.tolist()))
         assert (r >= PR_BASE).all()
+
+
+def test_late_arrivals_true_branch(ray_session, tmp_path):
+    """The sf tables' ts is monotone in event_id (0 late rows), so the
+    oracle check never exercises the late path — this fixture scrambles
+    ts deterministically and re-checks full parity with lates present."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import duckdb
+
+    from engine.ops.relational import events_late_arrivals, EVENTS_LATE_SQL
+
+    n = 1000
+    ids = np.arange(n, dtype=np.int64)
+    base = 1_735_689_600_000_000
+    ts_us = base + ((ids * 7919) % n) * 1_000_000   # heavily out of order
+    pq.write_table(
+        pa.table({'event_id': pa.array(ids),
+                  'ts': pa.array(ts_us, pa.timestamp('us'))}),
+        str(tmp_path / 'events.parquet'))
+
+    got = events_late_arrivals(str(tmp_path), range_size=64).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM read_parquet('%s')"
+                % str(tmp_path / 'events.parquet'))
+    want = con.execute(EVENTS_LATE_SQL).fetchdf()
+    assert got['is_late'].sum() > 0 and (~got['is_late']).sum() > 0
+    a = _canon(got)
+    b = _canon(want)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
