@@ -239,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'embedding_norm_stats': similarity.embedding_norm_stats,
         'lang_fertility': textstats.lang_fertility,
         'events_late_arrivals': relational.events_late_arrivals,
+        'dedup_cluster_sizes': clusters.dedup_cluster_sizes,
+        'clean_token_budget': clusters.clean_token_budget,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -354,6 +356,9 @@ def oracle_sql() -> dict[str, str]:
     generated['doc_shard_assign'] = _sharding.shard_assign_oracle_sql()
     generated['embedding_norm_stats'] = _similarity.EMBEDDING_NORM_STATS_SQL
     generated['events_late_arrivals'] = _relational_mod.EVENTS_LATE_SQL
+    from engine.ops import clusters as _clusters_mod
+    generated['dedup_cluster_sizes'] = _clusters_mod.cluster_sizes_oracle_sql()
+    generated['clean_token_budget'] = _clusters_mod.token_budget_oracle_sql()
     generated['sample_weighted_mix'] = _sampling.weighted_mix_oracle_sql()
     from engine.ops import textstats as _textstats
     generated['token_heavy_hitters'] = _textstats.heavy_hitters_oracle_sql()

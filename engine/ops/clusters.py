@@ -33,6 +33,7 @@ check (`changed` sum) doesn't re-run prior rounds.
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -40,7 +41,9 @@ from .common import read_table, pool
 from .dedup import minhash_near_dup
 
 __all__ = ['dedup_clusters', 'corpus_clean', 'components_from_pairs',
-           'embedding_dedup_clusters']
+           'embedding_dedup_clusters', 'dedup_cluster_sizes',
+           'cluster_sizes_oracle_sql', 'clean_token_budget',
+           'token_budget_oracle_sql']
 
 
 def _bucket(ids, nb):
@@ -400,3 +403,157 @@ def corpus_clean(sf_dir, threshold=0.8, k=3, num_buckets=64):
                                     zero_copy_batch=True))
     return both.groupby('bucket').map_groups(join_bucket,
                                              batch_format='pyarrow')
+
+
+def dedup_cluster_sizes(sf_dir, threshold=0.8, k=3, num_buckets=64):
+    """CLUSTER-SIZE HISTOGRAM of the near-dup graph — the distribution a
+    dedup owner reads before choosing a survivor policy (a fat head of
+    giant clusters means boilerplate; a long singleton tail means the
+    threshold is too tight).  (cluster_size, n_clusters), integer-only.
+
+    Shape: one row per (block, cluster) leaves the combiner, cluster
+    sizes resolve exactly inside cluster-id buckets, and the histogram
+    fold exchanges one row per (bucket, size) — nothing scales with the
+    corpus except the first combiner pass."""
+    nb = num_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(['cluster_id']).group_by('cluster_id') \
+                 .aggregate([([], 'count_all')])
+        g = g.rename_columns(['cluster_id', 'n'])
+        ids = g.column('cluster_id').to_numpy(zero_copy_only=False)
+        return g.append_column('bucket', pa.array(_bucket(ids, nb),
+                                                  pa.int64()))
+
+    def sizes(group: pa.Table) -> pa.Table:
+        g = group.group_by('cluster_id').aggregate([('n', 'sum')])
+        t = pa.table({'cluster_size': g.column('n_sum').cast(pa.int64())})
+        h = t.group_by('cluster_size').aggregate([([], 'count_all')])
+        h = h.rename_columns(['cluster_size', 'n_clusters'])
+        return h.append_column('fbucket',
+                               pa.array(np.zeros(h.num_rows, np.int64)))
+
+    def hist(group: pa.Table) -> pa.Table:
+        g = group.group_by('cluster_size').aggregate([('n_clusters',
+                                                       'sum')])
+        return pa.table({
+            'cluster_size': g.column('cluster_size'),
+            'n_clusters': g.column('n_clusters_sum').cast(pa.int64()),
+        })
+
+    return dedup_clusters(sf_dir, threshold=threshold, k=k,
+                          num_buckets=num_buckets) \
+        .map_batches(partial, batch_format='pyarrow',
+                     zero_copy_batch=True) \
+        .groupby('bucket').map_groups(sizes, batch_format='pyarrow') \
+        .groupby('fbucket').map_groups(hist, batch_format='pyarrow')
+
+
+def cluster_sizes_oracle_sql(threshold=0.8, k=3):
+    from .oracles import clusters_oracle_sql
+    return """
+WITH cl AS ({cl}
+), s AS (
+  SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1
+)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters
+FROM s GROUP BY cluster_size
+""".format(cl=clusters_oracle_sql(threshold=threshold, k=k).strip())
+
+
+def clean_token_budget(sf_dir, threshold=0.8, k=3, num_buckets=64):
+    """THE pipeline-headline number: per language, how many documents
+    and tokens survive end-to-end cleaning (:func:`corpus_clean` =
+    near-dup survivor ∩ quality gate), and the surviving share of the
+    raw token mass — what a pretraining-data owner reports when asked
+    "how much training data do we actually have?".
+
+    Both sides fold to per-(block, lang) integer partials before ONE
+    tiny lang-keyed exchange; token_share is a single division of
+    int64-exact operands, half-up r6."""
+    from .common import round_half_up
+    from .textstats import TOKEN_RE
+
+    def kept(batch: pa.Table) -> pa.Table:
+        g = batch.select(['lang', 'n_tokens']).group_by('lang') \
+                 .aggregate([('n_tokens', 'sum'), ([], 'count_all')])
+        g = g.rename_columns(['lang', 'tokens_kept', 'n_docs_kept'])
+        z = pa.array(np.zeros(g.num_rows, np.int64))
+        return pa.table({
+            'lang': g.column('lang'),
+            'n_docs_kept': g.column('n_docs_kept').cast(pa.int64()),
+            'tokens_kept': g.column('tokens_kept').cast(pa.int64()),
+            'n_docs': z, 'sum_tokens': z,
+        })
+
+    def raw(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            'lang': batch.column('lang'),
+            'nt': pc.cast(pc.count_substring_regex(
+                batch.column('text'), pattern=TOKEN_RE), pa.int64()),
+        })
+        g = t.group_by('lang').aggregate([('nt', 'sum'),
+                                          ([], 'count_all')])
+        g = g.rename_columns(['lang', 'sum_tokens', 'n_docs'])
+        z = pa.array(np.zeros(g.num_rows, np.int64))
+        return pa.table({
+            'lang': g.column('lang'),
+            'n_docs_kept': z, 'tokens_kept': z,
+            'n_docs': g.column('n_docs').cast(pa.int64()),
+            'sum_tokens': g.column('sum_tokens').cast(pa.int64()),
+        })
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by('lang').aggregate(
+            [('n_docs_kept', 'sum'), ('tokens_kept', 'sum'),
+             ('n_docs', 'sum'), ('sum_tokens', 'sum')])
+        tk = g.column('tokens_kept_sum').to_numpy(zero_copy_only=False) \
+              .astype(np.int64)
+        st = g.column('sum_tokens_sum').to_numpy(zero_copy_only=False) \
+              .astype(np.int64)
+        share = np.where(st > 0,
+                         round_half_up(tk.astype(np.float64)
+                                       / np.maximum(st, 1)
+                                       .astype(np.float64), 6), 0.0)
+        return pa.table({
+            'lang': g.column('lang'),
+            'n_docs': g.column('n_docs_sum').cast(pa.int64()),
+            'n_docs_kept': g.column('n_docs_kept_sum').cast(pa.int64()),
+            'sum_tokens': pa.array(st, pa.int64()),
+            'tokens_kept': pa.array(tk, pa.int64()),
+            'token_share': pa.array(share, pa.float64()),
+        })
+
+    kept_ds = corpus_clean(sf_dir, threshold=threshold, k=k,
+                           num_buckets=num_buckets) \
+        .map_batches(kept, batch_format='pyarrow', zero_copy_batch=True)
+    raw_ds = read_table(sf_dir, 'documents', columns=['lang', 'text'],
+                        min_blocks=pool()[1]) \
+        .map_batches(raw, batch_format='pyarrow', zero_copy_batch=True)
+    return kept_ds.union(raw_ds) \
+        .groupby('lang').map_groups(fold, batch_format='pyarrow')
+
+
+def token_budget_oracle_sql(threshold=0.8, k=3):
+    from .oracles import corpus_clean_oracle_sql
+    return r"""
+WITH cc AS ({cc}
+), kk AS (
+  SELECT lang, count(*)::BIGINT AS n_docs_kept,
+         sum(n_tokens)::BIGINT AS tokens_kept
+  FROM cc GROUP BY lang
+), rr AS (
+  SELECT lang, count(*)::BIGINT AS n_docs,
+         sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS sum_tokens
+  FROM documents GROUP BY lang
+)
+SELECT rr.lang, rr.n_docs, coalesce(kk.n_docs_kept, 0)::BIGINT
+         AS n_docs_kept,
+       rr.sum_tokens, coalesce(kk.tokens_kept, 0)::BIGINT AS tokens_kept,
+       CASE WHEN rr.sum_tokens > 0
+            THEN floor(CAST(coalesce(kk.tokens_kept, 0) AS DOUBLE)
+                       / CAST(rr.sum_tokens AS DOUBLE) * 1000000 + 0.5)
+                 / 1000000
+            ELSE 0.0 END AS token_share
+FROM rr LEFT JOIN kk USING (lang)
+""".format(cc=corpus_clean_oracle_sql(threshold=threshold, k=k).strip())

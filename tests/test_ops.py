@@ -91,7 +91,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'ann_recall_eval', 'conv_role_transitions',
                   'events_anomaly_days', 'tdigest_error_eval',
                   'doc_shard_assign', 'embedding_norm_stats',
-                  'lang_fertility', 'events_late_arrivals']
+                  'lang_fertility', 'events_late_arrivals',
+                  'dedup_cluster_sizes', 'clean_token_budget']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
