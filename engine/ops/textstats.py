@@ -16,7 +16,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from .common import round_half_up, read_table
+from .common import round_half_up, read_table, hash63_keys
 
 __all__ = ['doc_token_stats', 'doc_quality', 'lang_id', 'fingerprint_md5',
            'doc_scrub', 'doc_repetition', 'doc_chunks',
@@ -25,6 +25,7 @@ __all__ = ['doc_token_stats', 'doc_quality', 'lang_id', 'fingerprint_md5',
            'token_heavy_hitters', 'token_postings',
            'token_cooccur_topk', 'source_token_topk',
            'lang_fertility', 'LANG_FERTILITY_SQL',
+           'doc_surprisal', 'DOC_SURPRISAL_SQL',
            'TOKEN_RE', 'BPE_RE',
            'STOPWORD_RE', 'PUNCT_RE', 'DIGIT_RE', 'LANG_MARKERS']
 
@@ -1146,4 +1147,156 @@ SELECT lang, count(*)::BIGINT AS n_docs,
                        * 1000000 + 0.5) / 1000000
             ELSE 0.0 END AS fertility
 FROM d GROUP BY lang
+"""
+
+
+def doc_surprisal(sf_dir, num_buckets=64):
+    """UNIGRAM-LM SURPRISAL scoring — the perplexity-filter shape a
+    pretraining pipeline runs to drop gibberish and boilerplate: score
+    every document by the average surprisal of its tokens under the
+    corpus's own unigram distribution.  The surprisal unit is the
+    INTEGER BIT-LENGTH proxy ``bits(tok) = bit_length(total // c_tok)``
+    (⌊log2⌋+1 of the inverse frequency) — rare tokens score high,
+    stopwords low — chosen so the WHOLE statistic is integer arithmetic:
+    no log(), no float sum, and the oracle recomputes it exactly with
+    ``length(bin(total // c))`` (the HLL bit-length parity rule,
+    sketches.py).  avg_bits is one division of int64-exact operands,
+    half-up r6.
+
+    Scale shape: per-block (doc, token, multiplicity) combiner →
+    md5-token-bucketed exchange; a token's ENTIRE corpus count resolves
+    inside its bucket (dictionary-encode + bincount — no join), so the
+    per-doc partials (doc_id, sum_bits, n_tok) leave the same fold and
+    co-partition ONCE by doc bucket.  The corpus total and the
+    zero-token doc rows come from one cheap fused auxiliary pass
+    (vectorized regex count, nothing tokenized twice).  bit_length is
+    np.frexp (exact below 2⁵¹) with an exact Python-int fallback above."""
+    nb = num_buckets
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern_regex(batch.column('text'),
+                                       pattern=r'\s+')
+        flat = pc.list_flatten(split)
+        lens = pc.list_value_length(split)
+        # repeat doc_id per token slot, then drop the empty edge strings
+        ids = np.repeat(batch.column('doc_id').to_numpy(
+            zero_copy_only=False), lens.to_numpy(zero_copy_only=False))
+        keep = pc.not_equal(flat, '')
+        t = pa.table({'doc_id': pa.array(ids, pa.int64()), 'token': flat}) \
+              .filter(keep)
+        g = t.group_by(['doc_id', 'token']).aggregate([([], 'count_all')])
+        g = g.rename_columns(['doc_id', 'token', 'm'])
+        return g.append_column('bucket',
+                               _string_bucket(g.column('token'), nb))
+
+    def aux(batch: pa.Table) -> pa.Table:
+        """One row per zero-token doc + one corpus-total row per block
+        (doc_id = -1), so total and empties ride one cheap pass."""
+        n_tok = _count_re(batch.column('text'), TOKEN_RE) \
+            .to_numpy(zero_copy_only=False)
+        ids = batch.column('doc_id').to_numpy(zero_copy_only=False)
+        zid = ids[n_tok == 0]
+        out_ids = np.r_[zid, np.int64(-1)]
+        out_tot = np.r_[np.zeros(len(zid), np.int64),
+                        np.int64(n_tok.sum())]
+        return pa.table({'doc_id': pa.array(out_ids, pa.int64()),
+                         'block_total': pa.array(out_tot, pa.int64())})
+
+    aux_parts = [t for t in ray.get(
+        _read_docs(sf_dir, ['doc_id', 'text'])
+        .map_batches(aux, batch_format='pyarrow', zero_copy_batch=True)
+        .to_arrow_refs()) if t.num_rows]
+    aux_tbl = pa.concat_tables(aux_parts) if aux_parts else \
+        pa.table({'doc_id': pa.array([], pa.int64()),
+                  'block_total': pa.array([], pa.int64())})
+    am = aux_tbl.column('doc_id').to_numpy(zero_copy_only=False)
+    av = aux_tbl.column('block_total').to_numpy(zero_copy_only=False)
+    total = int(av[am == -1].sum())
+    zero_ids = np.sort(am[am != -1])
+
+    _BITLEN_EXACT = np.int64(1) << 51
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        toks = group.column('token')
+        codes = pc.dictionary_encode(
+            toks.combine_chunks() if toks.num_chunks != 1
+            else toks.chunk(0)).indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = group.column('m').to_numpy(zero_copy_only=False) \
+                 .astype(np.int64)
+        c = np.bincount(codes, weights=m.astype(np.float64)) \
+              .astype(np.int64)   # exact: counts < 2^53
+        inv = total // c          # c >= 1 always (token occurs)
+        bits = np.empty(len(inv), np.int64)
+        small = inv < _BITLEN_EXACT
+        bits[small] = np.frexp(inv[small].astype(np.float64))[1]
+        for i in np.flatnonzero(~small):
+            bits[i] = int(inv[i]).bit_length()
+        per_row_bits = bits[codes] * m
+        t = pa.table({'doc_id': group.column('doc_id'),
+                      'sum_bits': pa.array(per_row_bits, pa.int64()),
+                      'n_tok': pa.array(m, pa.int64())})
+        g = t.group_by('doc_id').aggregate([('sum_bits', 'sum'),
+                                            ('n_tok', 'sum')])
+        g = g.rename_columns(['doc_id', 'sum_bits', 'n_tok'])
+        ids = g.column('doc_id').to_numpy(zero_copy_only=False)
+        return g.append_column('dbucket',
+                               pa.array(hash63_keys(ids) & (nb - 1),
+                                        pa.int64()))
+
+    def doc_fold(group: pa.Table) -> pa.Table:
+        g = group.group_by('doc_id').aggregate([('sum_bits', 'sum'),
+                                                ('n_tok', 'sum')])
+        sb = g.column('sum_bits_sum').to_numpy(zero_copy_only=False) \
+              .astype(np.int64)
+        nt = g.column('n_tok_sum').to_numpy(zero_copy_only=False) \
+              .astype(np.int64)
+        return pa.table({
+            'doc_id': g.column('doc_id'),
+            'n_tok': pa.array(nt, pa.int64()),
+            'sum_bits': pa.array(sb, pa.int64()),
+            'avg_bits': pa.array(
+                round_half_up(sb.astype(np.float64)
+                              / np.maximum(nt, 1).astype(np.float64), 6),
+                pa.float64()),
+        })
+
+    scored = _read_docs(sf_dir, ['doc_id', 'text']) \
+        .map_batches(occurrences, batch_format='pyarrow',
+                     zero_copy_batch=True) \
+        .groupby('bucket').map_groups(bucket_fold,
+                                      batch_format='pyarrow') \
+        .groupby('dbucket').map_groups(doc_fold, batch_format='pyarrow')
+    if not len(zero_ids):
+        return scored
+    zeros = ray.data.from_arrow(pa.table({
+        'doc_id': pa.array(zero_ids, pa.int64()),
+        'n_tok': pa.array(np.zeros(len(zero_ids), np.int64)),
+        'sum_bits': pa.array(np.zeros(len(zero_ids), np.int64)),
+        'avg_bits': pa.array(np.zeros(len(zero_ids), np.float64)),
+    }))
+    return scored.union(zeros)
+
+
+DOC_SURPRISAL_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+  FROM documents
+), c AS (
+  SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok
+), t AS (SELECT count(*)::BIGINT AS total FROM toks),
+s AS (
+  SELECT toks.doc_id,
+         sum(length(bin(t.total // c.c)))::BIGINT AS sum_bits,
+         count(*)::BIGINT AS n_tok
+  FROM toks JOIN c USING (tok) CROSS JOIN t
+  GROUP BY toks.doc_id
+)
+SELECT d.doc_id, coalesce(s.n_tok, 0)::BIGINT AS n_tok,
+       coalesce(s.sum_bits, 0)::BIGINT AS sum_bits,
+       CASE WHEN coalesce(s.n_tok, 0) > 0
+            THEN floor(CAST(s.sum_bits AS DOUBLE) / CAST(s.n_tok AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS avg_bits
+FROM documents d LEFT JOIN s USING (doc_id)
 """

@@ -92,7 +92,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'events_anomaly_days', 'tdigest_error_eval',
                   'doc_shard_assign', 'embedding_norm_stats',
                   'lang_fertility', 'events_late_arrivals',
-                  'dedup_cluster_sizes', 'clean_token_budget']
+                  'dedup_cluster_sizes', 'clean_token_budget',
+                  'doc_surprisal']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
