@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'dedup_cluster_sizes': clusters.dedup_cluster_sizes,
         'clean_token_budget': clusters.clean_token_budget,
         'doc_surprisal': textstats.doc_surprisal,
+        'split_manifest': sampling.split_manifest,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -365,6 +366,7 @@ def oracle_sql() -> dict[str, str]:
     generated['token_heavy_hitters'] = _textstats.heavy_hitters_oracle_sql()
     generated['lang_fertility'] = _textstats.LANG_FERTILITY_SQL
     generated['doc_surprisal'] = _textstats.DOC_SURPRISAL_SQL
+    generated['split_manifest'] = _sampling.split_manifest_oracle_sql()
     generated['token_postings'] = _textstats.postings_oracle_sql()
     generated['token_cooccur_topk'] = _textstats.cooccur_oracle_sql()
     generated['source_token_topk'] = _textstats.source_topk_oracle_sql()

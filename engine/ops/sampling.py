@@ -21,7 +21,8 @@ import pyarrow as pa
 from .common import read_table, hash63_keys
 
 __all__ = ['sample_stratified', 'sample_uniform',
-           'sample_weighted_mix', 'weighted_mix_oracle_sql']
+           'sample_weighted_mix', 'weighted_mix_oracle_sql',
+           'split_manifest', 'split_manifest_oracle_sql']
 
 _MASK63 = (1 << 63) - 1
 
@@ -161,3 +162,66 @@ WITH k AS (
 )
 SELECT doc_id, source, skey FROM k WHERE skey < thresh
 """ % (cases, uniform_threshold(*default))
+
+
+def split_manifest(sf_dir, train_mod=10, train_lt=8, val_eq=8):
+    """TRAIN/VAL/TEST SPLIT MANIFEST — the artifact a corpus release
+    ships beside the data: per (split, source), document and token
+    counts under the deterministic md5 split (hash63(doc_id) % 10 →
+    0-7 train, 8 val, 9 test; the train rule is decontaminate_split's,
+    so the manifest describes exactly the split the contamination
+    screen checks).  One combiner pass, one tiny keyed exchange, all
+    integer."""
+    import pyarrow.compute as pc
+
+    from .textstats import TOKEN_RE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_numpy(zero_copy_only=False)
+        mod = hash63_keys(ids) % train_mod
+        split = np.where(mod < train_lt, 'train',
+                         np.where(mod == val_eq, 'val', 'test'))
+        t = pa.table({
+            'split': pa.array(split, pa.string()),
+            'source': batch.column('source'),
+            'nt': pc.cast(pc.count_substring_regex(
+                batch.column('text'), pattern=TOKEN_RE), pa.int64()),
+        })
+        g = t.group_by(['split', 'source']).aggregate(
+            [('nt', 'sum'), ([], 'count_all')])
+        return g.rename_columns(['split', 'source', 'n_tokens', 'n_docs'])
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by(['split', 'source']).aggregate(
+            [('n_tokens', 'sum'), ('n_docs', 'sum')])
+        return pa.table({
+            'split': g.column('split'),
+            'source': g.column('source'),
+            'n_docs': g.column('n_docs_sum').cast(pa.int64()),
+            'n_tokens': g.column('n_tokens_sum').cast(pa.int64()),
+        })
+
+    return read_table(sf_dir, 'documents',
+                      columns=['doc_id', 'source', 'text']) \
+        .map_batches(partial, batch_format='pyarrow',
+                     zero_copy_batch=True) \
+        .groupby('split').map_groups(fold, batch_format='pyarrow')
+
+
+def split_manifest_oracle_sql(train_mod=10, train_lt=8, val_eq=8):
+    return r"""
+WITH d AS (
+  SELECT CASE
+           WHEN ((md5_number_lower(doc_id::VARCHAR)
+                  & 9223372036854775807) % {mod}) < {lt} THEN 'train'
+           WHEN ((md5_number_lower(doc_id::VARCHAR)
+                  & 9223372036854775807) % {mod}) = {veq} THEN 'val'
+           ELSE 'test' END AS split,
+         source,
+         len(regexp_extract_all(text, '\S+'))::BIGINT AS nt
+  FROM documents
+)
+SELECT split, source, count(*)::BIGINT AS n_docs,
+       sum(nt)::BIGINT AS n_tokens
+FROM d GROUP BY split, source
+""".format(mod=train_mod, lt=train_lt, veq=val_eq)
