@@ -243,6 +243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'clean_token_budget': clusters.clean_token_budget,
         'doc_surprisal': textstats.doc_surprisal,
         'split_manifest': sampling.split_manifest,
+        'session_durations': relational.session_durations,
+        'shard_balance': sharding.shard_balance,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -367,6 +369,8 @@ def oracle_sql() -> dict[str, str]:
     generated['lang_fertility'] = _textstats.LANG_FERTILITY_SQL
     generated['doc_surprisal'] = _textstats.DOC_SURPRISAL_SQL
     generated['split_manifest'] = _sampling.split_manifest_oracle_sql()
+    generated['session_durations'] = _relational_mod.SESSION_DURATIONS_SQL
+    generated['shard_balance'] = _sharding.shard_balance_oracle_sql()
     generated['token_postings'] = _textstats.postings_oracle_sql()
     generated['token_cooccur_topk'] = _textstats.cooccur_oracle_sql()
     generated['source_token_topk'] = _textstats.source_topk_oracle_sql()

@@ -52,7 +52,8 @@ __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'orders_price_percentile', 'daily_activity',
            'events_value_tdigest', 'events_windowed_distinct_users',
            'events_value_mad_outliers', 'orders_cohort_retention',
-           'events_anomaly_days', 'events_late_arrivals']
+           'events_anomaly_days', 'events_late_arrivals',
+           'session_durations']
 
 
 def rank_in_sorted_key(keys_sorted):
@@ -2997,3 +2998,78 @@ SELECT event_id, ts_us,
              ELSE 0 END)::BIGINT AS late_by_us
 FROM w
 """
+
+
+def session_durations(sf_dir, gap_s=1800, num_buckets=64):
+    """SESSION-LEVEL rollup (one row per session): (user_id,
+    session_idx, n_events, duration_us) under the same 30-min-gap rule
+    as :func:`events_sessionize` — the table a product/engagement
+    pipeline feeds into retention and engagement models.
+
+    Same bucketed shape as sessionize (bucket = user_id & (nb−1), each
+    bucket sessionizes all its users in one lexsort + one break
+    vector); sessions materialize via a cumulative-sum session key and
+    one C++ group_by — never a per-user or per-session Python loop.
+    session_idx is the per-user ordinal in time order, duration the
+    int64 microsecond span (0 for singletons)."""
+    gap_us = gap_s * 1_000_000
+    nb = num_buckets
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = batch.column('user_id').to_numpy(zero_copy_only=False) & (nb - 1)
+        return batch.append_column('bucket', pa.array(b, pa.int64()))
+
+    def sessions(group: pa.Table) -> pa.Table:
+        uid = group.column('user_id').to_numpy(zero_copy_only=False)
+        ts = group.column('ts').cast(pa.int64()) \
+                  .to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_user = np.empty(len(uid), np.bool_)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        brk = new_user | (np.diff(ts, prepend=ts[0]) > gap_us)
+        sess = np.cumsum(brk)          # globally unique in this bucket
+        t = pa.table({'uid': pa.array(uid, pa.int64()),
+                      'sess': pa.array(sess, pa.int64()),
+                      'ts': pa.array(ts, pa.int64())})
+        g = t.group_by(['uid', 'sess']).aggregate(
+            [('ts', 'min'), ('ts', 'max'), ([], 'count_all')])
+        g = g.sort_by([('uid', 'ascending'), ('sess', 'ascending')])
+        u = g.column('uid').to_numpy(zero_copy_only=False)
+        idx = rank_in_sorted_key(u)    # per-user 1-based session ordinal
+        return pa.table({
+            'user_id': pa.array(u, pa.int64()),
+            'session_idx': pa.array(idx, pa.int64()),
+            'n_events': g.column('count_all').cast(pa.int64()),
+            'duration_us': pc.subtract(g.column('ts_max'),
+                                       g.column('ts_min')).cast(pa.int64()),
+        })
+
+    ds = read_table(sf_dir, 'events', columns=['user_id', 'ts'])
+    return (ds.map_batches(add_bucket, batch_format='pyarrow',
+                           zero_copy_batch=True)
+              .groupby('bucket').map_groups(sessions,
+                                            batch_format='pyarrow'))
+
+
+SESSION_DURATIONS_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts)::BIGINT AS ts_us FROM events
+), b AS (
+  SELECT user_id, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER w > {gap_us}
+              OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+), s AS (
+  SELECT user_id, ts_us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM b
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       count(*)::BIGINT AS n_events,
+       (max(ts_us) - min(ts_us))::BIGINT AS duration_us
+FROM s GROUP BY user_id, session_idx
+""".format(gap_us=1800 * 1_000_000)

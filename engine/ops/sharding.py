@@ -44,7 +44,8 @@ import ray
 from .common import read_table, pool
 
 __all__ = ['doc_shard_assign', 'SHARD_ASSIGN_SQL_TMPL',
-           'shard_assign_oracle_sql']
+           'shard_assign_oracle_sql', 'shard_balance',
+           'shard_balance_oracle_sql']
 
 _TOKEN_RE = r'\S+'   # the repo-wide tokenize rule (textstats.TOKEN_RE)
 
@@ -165,3 +166,40 @@ FROM c, t
 
 def shard_assign_oracle_sql(n_shards=8):
     return SHARD_ASSIGN_SQL_TMPL.format(K=int(n_shards))
+
+
+def shard_balance(sf_dir, n_shards=8, range_size=4096):
+    """BALANCE AUDIT over :func:`doc_shard_assign` — per shard: doc and
+    token totals (the number a loader owner checks before trusting the
+    sharding: max/min shard mass should be ~1 ± max_doc/shard_size).
+    Pure integer combiner over the assignment output; one tiny keyed
+    exchange."""
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(['shard', 'n_tok']).group_by('shard') \
+                 .aggregate([('n_tok', 'sum'), ([], 'count_all')])
+        return g.rename_columns(['shard', 'sum_tokens', 'n_docs'])
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by('shard').aggregate(
+            [('sum_tokens', 'sum'), ('n_docs', 'sum')])
+        return pa.table({
+            'shard': g.column('shard'),
+            'n_docs': g.column('n_docs_sum').cast(pa.int64()),
+            'sum_tokens': g.column('sum_tokens_sum').cast(pa.int64()),
+        })
+
+    return doc_shard_assign(sf_dir, n_shards=n_shards,
+                            range_size=range_size) \
+        .map_batches(partial, batch_format='pyarrow',
+                     zero_copy_batch=True) \
+        .groupby('shard').map_groups(fold, batch_format='pyarrow')
+
+
+def shard_balance_oracle_sql(n_shards=8):
+    return """
+WITH a AS ({a}
+)
+SELECT shard, count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS sum_tokens
+FROM a GROUP BY shard
+""".format(a=SHARD_ASSIGN_SQL_TMPL.format(K=int(n_shards)).strip())

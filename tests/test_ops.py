@@ -93,7 +93,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'doc_shard_assign', 'embedding_norm_stats',
                   'lang_fertility', 'events_late_arrivals',
                   'dedup_cluster_sizes', 'clean_token_budget',
-                  'doc_surprisal', 'split_manifest']
+                  'doc_surprisal', 'split_manifest',
+                  'session_durations', 'shard_balance']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
