@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'split_manifest': sampling.split_manifest,
         'session_durations': relational.session_durations,
         'shard_balance': sharding.shard_balance,
+        'part_triangles': graph.part_triangles,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -371,6 +372,8 @@ def oracle_sql() -> dict[str, str]:
     generated['split_manifest'] = _sampling.split_manifest_oracle_sql()
     generated['session_durations'] = _relational_mod.SESSION_DURATIONS_SQL
     generated['shard_balance'] = _sharding.shard_balance_oracle_sql()
+    from engine.ops import graph as _graph_mod
+    generated['part_triangles'] = _graph_mod.TRIANGLES_SQL
     generated['token_postings'] = _textstats.postings_oracle_sql()
     generated['token_cooccur_topk'] = _textstats.cooccur_oracle_sql()
     generated['source_token_topk'] = _textstats.source_topk_oracle_sql()

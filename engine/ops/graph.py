@@ -41,6 +41,7 @@ exercised by forcing ``small_edge_limit=0`` in tests.
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -48,7 +49,8 @@ import ray.data
 from .common import pool, read_small_table, read_table, run_pairs
 
 __all__ = ['part_pagerank', 'pagerank_oracle_sql',
-           'part_assoc_rules', 'assoc_rules_oracle_sql']
+           'part_assoc_rules', 'assoc_rules_oracle_sql',
+           'part_triangles', 'TRIANGLES_SQL']
 
 PR_SCALE = 10 ** 12
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
@@ -500,3 +502,174 @@ r AS (
 )
 SELECT * FROM r ORDER BY lift DESC, antecedent, consequent LIMIT {k}
 """.format(ms=min_support, k=topk)
+
+
+def _tri_pair_keys(a, b):
+    """Structured (a, b) composite keys for exact set membership on
+    int64 pairs (the evals.py convention — no arithmetic packing)."""
+    out = np.empty(len(a), dtype=[('a', '<i8'), ('b', '<i8')])
+    out['a'], out['b'] = a, b
+    return out
+
+
+def part_triangles(sf_dir, num_buckets=64):
+    """TRIANGLE COUNT + global clustering coefficient of the part
+    co-purchase graph — the graph-cohesion audit beside PageRank
+    (how clique-y are baskets?).  One row: (n_edges, n_wedges,
+    n_triangles, clustering = 3·T / W, W = Σ_v C(deg v, 2)).
+
+    Distributed shape (min-vertex node-iterator): distinct undirected
+    edges (a < b) resolve inside bucket(a); each bucket emits (1) its
+    edges as membership markers keyed by bucket(a) and (2) all wedges
+    (a; v < w) — neighbor pairs ABOVE the center — keyed by bucket(v),
+    so every triangle a < v < w is tested exactly once, in the bucket
+    that owns edge (v, w), by one sorted structured-key lookup.  The
+    wedge emit is the documented basket-size² skew contract shared with
+    the pair expansion; degrees fold separately (one row per (block,
+    node)) for the exact wedge denominator.  Counts are int64; the
+    coefficient is ONE division of int64-exact operands, half-up r6."""
+    from .common import round_half_up
+
+    nb = num_buckets
+    width = pool()[1]
+    li = read_table(sf_dir, 'lineitem', columns=['l_orderkey', 'l_partkey'],
+                    min_blocks=width)
+    pairs = li.map_batches(_make_order_parts(nb), batch_format='pyarrow',
+                           zero_copy_batch=True) \
+              .groupby('bucket').map_groups(_make_order_pairs(nb),
+                                            batch_format='pyarrow')
+
+    def undirected(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch.column('src'), batch.column('dst'))
+        t = batch.filter(keep)
+        a = t.column('src').to_numpy(zero_copy_only=False)
+        return pa.table({
+            'a': t.column('src'), 'b': t.column('dst'),
+            'bucket': pa.array(_bucket(a, nb), pa.int64()),
+        })
+
+    def wedge_and_marker(group: pa.Table) -> pa.Table:
+        e = group.group_by(['a', 'b']).aggregate([])   # global distinct
+        a = e.column('a').to_numpy(zero_copy_only=False)
+        b = e.column('b').to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        av, bv = a[order], b[order]
+        v, w = _pairs_in_runs(av, bv)      # ordered pairs within adj(a)
+        keep = v < w                       # each neighbor pair once
+        v, w = v[keep], w[keep]
+        wedges = pa.table({
+            'a': pa.array(v, pa.int64()), 'b': pa.array(w, pa.int64()),
+            'is_edge': pa.array(np.zeros(len(v), np.int64)),
+            'bucket': pa.array(_bucket(v, nb), pa.int64()),
+        })
+        markers = pa.table({
+            'a': pa.array(av, pa.int64()), 'b': pa.array(bv, pa.int64()),
+            'is_edge': pa.array(np.ones(len(av), np.int64)),
+            'bucket': pa.array(_bucket(av, nb), pa.int64()),
+        })
+        return pa.concat_tables([markers, wedges])
+
+    def tri_count(group: pa.Table) -> pa.Table:
+        m = group.column('is_edge').to_numpy(zero_copy_only=False) == 1
+        a = group.column('a').to_numpy(zero_copy_only=False)
+        b = group.column('b').to_numpy(zero_copy_only=False)
+        ek = _tri_pair_keys(a[m], b[m])
+        ek.sort()
+        wk = _tri_pair_keys(a[~m], b[~m])
+        if len(ek) and len(wk):
+            idx = np.searchsorted(ek, wk)
+            idx[idx == len(ek)] = 0
+            tri = int(np.count_nonzero(ek[idx] == wk))
+        else:
+            tri = 0
+        return pa.table({'n_edges': pa.array([int(m.sum())], pa.int64()),
+                         'n_tri': pa.array([tri], pa.int64())})
+
+    edge_side = pairs.map_batches(undirected, batch_format='pyarrow',
+                                  zero_copy_batch=True) \
+        .groupby('bucket').map_groups(wedge_and_marker,
+                                      batch_format='pyarrow') \
+        .groupby('bucket').map_groups(tri_count, batch_format='pyarrow')
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        # pair rows are bucket-locally distinct only; an (a, b) edge
+        # lives in exactly bucket(a), so the global distinct happens in
+        # deg_fold and degrees are counted AFTER it.
+        keep = pc.less(batch.column('src'), batch.column('dst'))
+        t = batch.filter(keep)
+        e = pa.table({'a': t.column('src'), 'b': t.column('dst')}) \
+              .group_by(['a', 'b']).aggregate([])
+        av = e.column('a').to_numpy(zero_copy_only=False)
+        return e.append_column('bucket', pa.array(_bucket(av, nb),
+                                                  pa.int64()))
+
+    def deg_fold(group: pa.Table) -> pa.Table:
+        e = group.group_by(['a', 'b']).aggregate([])   # global distinct
+        a = e.column('a').to_numpy(zero_copy_only=False)
+        b = e.column('b').to_numpy(zero_copy_only=False)
+        nodes = np.concatenate([a, b])
+        t = pa.table({'node': pa.array(nodes, pa.int64())})
+        g = t.group_by('node').aggregate([([], 'count_all')])
+        g = g.rename_columns(['node', 'd'])
+        nd = g.column('node').to_numpy(zero_copy_only=False)
+        return g.append_column('nbucket', pa.array(_bucket(nd, nb),
+                                                   pa.int64()))
+
+    def wedge_sum(group: pa.Table) -> pa.Table:
+        g = group.group_by('node').aggregate([('d', 'sum')])
+        d = g.column('d_sum').to_numpy(zero_copy_only=False) \
+             .astype(np.int64)
+        w = int(np.sum(d * (d - 1) // 2))
+        return pa.table({'wedges': pa.array([w], pa.int64())})
+
+    deg_side = pairs.map_batches(deg_partial, batch_format='pyarrow',
+                                 zero_copy_batch=True) \
+        .groupby('bucket').map_groups(deg_fold, batch_format='pyarrow') \
+        .groupby('nbucket').map_groups(wedge_sum, batch_format='pyarrow')
+
+    et = pa.concat_tables([t for t in ray.get(edge_side.to_arrow_refs())
+                           if t.num_rows])
+    wt = pa.concat_tables([t for t in ray.get(deg_side.to_arrow_refs())
+                           if t.num_rows])
+    n_edges = int(np.sum(et.column('n_edges').to_numpy()))
+    n_tri = int(np.sum(et.column('n_tri').to_numpy()))
+    n_wedges = int(np.sum(wt.column('wedges').to_numpy()))
+    clustering = float(round_half_up(
+        3.0 * np.float64(n_tri) / np.float64(n_wedges), 6)) \
+        if n_wedges > 0 else 0.0
+    return pa.table({
+        'n_edges': pa.array([n_edges], pa.int64()),
+        'n_wedges': pa.array([n_wedges], pa.int64()),
+        'n_triangles': pa.array([n_tri], pa.int64()),
+        'clustering': pa.array([clustering], pa.float64()),
+    })
+
+
+TRIANGLES_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+  AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, count(*)::BIGINT AS d FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+  ) GROUP BY node
+),
+tri AS (
+  SELECT count(*)::BIGINT AS t
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+w AS (SELECT sum(d * (d - 1) // 2)::BIGINT AS wedges FROM deg),
+ec AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+SELECT ec.n_edges, w.wedges AS n_wedges, tri.t AS n_triangles,
+       CASE WHEN w.wedges > 0
+            THEN floor(3.0 * CAST(tri.t AS DOUBLE)
+                       / CAST(w.wedges AS DOUBLE) * 1000000 + 0.5)
+                 / 1000000
+            ELSE 0.0 END AS clustering
+FROM ec, w, tri
+"""

@@ -94,7 +94,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'lang_fertility', 'events_late_arrivals',
                   'dedup_cluster_sizes', 'clean_token_budget',
                   'doc_surprisal', 'split_manifest',
-                  'session_durations', 'shard_balance']
+                  'session_durations', 'shard_balance',
+                  'part_triangles']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
