@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'session_durations': relational.session_durations,
         'shard_balance': sharding.shard_balance,
         'part_triangles': graph.part_triangles,
+        'purchase_view_lag': relational.purchase_view_lag,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -374,6 +375,7 @@ def oracle_sql() -> dict[str, str]:
     generated['shard_balance'] = _sharding.shard_balance_oracle_sql()
     from engine.ops import graph as _graph_mod
     generated['part_triangles'] = _graph_mod.TRIANGLES_SQL
+    generated['purchase_view_lag'] = _relational_mod.PURCHASE_VIEW_LAG_SQL
     generated['token_postings'] = _textstats.postings_oracle_sql()
     generated['token_cooccur_topk'] = _textstats.cooccur_oracle_sql()
     generated['source_token_topk'] = _textstats.source_topk_oracle_sql()

@@ -53,7 +53,7 @@ __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'events_value_tdigest', 'events_windowed_distinct_users',
            'events_value_mad_outliers', 'orders_cohort_retention',
            'events_anomaly_days', 'events_late_arrivals',
-           'session_durations']
+           'session_durations', 'purchase_view_lag']
 
 
 def rank_in_sorted_key(keys_sorted):
@@ -3073,3 +3073,78 @@ SELECT user_id, session_idx::BIGINT AS session_idx,
        (max(ts_us) - min(ts_us))::BIGINT AS duration_us
 FROM s GROUP BY user_id, session_idx
 """.format(gap_us=1800 * 1_000_000)
+
+
+def purchase_view_lag(sf_dir, num_buckets=64):
+    """FUNNEL-LATENCY as-of SELF-join: for every purchase, the lag to
+    the user's latest STRICTLY-EARLIER view (NULL if none) — the
+    conversion-latency table behind attribution windows.  The strict
+    inequality makes the result independent of how same-timestamp rows
+    are ordered, so both sides are deterministic without a tiebreak.
+
+    Shape: map-side filter to the two event types, ONE user-bucketed
+    exchange, then a single vectorized structured-key searchsorted of
+    all purchases against all views in the bucket ((user, ts) composite
+    keys — no per-user loop).  All int64 microseconds."""
+    nb = num_buckets
+
+    def two_types(batch: pa.Table) -> pa.Table:
+        et = batch.column('event_type')
+        keep = pc.or_(pc.equal(et, 'view'), pc.equal(et, 'purchase'))
+        t = batch.filter(keep)
+        b = t.column('user_id').to_numpy(zero_copy_only=False) & (nb - 1)
+        return pa.table({
+            'event_id': t.column('event_id'),
+            'user_id': t.column('user_id'),
+            'ts_us': t.column('ts').cast(pa.int64()),
+            'is_view': pc.equal(t.column('event_type'), 'view'),
+            'bucket': pa.array(b, pa.int64()),
+        })
+
+    def asof(group: pa.Table) -> pa.Table:
+        isv = group.column('is_view').to_numpy(zero_copy_only=False)
+        uid = group.column('user_id').to_numpy(zero_copy_only=False)
+        ts = group.column('ts_us').to_numpy(zero_copy_only=False)
+        eid = group.column('event_id').to_numpy(zero_copy_only=False)
+        vk = np.empty(int(isv.sum()), dtype=[('u', '<i8'), ('t', '<i8')])
+        vk['u'], vk['t'] = uid[isv], ts[isv]
+        vk.sort()
+        pu, pt, pe = uid[~isv], ts[~isv], eid[~isv]
+        pk = np.empty(len(pu), dtype=[('u', '<i8'), ('t', '<i8')])
+        pk['u'], pk['t'] = pu, pt
+        # first view >= (user, purchase_ts) — entry before it is the
+        # latest STRICTLY earlier view IF it belongs to the same user
+        idx = np.searchsorted(vk, pk, side='left') - 1
+        ok = idx >= 0
+        safe = np.maximum(idx, 0)
+        ok &= (vk['u'][safe] == pu)
+        lag = np.where(ok, pt - vk['t'][safe], 0)
+        return pa.table({
+            'event_id': pa.array(pe, pa.int64()),
+            'user_id': pa.array(pu, pa.int64()),
+            'ts_us': pa.array(pt, pa.int64()),
+            'lag_us': pa.array(np.where(ok, lag, 0), pa.int64(),
+                               mask=~ok),
+        })
+
+    ds = read_table(sf_dir, 'events',
+                    columns=['event_id', 'user_id', 'ts', 'event_type'])
+    return ds.map_batches(two_types, batch_format='pyarrow',
+                          zero_copy_batch=True) \
+             .groupby('bucket').map_groups(asof, batch_format='pyarrow')
+
+
+PURCHASE_VIEW_LAG_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts)::BIGINT AS ts_us
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, epoch_us(ts)::BIGINT AS ts_us
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id, p.ts_us,
+       p.ts_us - (SELECT max(v.ts_us) FROM v
+                  WHERE v.user_id = p.user_id
+                    AND v.ts_us < p.ts_us) AS lag_us
+FROM p
+"""
