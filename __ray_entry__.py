@@ -163,6 +163,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # green row in any CORRECTNESS_r*.json yet, (b) queries whose code
     # changed this round, (c) the flagship.  Long-green entries (r1-r3
     # hash-green on unchanged code) sit at the back.
+    # ROUND-5 TODO (first action next round): move the "late round-4"
+    # block below (everything from 'part_assoc_rules' through
+    # 'purchase_view_lag' — none have a driver CORRECTNESS row yet;
+    # all are tools/verify_queries.py + pytest green) to the TOP of
+    # this dict, and push the entries CORRECTNESS_r04 covers to the
+    # back.
     return {
         # -- never driver-checked before round 4 ----------------------
         'user_event_pivot': relational.user_event_pivot,
