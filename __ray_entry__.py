@@ -69,6 +69,11 @@ def _conv_role_transitions(sf_dir: str) -> Any:
     return conv_role_transitions(_transcripts_dir(sf_dir))
 
 
+def _conv_tool_usage(sf_dir: str) -> Any:
+    from engine.ops.convstats import conv_tool_usage
+    return conv_tool_usage(_transcripts_dir(sf_dir))
+
+
 def _engine_fingerprint() -> str:
     """md5 over the extraction-relevant source files: a resume dir is
     only trusted for output produced by the SAME engine code, so a code
@@ -253,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'shard_balance': sharding.shard_balance,
         'part_triangles': graph.part_triangles,
         'purchase_view_lag': relational.purchase_view_lag,
+        'conv_tool_usage': _conv_tool_usage,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -348,9 +354,11 @@ def oracle_sql() -> dict[str, str]:
         _corpus = _ec(_sfd(oracles._oracle_sf_dir()))
         generated['conv_stats'] = conv_stats_oracle_sql(_corpus)
         generated['conv_text_md5'] = conv_text_oracle_sql(_corpus)
-        from engine.ops.convstats import conv_role_transitions_oracle_sql
+        from engine.ops.convstats import (conv_role_transitions_oracle_sql,
+                                          conv_tool_usage_oracle_sql)
         generated['conv_role_transitions'] = \
             conv_role_transitions_oracle_sql(_corpus)
+        generated['conv_tool_usage'] = conv_tool_usage_oracle_sql(_corpus)
         # flagship extraction: reference-derived expected tables → SQL joins
         generated.update(oracles.extract_oracle_sqls())
         # multimodal blob md5s vs fixture-time independent recompute

@@ -18,7 +18,8 @@ from .textstats import _string_bucket
 
 __all__ = ['conv_stats', 'conv_stats_oracle_sql',
            'conv_text_md5', 'conv_text_oracle_sql',
-           'conv_role_transitions', 'conv_role_transitions_oracle_sql']
+           'conv_role_transitions', 'conv_role_transitions_oracle_sql',
+           'conv_tool_usage', 'conv_tool_usage_oracle_sql']
 
 
 def conv_stats(corpus_dir, num_buckets=64):
@@ -216,4 +217,83 @@ WITH o AS (
 SELECT role AS role_from, role_to, count(*)::BIGINT AS n
 FROM o WHERE role_to IS NOT NULL
 GROUP BY role, role_to
+""".format(corpus=corpus_dir)
+
+
+def conv_tool_usage(corpus_dir, num_buckets=64):
+    """TOOL-USAGE audit over the transcripts corpus: per tool, the turn
+    count, the number of DISTINCT conversations using it, and its share
+    of all tool turns — what a tool-use-training owner checks before
+    weighting tool trajectories ('' rows — non-tool turns — are
+    excluded).  share is one division of int64-exact operands, r6.
+
+    Shape: per-block (conv, tool) distinct+count combiner →
+    conv-bucketed exchange (a conversation lives in one bucket, so
+    per-bucket distinct-conv counts SUM globally) → per-(bucket, tool)
+    partials → one tiny tool-keyed fold."""
+    import numpy as np
+
+    from .common import round_half_up
+
+    nb = num_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(['conv_id', 'tool']) \
+                 .filter(pc.not_equal(batch.column('tool'), ''))
+        g = t.group_by(['conv_id', 'tool']).aggregate([([], 'count_all')])
+        g = g.rename_columns(['conv_id', 'tool', 'n_turns'])
+        return g.append_column('bucket',
+                               _string_bucket(g.column('conv_id'), nb))
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        per_ct = group.group_by(['conv_id', 'tool']).aggregate(
+            [('n_turns', 'sum')])
+        g = per_ct.group_by('tool').aggregate(
+            [('n_turns_sum', 'sum'), ([], 'count_all')])
+        g = g.rename_columns(['tool', 'n_turns', 'n_convs'])
+        return g.append_column('fbucket',
+                               _string_bucket(g.column('tool'), 8))
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by('tool').aggregate([('n_turns', 'sum'),
+                                              ('n_convs', 'sum')])
+        return pa.table({
+            'tool': g.column('tool'),
+            'n_turns': g.column('n_turns_sum').cast(pa.int64()),
+            'n_convs': g.column('n_convs_sum').cast(pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(corpus_dir, columns=['conv_id', 'tool'])
+    per_tool = ds.map_batches(partial, batch_format='pyarrow',
+                              zero_copy_batch=True) \
+        .groupby('bucket').map_groups(bucket_fold,
+                                      batch_format='pyarrow') \
+        .groupby('fbucket').map_groups(fold, batch_format='pyarrow')
+    # total tool turns: fold the tiny per-tool table driver-side for the
+    # share column (rows = distinct tools, bounded by the tool registry)
+    import ray as _ray
+    tbl = pa.concat_tables([t for t in _ray.get(per_tool.to_arrow_refs())
+                            if t.num_rows])
+    nt = tbl.column('n_turns').to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+    total = int(nt.sum())
+    share = round_half_up(nt.astype(np.float64) / np.float64(max(total, 1)),
+                          6) if total > 0 else np.zeros(len(nt))
+    return tbl.append_column('share', pa.array(share, pa.float64()))
+
+
+def conv_tool_usage_oracle_sql(corpus_dir):
+    return """
+WITH t AS (
+  SELECT tool, count(*)::BIGINT AS n_turns,
+         count(DISTINCT conv_id)::BIGINT AS n_convs
+  FROM read_parquet('{corpus}/*.parquet')
+  WHERE tool <> ''
+  GROUP BY tool
+)
+SELECT tool, n_turns, n_convs,
+       floor(CAST(n_turns AS DOUBLE)
+             / CAST((SELECT sum(n_turns) FROM t) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS share
+FROM t
 """.format(corpus=corpus_dir)

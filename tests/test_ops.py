@@ -95,7 +95,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'dedup_cluster_sizes', 'clean_token_budget',
                   'doc_surprisal', 'split_manifest',
                   'session_durations', 'shard_balance',
-                  'part_triangles', 'purchase_view_lag']
+                  'part_triangles', 'purchase_view_lag',
+                  'conv_tool_usage']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
