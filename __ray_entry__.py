@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'part_triangles': graph.part_triangles,
         'purchase_view_lag': relational.purchase_view_lag,
         'conv_tool_usage': _conv_tool_usage,
+        'embedding_project2d': similarity.embedding_project2d,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -340,6 +341,9 @@ def oracle_sql() -> dict[str, str]:
     }
     try:
         generated['ann_topk_lsh'] = oracles.lsh_oracle_sql(oracles.embedding_dim())
+        from engine.ops.similarity import project2d_oracle_sql
+        generated['embedding_project2d'] = \
+            project2d_oracle_sql(oracles.embedding_dim())
         generated['ann_topk_ivf'] = oracles.ivf_oracle_sql()
         generated['ann_topk_pq'] = oracles.pq_oracle_sql()
         generated['embedding_dup_lsh'] = oracles.dup_lsh_oracle_sql()

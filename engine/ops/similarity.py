@@ -29,7 +29,8 @@ from .common import round_half_up, table_path, read_table, pool
 __all__ = ['embedding_dup_pairs', 'embedding_dup_pairs_blocked',
            'embedding_dup_lsh', 'ann_topk', 'ann_topk_lsh', 'ann_topk_ivf',
            'ann_topk_pq', 'embedding_norms', 'EMBEDDING_NORMS_SQL',
-           'embedding_norm_stats', 'EMBEDDING_NORM_STATS_SQL']
+           'embedding_norm_stats', 'EMBEDDING_NORM_STATS_SQL',
+           'embedding_project2d', 'project2d_oracle_sql']
 
 
 def _read_embeddings(sf_dir):
@@ -800,3 +801,57 @@ def ann_topk_pq(sf_dir, n_queries=16, k=5, m=_PQ_M, n_codes=_PQ_K):
         batch_format='pyarrow', zero_copy_batch=True)
     return partial.groupby('query_id').map_groups(_final_topk_int(k),
                                                   batch_format='pyarrow')
+
+
+def _proj_planes(dim):
+    """Two deterministic projection directions (seeded, data-independent
+    — the LSH plane convention, distinct seed)."""
+    rng = np.random.RandomState(778)
+    return rng.standard_normal((dim, 2))
+
+
+def embedding_project2d(sf_dir):
+    """2-D PROJECTION EXPORT — the embedding-map shape: every vector
+    dotted against two fixed seeded directions → (vec_id, label, x, y),
+    the table a viz/UMAP-precursor or drift dashboard ingests.  Pure
+    map, no shuffle.
+
+    Float parity: each coordinate is ONE sequential-fold dot product
+    (the `_seq_dot` rule — DuckDB's list_dot_product folds
+    left-to-right), half-up r6; the planes inline into the generated
+    oracle as literals."""
+    from .common import round_half_up, pool, read_table
+
+    def project(batch: pa.Table) -> pa.Table:
+        emb = batch.column('embedding')
+        arr = emb.chunk(0) if emb.num_chunks == 1 else emb.combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False) \
+                  .astype(np.float64)
+        mat = flat.reshape(batch.num_rows, -1)
+        planes = _proj_planes(mat.shape[1])
+        x = _seq_dot(mat, planes[:, 0])
+        y = _seq_dot(mat, planes[:, 1])
+        return pa.table({
+            'vec_id': batch.column('vec_id'),
+            'label': batch.column('label').cast(pa.int64()),
+            'x': pa.array(round_half_up(x, 6), pa.float64()),
+            'y': pa.array(round_half_up(y, 6), pa.float64()),
+        })
+
+    return read_table(sf_dir, 'embeddings',
+                      columns=['vec_id', 'embedding', 'label'],
+                      min_blocks=pool()[1]) \
+        .map_batches(project, batch_format='pyarrow', zero_copy_batch=True)
+
+
+def project2d_oracle_sql(dim):
+    from .oracles import _dlist as dlist
+    planes = _proj_planes(dim)
+    return """
+SELECT vec_id, label::BIGINT AS label,
+       floor(list_dot_product(embedding::DOUBLE[], {p0}) * 1000000 + 0.5)
+         / 1000000 AS x,
+       floor(list_dot_product(embedding::DOUBLE[], {p1}) * 1000000 + 0.5)
+         / 1000000 AS y
+FROM embeddings
+""".format(p0=dlist(planes[:, 0]), p1=dlist(planes[:, 1]))

@@ -96,7 +96,7 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'doc_surprisal', 'split_manifest',
                   'session_durations', 'shard_balance',
                   'part_triangles', 'purchase_view_lag',
-                  'conv_tool_usage']
+                  'conv_tool_usage', 'embedding_project2d']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
