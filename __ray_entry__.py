@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'purchase_view_lag': relational.purchase_view_lag,
         'conv_tool_usage': _conv_tool_usage,
         'embedding_project2d': similarity.embedding_project2d,
+        'customer_ltv_deciles': relational.customer_ltv_deciles,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -394,6 +395,7 @@ def oracle_sql() -> dict[str, str]:
     from engine.ops import graph as _graph_mod
     generated['part_triangles'] = _graph_mod.TRIANGLES_SQL
     generated['purchase_view_lag'] = _relational_mod.PURCHASE_VIEW_LAG_SQL
+    generated['customer_ltv_deciles'] = _relational_mod.LTV_DECILES_SQL
     generated['token_postings'] = _textstats.postings_oracle_sql()
     generated['token_cooccur_topk'] = _textstats.cooccur_oracle_sql()
     generated['source_token_topk'] = _textstats.source_topk_oracle_sql()

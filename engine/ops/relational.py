@@ -53,7 +53,8 @@ __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'events_value_tdigest', 'events_windowed_distinct_users',
            'events_value_mad_outliers', 'orders_cohort_retention',
            'events_anomaly_days', 'events_late_arrivals',
-           'session_durations', 'purchase_view_lag']
+           'session_durations', 'purchase_view_lag',
+           'customer_ltv_deciles']
 
 
 def rank_in_sorted_key(keys_sorted):
@@ -3147,4 +3148,118 @@ SELECT p.event_id, p.user_id, p.ts_us,
                   WHERE v.user_id = p.user_id
                     AND v.ts_us < p.ts_us) AS lag_us
 FROM p
+"""
+
+
+def customer_ltv_deciles(sf_dir, n_tiles=10, vrange=1 << 20,
+                         num_buckets=64, max_vbuckets=1 << 20):
+    """DISTRIBUTED RANK / NTILE — per customer: lifetime order value
+    (cents), global rank under (ltv, custkey) order, and decile — the
+    LTV-segmentation table behind tiered sampling and pricing analyses,
+    and the repo's third ordered-prefix-scan instance with a VALUE-range
+    key (cents // vrange) instead of a dense id range: a global
+    row_number() a groupby cannot express.
+
+    Three steps: (1) per-customer cents fold (custkey-bucketed
+    combiner), materialized once; (2) per-value-bucket COUNTS → driver
+    exclusive scan (state bounded by value range / vrange, loudly
+    guarded); (3) per-value-bucket finalize: lexsort (cents, custkey),
+    rank = offset + position, decile = rank·n_tiles // n.  All integer;
+    ties are broken by custkey on both sides, so the rank is unique and
+    deterministic."""
+    nb = num_buckets
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch.column('o_totalprice').to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({'custkey': batch.column('o_custkey'),
+                      'cents': pa.array(cents, pa.int64())})
+        g = t.group_by('custkey').aggregate([('cents', 'sum')])
+        g = g.rename_columns(['custkey', 'cents'])
+        ck = g.column('custkey').to_numpy(zero_copy_only=False)
+        return g.append_column('bucket', pa.array(hash63_keys(ck) & (nb - 1),
+                                                  pa.int64()))
+
+    def ltv_fold(group: pa.Table) -> pa.Table:
+        g = group.group_by('custkey').aggregate([('cents', 'sum')])
+        g = g.rename_columns(['custkey', 'ltv_cents'])
+        vb = g.column('ltv_cents').to_numpy(zero_copy_only=False) // vrange
+        return pa.table({
+            'custkey': g.column('custkey').cast(pa.int64()),
+            'ltv_cents': g.column('ltv_cents').cast(pa.int64()),
+            'vbucket': pa.array(vb, pa.int64()),
+        })
+
+    ltv = read_table(sf_dir, 'orders',
+                     columns=['o_custkey', 'o_totalprice']) \
+        .map_batches(order_partial, batch_format='pyarrow',
+                     zero_copy_batch=True) \
+        .groupby('bucket').map_groups(ltv_fold, batch_format='pyarrow') \
+        .materialize()
+
+    def vcounts(batch: pa.Table) -> pa.Table:
+        g = batch.select(['vbucket']).group_by('vbucket') \
+                 .aggregate([([], 'count_all')])
+        return g.rename_columns(['vbucket', 'cnt'])
+
+    parts = [t for t in ray.get(
+        ltv.map_batches(vcounts, batch_format='pyarrow')
+           .groupby('vbucket')
+           .map_groups(lambda g: g.group_by('vbucket')
+                       .aggregate([('cnt', 'sum')])
+                       .rename_columns(['vbucket', 'cnt']),
+                       batch_format='pyarrow')
+           .to_arrow_refs()) if t.num_rows]
+    totals = pa.concat_tables(parts) if parts else \
+        pa.table({'vbucket': pa.array([], pa.int64()),
+                  'cnt': pa.array([], pa.int64())})
+    if totals.num_rows > max_vbuckets:
+        raise RuntimeError(
+            'customer_ltv_deciles: %d value buckets exceeds '
+            'max_vbuckets=%d; raise vrange' % (totals.num_rows,
+                                               max_vbuckets))
+    vb = totals.column('vbucket').to_numpy(zero_copy_only=False)
+    cn = totals.column('cnt').to_numpy(zero_copy_only=False)
+    order = np.argsort(vb, kind='stable')
+    vb, cn = vb[order], cn[order]
+    offs, acc = [], 0
+    for c in cn:
+        offs.append(acc)
+        acc += int(c)
+    n = acc
+    offsets_ref = ray.put({int(b): o for b, o in zip(vb, offs)})
+
+    def finalize(group: pa.Table) -> pa.Table:
+        ck = group.column('custkey').to_numpy(zero_copy_only=False)
+        lv = group.column('ltv_cents').to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, lv))
+        ck, lv = ck[order], lv[order]
+        off = ray.get(offsets_ref)[int(lv[0]) // vrange] if len(ck) else 0
+        rank = off + np.arange(len(ck), dtype=np.int64)   # 0-based
+        return pa.table({
+            'o_custkey': pa.array(ck, pa.int64()),
+            'ltv_cents': pa.array(lv, pa.int64()),
+            'rank': pa.array(rank + 1, pa.int64()),       # 1-based out
+            'decile': pa.array(rank * n_tiles // n, pa.int64()),
+        })
+
+    return ltv.groupby('vbucket').map_groups(finalize,
+                                             batch_format='pyarrow')
+
+
+LTV_DECILES_SQL = """
+WITH l AS (
+  SELECT o_custkey,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+           AS ltv_cents
+  FROM orders GROUP BY o_custkey
+), r AS (
+  SELECT o_custkey, ltv_cents,
+         row_number() OVER (ORDER BY ltv_cents, o_custkey)::BIGINT AS rank,
+         count(*) OVER ()::BIGINT AS n
+  FROM l
+)
+SELECT o_custkey, ltv_cents, rank,
+       ((rank - 1) * 10 // n)::BIGINT AS decile
+FROM r
 """

@@ -96,7 +96,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'doc_surprisal', 'split_manifest',
                   'session_durations', 'shard_balance',
                   'part_triangles', 'purchase_view_lag',
-                  'conv_tool_usage', 'embedding_project2d']
+                  'conv_tool_usage', 'embedding_project2d',
+                  'customer_ltv_deciles']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
