@@ -261,6 +261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'conv_tool_usage': _conv_tool_usage,
         'embedding_project2d': similarity.embedding_project2d,
         'customer_ltv_deciles': relational.customer_ltv_deciles,
+        'events_type_drift': relational.events_type_drift,
+        'doc_ngram_novelty': decontam.doc_ngram_novelty,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -396,6 +398,7 @@ def oracle_sql() -> dict[str, str]:
     generated['part_triangles'] = _graph_mod.TRIANGLES_SQL
     generated['purchase_view_lag'] = _relational_mod.PURCHASE_VIEW_LAG_SQL
     generated['customer_ltv_deciles'] = _relational_mod.LTV_DECILES_SQL
+    generated['events_type_drift'] = _relational_mod.EVENTS_TYPE_DRIFT_SQL
     generated['token_postings'] = _textstats.postings_oracle_sql()
     generated['token_cooccur_topk'] = _textstats.cooccur_oracle_sql()
     generated['source_token_topk'] = _textstats.source_topk_oracle_sql()
@@ -1002,6 +1005,7 @@ FROM r WHERE rank <= 50
     from engine.ops import decontam as _decontam
     from engine.ops import evals as _evals
     full['decontaminate_split'] = _decontam.decontam_oracle_sql()
+    full['doc_ngram_novelty'] = _decontam.novelty_oracle_sql()
     full['dedup_simhash_eval'] = _evals.simhash_eval_oracle_sql(
         full['ngram_jaccard_pairs'], full['simhash_near_dup'])
     if 'events_value_tdigest' in full:

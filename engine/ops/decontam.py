@@ -180,3 +180,110 @@ SELECT s.doc_id,
 FROM s LEFT JOIN tot USING (doc_id) LEFT JOIN hits USING (doc_id)
 WHERE NOT s.is_train
 """.format(mod=train_mod, lt=train_lt, km1=k - 1)
+
+
+def doc_ngram_novelty(sf_dir, k=5, num_buckets=64):
+    """FIRST-OCCURRENCE ATTRIBUTION — per document: what fraction of
+    its distinct k-grams appear for the FIRST time in the corpus (first
+    = smallest doc_id)?  The novelty curve a dedup owner reads to find
+    where a crawl stops contributing new text (novelty → 0 means the
+    tail is re-crawl).  Output: (doc_id, n_grams, n_novel, novelty r6)
+    for every doc with ≥ 1 gram.
+
+    Shape (the decontaminate_split machinery with a MIN attribution
+    instead of a split semi-join): distinct (doc, gram) rows route by
+    gram hash; a gram's global min-doc resolves INSIDE its bucket
+    (Arrow group_by on the gram string — the hash only routes, identity
+    is the string); per-doc partials co-partition once by doc bucket.
+    novelty is one division of int64-exact operands."""
+    import re as _re
+
+    from .common import round_half_up
+
+    nb = num_buckets
+    token_re = _TOKEN_RE
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_numpy(zero_copy_only=False)
+        out_g, out_d = [], []
+        for i, txt in enumerate(batch.column('text').to_pylist()):
+            toks = token_re.findall(txt)
+            grams = list({' '.join(toks[j:j + k])
+                          for j in range(len(toks) - k + 1)})
+            if not grams:
+                continue
+            out_g.extend(grams)
+            out_d.append(np.full(len(grams), ids[i], np.int64))
+        if not out_g:
+            return pa.table({'gram': pa.array([], pa.string()),
+                             'doc_id': pa.array([], pa.int64()),
+                             'bucket': pa.array([], pa.int64())})
+        gh = hash63_strings(out_g)
+        return pa.table({
+            'gram': pa.array(out_g, pa.string()),
+            'doc_id': pa.array(np.concatenate(out_d), pa.int64()),
+            'bucket': pa.array(gh & (nb - 1), pa.int64()),
+        })
+
+    def gram_fold(group: pa.Table) -> pa.Table:
+        m = group.group_by('gram').aggregate([('doc_id', 'min')])
+        m = m.rename_columns(['gram', 'first_doc'])
+        j = group.select(['gram', 'doc_id']).join(m, keys='gram',
+                                                  join_type='inner')
+        novel = pc.cast(pc.equal(j.column('doc_id'),
+                                 j.column('first_doc')), pa.int64())
+        t = pa.table({'doc_id': j.column('doc_id'), 'novel': novel})
+        g = t.group_by('doc_id').aggregate([('novel', 'sum'),
+                                            ([], 'count_all')])
+        g = g.rename_columns(['doc_id', 'n_novel', 'n_grams'])
+        ids = g.column('doc_id').to_numpy(zero_copy_only=False)
+        return g.append_column('dbucket',
+                               pa.array(hash63_keys(ids) & (nb - 1),
+                                        pa.int64()))
+
+    def doc_fold(group: pa.Table) -> pa.Table:
+        g = group.group_by('doc_id').aggregate([('n_novel', 'sum'),
+                                                ('n_grams', 'sum')])
+        nv = g.column('n_novel_sum').to_numpy(zero_copy_only=False) \
+              .astype(np.int64)
+        ng = g.column('n_grams_sum').to_numpy(zero_copy_only=False) \
+              .astype(np.int64)
+        return pa.table({
+            'doc_id': g.column('doc_id'),
+            'n_grams': pa.array(ng, pa.int64()),
+            'n_novel': pa.array(nv, pa.int64()),
+            'novelty': pa.array(
+                round_half_up(nv.astype(np.float64)
+                              / ng.astype(np.float64), 6), pa.float64()),
+        })
+
+    _, width = pool()
+    return read_table(sf_dir, 'documents', columns=['doc_id', 'text'],
+                      min_blocks=width) \
+        .map_batches(emit, batch_format='pyarrow', zero_copy_batch=True) \
+        .groupby('bucket').map_groups(gram_fold, batch_format='pyarrow') \
+        .groupby('dbucket').map_groups(doc_fold, batch_format='pyarrow')
+
+
+def novelty_oracle_sql(k=5):
+    return r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(tk) - {km1}, 0)),
+             i -> array_to_string(tk[i:i+{km1}], ' ')))) AS gram
+  FROM toks
+), m AS (
+  SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+), s AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+         count(*) FILTER (m.first_doc = g.doc_id)::BIGINT AS n_novel
+  FROM g JOIN m USING (gram) GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, n_novel,
+       floor(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS novelty
+FROM s
+""".format(km1=k - 1)

@@ -54,7 +54,7 @@ __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'events_value_mad_outliers', 'orders_cohort_retention',
            'events_anomaly_days', 'events_late_arrivals',
            'session_durations', 'purchase_view_lag',
-           'customer_ltv_deciles']
+           'customer_ltv_deciles', 'events_type_drift']
 
 
 def rank_in_sorted_key(keys_sorted):
@@ -3263,3 +3263,101 @@ SELECT o_custkey, ltv_cents, rank,
        ((rank - 1) * 10 // n)::BIGINT AS decile
 FROM r
 """
+
+
+def events_type_drift(sf_dir):
+    """DISTRIBUTION-DRIFT monitor: per day, the L1 distance between the
+    day's event-type distribution and the previous day's — the
+    ingestion-health dashboard number that catches a broken producer
+    before it poisons training data.  EXACT RATIONAL arithmetic: with
+    day counts c_t (total N) and previous-day counts p_t (total M),
+    L1 = Σ_t |c_t/N − p_t/M| = (Σ_t |c_t·M − p_t·N|) / (N·M) — an
+    integer numerator and ONE division, half-up r6.  Python-int
+    arithmetic in the fold keeps c·M exact at any scale.
+
+    Shape: one (type, day) count combiner exchange (state = types ×
+    days, calendar-bounded); the day-over-day enrichment folds the tiny
+    per-day matrix driver-side (aggregate-then-enrich, the zscore
+    pattern).  First day has no predecessor → NULL drift."""
+    from .common import round_half_up
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column('ts').to_numpy(zero_copy_only=False) \
+                  .view(np.int64)
+        t = pa.table({
+            'event_type': batch.column('event_type'),
+            'day': pa.array(ts // _US_PER_DAY, pa.int64()),
+        })
+        g = t.group_by(['event_type', 'day']).aggregate([([], 'count_all')])
+        return g.rename_columns(['event_type', 'day', 'n'])
+
+    folded = read_table(sf_dir, 'events', columns=['event_type', 'ts']) \
+        .map_batches(partial, batch_format='pyarrow',
+                     zero_copy_batch=True) \
+        .groupby('day').map_groups(
+            lambda g: g.group_by(['event_type', 'day'])
+                       .aggregate([('n', 'sum')])
+                       .rename_columns(['event_type', 'day', 'n']),
+            batch_format='pyarrow')
+    tbl = pa.concat_tables([t for t in ray.get(folded.to_arrow_refs())
+                            if t.num_rows])
+    et = tbl.column('event_type').to_pylist()
+    dy = tbl.column('day').to_numpy(zero_copy_only=False)
+    cn = tbl.column('n').to_numpy(zero_copy_only=False)
+    days = np.unique(dy)
+    by_day = {}
+    for t_, d_, c_ in zip(et, dy, cn):
+        by_day.setdefault(int(d_), {})[t_] = int(c_)
+    out_day, out_n, out_drift, mask = [], [], [], []
+    prev = None
+    for d in days.tolist():
+        cur = by_day[d]
+        N = sum(cur.values())
+        out_day.append(d)
+        out_n.append(N)
+        if prev is None:
+            out_drift.append(0.0)
+            mask.append(True)
+        else:
+            pd_, M = prev
+            num = sum(abs(cur.get(t_, 0) * M - pd_.get(t_, 0) * N)
+                      for t_ in set(cur) | set(pd_))
+            out_drift.append(float(round_half_up(
+                np.float64(num) / np.float64(N * M), 6)))
+            mask.append(False)
+        prev = (cur, N)
+    return pa.table({
+        'day': pa.array(out_day, pa.int64()),
+        'n_events': pa.array(out_n, pa.int64()),
+        'l1_drift': pa.array(out_drift, pa.float64(),
+                             mask=np.array(mask, bool)),
+    })
+
+
+EVENTS_TYPE_DRIFT_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // {us_day} AS day,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), days AS (
+  SELECT day, sum(n)::BIGINT AS total,
+         lag(day) OVER (ORDER BY day) AS prev_day
+  FROM d GROUP BY day
+), pairs AS (
+  SELECT cur.day, cur.total AS n_cur, prv.total AS n_prv,
+         sum(abs(coalesce(dc.n, 0)::HUGEINT * prv.total
+                 - coalesce(dp.n, 0)::HUGEINT * cur.total)) AS num
+  FROM days cur
+  JOIN days prv ON prv.day = cur.prev_day
+  JOIN (SELECT DISTINCT event_type FROM d) t ON TRUE
+  LEFT JOIN d dc ON dc.day = cur.day AND dc.event_type = t.event_type
+  LEFT JOIN d dp ON dp.day = prv.day AND dp.event_type = t.event_type
+  GROUP BY cur.day, cur.total, prv.total
+)
+SELECT days.day::BIGINT AS day, days.total AS n_events,
+       CASE WHEN pairs.day IS NULL THEN NULL
+            ELSE floor(CAST(pairs.num AS DOUBLE)
+                       / CAST(pairs.n_cur * pairs.n_prv AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000 END AS l1_drift
+FROM days LEFT JOIN pairs ON pairs.day = days.day
+""".format(us_day=_US_PER_DAY)

@@ -97,7 +97,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'session_durations', 'shard_balance',
                   'part_triangles', 'purchase_view_lag',
                   'conv_tool_usage', 'embedding_project2d',
-                  'customer_ltv_deciles']
+                  'customer_ltv_deciles', 'events_type_drift',
+                  'doc_ngram_novelty']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
