@@ -170,10 +170,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # hash-green on unchanged code) sit at the back.
     # ROUND-5 TODO (first action next round): move the "late round-4"
     # block below (everything from 'part_assoc_rules' through
-    # 'purchase_view_lag' — none have a driver CORRECTNESS row yet;
-    # all are tools/verify_queries.py + pytest green) to the TOP of
-    # this dict, and push the entries CORRECTNESS_r04 covers to the
-    # back.
+    # 'vocab_coverage', i.e. up to the long-green comment — none have a
+    # driver CORRECTNESS row yet; all are tools/verify_queries.py +
+    # pytest green) to the TOP of this dict, and push the entries
+    # CORRECTNESS_r04 covers to the back.
     return {
         # -- never driver-checked before round 4 ----------------------
         'user_event_pivot': relational.user_event_pivot,
@@ -263,6 +263,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'customer_ltv_deciles': relational.customer_ltv_deciles,
         'events_type_drift': relational.events_type_drift,
         'doc_ngram_novelty': decontam.doc_ngram_novelty,
+        'dedup_keep_best': clusters.dedup_keep_best,
+        'dedup_normalized': dedup.dedup_normalized,
+        'vocab_coverage': textstats.vocab_coverage,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -399,6 +402,10 @@ def oracle_sql() -> dict[str, str]:
     generated['purchase_view_lag'] = _relational_mod.PURCHASE_VIEW_LAG_SQL
     generated['customer_ltv_deciles'] = _relational_mod.LTV_DECILES_SQL
     generated['events_type_drift'] = _relational_mod.EVENTS_TYPE_DRIFT_SQL
+    from engine.ops import dedup as _dedup_mod
+    generated['dedup_keep_best'] = oracles.keep_best_oracle_sql()
+    generated['dedup_normalized'] = _dedup_mod.DEDUP_NORMALIZED_SQL
+    generated['vocab_coverage'] = _textstats.vocab_coverage_oracle_sql()
     generated['token_postings'] = _textstats.postings_oracle_sql()
     generated['token_cooccur_topk'] = _textstats.cooccur_oracle_sql()
     generated['source_token_topk'] = _textstats.source_topk_oracle_sql()

@@ -41,7 +41,9 @@ BENCH_QUERIES = ['q1_pricing', 'events_by_type', 'dedup_exact',
                  'user_decay_score', 'doc_model_score', 'ann_topk_pq',
                  # round-4c additions
                  'decontaminate_split', 'doc_shard_assign',
-                 'conv_role_transitions', 'embedding_norm_stats']
+                 'conv_role_transitions', 'embedding_norm_stats',
+                 # round-4d additions
+                 'events_type_drift', 'doc_ngram_novelty']
 
 
 def _init_ray(num_cpus):

@@ -43,7 +43,7 @@ from .dedup import minhash_near_dup
 __all__ = ['dedup_clusters', 'corpus_clean', 'components_from_pairs',
            'embedding_dedup_clusters', 'dedup_cluster_sizes',
            'cluster_sizes_oracle_sql', 'clean_token_budget',
-           'token_budget_oracle_sql']
+           'token_budget_oracle_sql', 'dedup_keep_best']
 
 
 def _bucket(ids, nb):
@@ -557,3 +557,77 @@ SELECT rr.lang, rr.n_docs, coalesce(kk.n_docs_kept, 0)::BIGINT
             ELSE 0.0 END AS token_share
 FROM rr LEFT JOIN kk USING (lang)
 """.format(cc=corpus_clean_oracle_sql(threshold=threshold, k=k).strip())
+
+
+def dedup_keep_best(sf_dir, threshold=0.8, k=3, num_buckets=64):
+    """SURVIVOR-POLICY dedup — keep the LONGEST member of each near-dup
+    cluster (argmax n_tokens, tie → min doc_id), not the min-id member:
+    the policy a corpus owner actually wants when near-dups are
+    truncated/rewrapped copies and the most complete version should
+    survive.  One row per cluster: (cluster_id, doc_id, n_tokens,
+    cluster_size) — doc_id is the kept document.
+
+    Shape: the component solve is :func:`dedup_clusters` unchanged; one
+    doc-id-bucketed co-partition attaches each doc's token count to its
+    cluster row (C++ hash join per bucket, no broadcast), then one
+    cluster-id-bucketed exchange resolves the argmax INSIDE the bucket
+    (a cluster lives in exactly one bucket, so max/size/tie-break are
+    exact).  Integer-only — nothing to drift vs the oracle's
+    row_number() OVER (ORDER BY n_tokens DESC, doc_id)."""
+    from .textstats import TOKEN_RE, _count_re
+
+    nb = num_buckets
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_numpy(zero_copy_only=False)
+        return pa.table({
+            'doc_id': batch.column('doc_id'),
+            'cluster_id': pa.nulls(batch.num_rows, pa.int64()),
+            'n_tokens': _count_re(batch.column('text'), TOKEN_RE),
+            'bucket': pa.array(_bucket(ids, nb), pa.int64()),
+        })
+
+    def cluster_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_numpy(zero_copy_only=False)
+        return pa.table({
+            'doc_id': batch.column('doc_id'),
+            'cluster_id': batch.column('cluster_id'),
+            'n_tokens': pa.nulls(batch.num_rows, pa.int64()),
+            'bucket': pa.array(_bucket(ids, nb), pa.int64()),
+        })
+
+    def attach(group: pa.Table) -> pa.Table:
+        is_tok = pc.is_null(group.column('cluster_id'))
+        tok = group.filter(is_tok).select(['doc_id', 'n_tokens'])
+        cl = group.filter(pc.invert(is_tok)).select(['doc_id', 'cluster_id'])
+        j = cl.join(tok, keys='doc_id', join_type='inner')
+        cids = j.column('cluster_id').to_numpy(zero_copy_only=False)
+        return j.append_column('cbucket', pa.array(_bucket(cids, nb),
+                                                   pa.int64()))
+
+    def best(group: pa.Table) -> pa.Table:
+        g = group.group_by('cluster_id').aggregate(
+            [('n_tokens', 'max'), ([], 'count_all')])
+        j = group.select(['cluster_id', 'doc_id', 'n_tokens']) \
+                 .join(g, keys='cluster_id', join_type='inner')
+        j = j.filter(pc.equal(j.column('n_tokens'),
+                              j.column('n_tokens_max')))
+        g2 = j.group_by(['cluster_id', 'n_tokens_max', 'count_all']) \
+              .aggregate([('doc_id', 'min')])
+        return pa.table({
+            'cluster_id': g2.column('cluster_id'),
+            'doc_id': g2.column('doc_id_min').cast(pa.int64()),
+            'n_tokens': g2.column('n_tokens_max').cast(pa.int64()),
+            'cluster_size': g2.column('count_all').cast(pa.int64()),
+        })
+
+    clusters = dedup_clusters(sf_dir, threshold, k, num_buckets)
+    docs = read_table(sf_dir, 'documents', columns=['doc_id', 'text'],
+                      min_blocks=pool()[1])
+    both = docs.map_batches(tok_rows, batch_format='pyarrow',
+                            zero_copy_batch=True) \
+        .union(clusters.map_batches(cluster_rows, batch_format='pyarrow',
+                                    zero_copy_batch=True))
+    return both.groupby('bucket').map_groups(attach,
+                                             batch_format='pyarrow') \
+               .groupby('cbucket').map_groups(best, batch_format='pyarrow')

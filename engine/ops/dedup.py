@@ -38,7 +38,8 @@ import ray.data
 from .common import round_half_up, table_path, read_table, pool
 
 __all__ = ['dedup_exact', 'dedup_exact_payloads', 'ngram_jaccard_pairs',
-           'minhash_near_dup', 'simhash_near_dup', 'shingle_set', 'shared_span_pairs']
+           'minhash_near_dup', 'simhash_near_dup', 'shingle_set',
+           'shared_span_pairs', 'dedup_normalized']
 
 _TOKEN_RE = re.compile(r'\S+')
 
@@ -723,3 +724,65 @@ def shared_span_pairs(sf_dir, k=20, w=8, min_shared=2, num_buckets=64):
                             zero_copy_batch=True) \
         .groupby('bucket').map_groups(fp_pairs, batch_format='pyarrow') \
         .groupby('pbucket').map_groups(pair_fold, batch_format='pyarrow')
+
+
+def dedup_normalized(sf_dir, num_buckets=64):
+    """CANONICALIZED exact dedup — the tier between byte-exact dedup and
+    minhash: documents identical after Unicode lowercase + whitespace-run
+    collapse + edge trim fold into one group, catching re-cased and
+    re-wrapped copies that byte-exact dedup misses at exact-dedup cost
+    (no shingling, no banding).  Survivor = min doc_id per normalized
+    fingerprint; output (doc_id, n_copies), same shape as
+    :func:`dedup_exact`.
+
+    Normalization is RE2 + utf8proc kernels on BOTH sides (pyarrow
+    ``utf8_lower`` / ``replace_substring_regex`` here, DuckDB ``lower`` /
+    ``regexp_replace`` in the oracle — both utf8proc/RE2 underneath);
+    edge trim strips plain spaces only (after the collapse that is the
+    only whitespace left), matching DuckDB ``trim``.  Same bucketed
+    combiner-then-fold exchange as dedup_exact: shuffle payload is one
+    row per distinct normalized hash per block, never text."""
+    import hashlib
+    nb = num_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(batch.column('text')),
+                pattern=r'\s+', replacement=' '),
+            characters=' ')
+        digs = [hashlib.md5(t.encode('utf-8')).digest()
+                for t in norm.to_pylist()]
+        fps = pa.array([d.hex() for d in digs], pa.string())
+        bks = pa.array([int.from_bytes(d[:2], 'little') & (nb - 1)
+                        for d in digs], pa.int64())
+        t = pa.table({'fp': fps, 'bucket': bks,
+                      'doc_id': batch.column('doc_id')})
+        g = t.group_by(['fp', 'bucket']).aggregate(
+            [('doc_id', 'min'), ('doc_id', 'count')])
+        return g.rename_columns(['fp', 'bucket', 'doc_id_min', 'cnt'])
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by('fp').aggregate(
+            [('doc_id_min', 'min'), ('cnt', 'sum')])
+        return pa.table({
+            'doc_id': g.column('doc_id_min_min').cast(pa.int64()),
+            'n_copies': g.column('cnt_sum').cast(pa.int64()),
+        })
+
+    ds = read_table(sf_dir, 'documents', columns=['doc_id', 'text'],
+                    min_blocks=pool()[1])
+    return (ds.map_batches(partial, batch_format='pyarrow',
+                           zero_copy_batch=True)
+              .groupby('bucket').map_groups(final, batch_format='pyarrow'))
+
+
+DEDUP_NORMALIZED_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
+FROM t GROUP BY md5(norm)
+"""

@@ -419,6 +419,33 @@ FROM {et} d LEFT JOIN cl ON cl.eid = d.{ec}
            et=entity_table, ec=entity_col)
 
 
+def keep_best_oracle_sql(threshold=0.8, k=3):
+    """Oracle for :func:`engine.ops.clusters.dedup_keep_best`: the full
+    clusters oracle (recursive CTE over the minhash pair subquery) runs
+    as a subquery; the keep decision is row_number() OVER (PARTITION BY
+    cluster_id ORDER BY n_tokens DESC, doc_id) = 1 — the exact policy the
+    engine's in-bucket argmax + min-id tie-break implements."""
+    cl = clusters_oracle_sql(threshold=threshold, k=k)
+    return r"""
+WITH cl AS ({cl}
+), tok AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+  FROM documents
+), j AS (
+  SELECT cl.cluster_id, cl.doc_id, tok.n_tokens
+  FROM cl JOIN tok USING (doc_id)
+), r AS (
+  SELECT cluster_id, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_tokens DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM j
+)
+SELECT cluster_id, doc_id, n_tokens, cluster_size::BIGINT AS cluster_size
+FROM r WHERE rn = 1
+""".format(cl=cl.strip())
+
+
 def embedding_pairs_sql(threshold=0.42):
     """The exact embedding-cosine pair predicate (same as the
     embedding_dup_pairs oracle's WHERE clause), with the threshold

@@ -26,6 +26,7 @@ __all__ = ['doc_token_stats', 'doc_quality', 'lang_id', 'fingerprint_md5',
            'token_cooccur_topk', 'source_token_topk',
            'lang_fertility', 'LANG_FERTILITY_SQL',
            'doc_surprisal', 'DOC_SURPRISAL_SQL',
+           'vocab_coverage', 'vocab_coverage_oracle_sql',
            'TOKEN_RE', 'BPE_RE',
            'STOPWORD_RE', 'PUNCT_RE', 'DIGIT_RE', 'LANG_MARKERS']
 
@@ -226,6 +227,23 @@ def _string_bucket(col, nb):
         dtype=np.int64, count=len(col)), pa.int64())
 
 
+def _token_count_partial(nb):
+    """Per-block token-count combiner shared by token_frequencies and
+    vocab_coverage: whitespace-split → flatten → drop the empty edge
+    strings the split leaves — all Arrow kernels, no Python over tokens.
+    Emits one (token, cnt, bucket) row per distinct token per block."""
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(batch.column('text'), pattern=r'\s+'))
+        flat = flat.filter(pc.not_equal(flat, ''))
+        g = pa.table({'token': flat}).group_by('token') \
+              .aggregate([('token', 'count')])
+        g = g.rename_columns(['token', 'cnt'])
+        return g.append_column('bucket',
+                               _string_bucket(g.column('token'), nb))
+    return partial
+
+
 def token_frequencies(sf_dir, top_n=100, num_buckets=64):
     """Global heavy-hitters: the ``top_n`` most frequent whitespace tokens
     corpus-wide (count desc, token asc tie-break).
@@ -237,17 +255,7 @@ def token_frequencies(sf_dir, top_n=100, num_buckets=64):
     subset of the union of bucket top_ns) → one driver-side sort of
     ≤ num_buckets·top_n candidate rows."""
     nb = num_buckets
-
-    def partial(batch: pa.Table) -> pa.Table:
-        # whitespace-split → flatten → drop the empty edge strings the
-        # split leaves — all Arrow kernels, no Python over tokens
-        flat = pc.list_flatten(
-            pc.split_pattern_regex(batch.column('text'), pattern=r'\s+'))
-        flat = flat.filter(pc.not_equal(flat, ''))
-        g = pa.table({'token': flat}).group_by('token') \
-              .aggregate([('token', 'count')])
-        g = g.rename_columns(['token', 'cnt'])
-        return g.append_column('bucket', _string_bucket(g.column('token'), nb))
+    partial = _token_count_partial(nb)
 
     def fold(group: pa.Table) -> pa.Table:
         g = group.group_by('token').aggregate([('cnt', 'sum')])
@@ -1300,3 +1308,85 @@ SELECT d.doc_id, coalesce(s.n_tok, 0)::BIGINT AS n_tok,
             ELSE 0.0 END AS avg_bits
 FROM documents d LEFT JOIN s USING (doc_id)
 """
+
+
+def vocab_coverage(sf_dir, ks=(1, 10, 100, 1000), num_buckets=64):
+    """VOCABULARY COVERAGE CURVE: for each k in ``ks``, the fraction of
+    all corpus token occurrences covered by the k most frequent tokens
+    (count desc, token asc tie-break) — the curve a tokenizer designer
+    reads to size a vocabulary (coverage flattening early means a small
+    vocab suffices; a long flat tail means byte-fallback pressure).
+    Output: (k, covered_tokens, total_tokens, coverage r6).
+
+    Scale shape: token_frequencies' combiner (one row per distinct token
+    per block) → md5-bucketed exchange → per-bucket C++ sum fold keeps
+    only the bucket-local top max(ks) rows as candidates PLUS one
+    bucket-total row for the denominator (a token lives in exactly one
+    bucket, so the global top-k is a subset of the union of bucket
+    top-ks and the totals sum exactly); the driver folds
+    ≤ num_buckets·(max_k+1) candidate rows.  Integer-exact until the one
+    coverage division (half-up r6)."""
+    nb = num_buckets
+    max_k = max(ks)
+    partial = _token_count_partial(nb)
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by('token').aggregate([('cnt', 'sum')])
+        g = g.rename_columns(['token', 'n'])
+        total = pc.sum(g.column('n')).as_py() or 0
+        top = g.sort_by([('n', 'descending'),
+                         ('token', 'ascending')]).slice(0, max_k)
+        return pa.table({
+            'token': pa.concat_arrays(
+                [top.column('token').combine_chunks(),
+                 pa.array([None], pa.string())]),
+            'n': pa.concat_arrays(
+                [top.column('n').cast(pa.int64()).combine_chunks(),
+                 pa.array([total], pa.int64())]),
+        })
+
+    cand = _read_docs(sf_dir, ['text']).map_batches(
+        partial, batch_format='pyarrow', zero_copy_batch=True) \
+        .groupby('bucket').map_groups(fold, batch_format='pyarrow')
+    # ≤ num_buckets·(max_k+1) candidate rows: tiny, finish driver-side
+    tbl = cand.take_batch(max(1, nb * (max_k + 1)),
+                          batch_format='pyarrow')
+    is_tot = pc.is_null(tbl.column('token'))
+    total = int(pc.sum(tbl.filter(is_tot).column('n')).as_py() or 0)
+    top = tbl.filter(pc.invert(is_tot)) \
+             .sort_by([('n', 'descending'), ('token', 'ascending')])
+    counts = top.column('n').to_numpy(zero_copy_only=False)
+    csum = np.cumsum(counts) if len(counts) else np.zeros(0, np.int64)
+    cov = [int(csum[min(kk, len(csum)) - 1]) if len(csum) and kk >= 1
+           else 0 for kk in ks]
+    share = [float(round_half_up(np.float64(c) / np.float64(total), 6))
+             if total > 0 else 0.0 for c in cov]
+    return pa.table({
+        'k': pa.array(list(ks), pa.int64()),
+        'covered_tokens': pa.array(cov, pa.int64()),
+        'total_tokens': pa.array([total] * len(ks), pa.int64()),
+        'coverage': pa.array(share, pa.float64()),
+    })
+
+
+def vocab_coverage_oracle_sql(ks=(1, 10, 100, 1000)):
+    values = ', '.join('(%d)' % kk for kk in ks)
+    return r"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents
+), tf AS (
+  SELECT token, count(*)::BIGINT AS n FROM tok GROUP BY token
+), r AS (
+  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rn FROM tf
+), tot AS (
+  SELECT sum(n)::BIGINT AS s FROM tf
+), ks(k) AS (VALUES {values})
+SELECT ks.k::BIGINT AS k,
+       coalesce(sum(r.n) FILTER (r.rn <= ks.k), 0)::BIGINT
+         AS covered_tokens,
+       tot.s AS total_tokens,
+       floor(coalesce(sum(r.n) FILTER (r.rn <= ks.k), 0)::DOUBLE
+             / tot.s::DOUBLE * 1000000 + 0.5) / 1000000 AS coverage
+FROM ks CROSS JOIN tot CROSS JOIN r
+GROUP BY ks.k, tot.s
+""".format(values=values)

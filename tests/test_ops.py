@@ -98,7 +98,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'part_triangles', 'purchase_view_lag',
                   'conv_tool_usage', 'embedding_project2d',
                   'customer_ltv_deciles', 'events_type_drift',
-                  'doc_ngram_novelty']
+                  'doc_ngram_novelty', 'dedup_keep_best',
+                  'dedup_normalized', 'vocab_coverage']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
