@@ -74,6 +74,11 @@ def _conv_tool_usage(sf_dir: str) -> Any:
     return conv_tool_usage(_transcripts_dir(sf_dir))
 
 
+def _conv_turn_gaps(sf_dir: str) -> Any:
+    from engine.ops.convstats import conv_turn_gaps
+    return conv_turn_gaps(_transcripts_dir(sf_dir))
+
+
 def _engine_fingerprint() -> str:
     """md5 over the extraction-relevant source files: a resume dir is
     only trusted for output produced by the SAME engine code, so a code
@@ -169,11 +174,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # changed this round, (c) the flagship.  Long-green entries (r1-r3
     # hash-green on unchanged code) sit at the back.
     # ROUND-5 TODO (first action next round): move the "late round-4"
-    # block below (everything from 'part_assoc_rules' through
-    # 'vocab_coverage', i.e. up to the long-green comment — none have a
-    # driver CORRECTNESS row yet; all are tools/verify_queries.py +
-    # pytest green) to the TOP of this dict, and push the entries
-    # CORRECTNESS_r04 covers to the back.
+    # block below (everything from 'part_assoc_rules' up to the
+    # long-green comment — none have a driver CORRECTNESS row yet; all
+    # are tools/verify_queries.py + pytest green) to the TOP of this
+    # dict, and push the entries CORRECTNESS_r04 covers to the back.
     return {
         # -- never driver-checked before round 4 ----------------------
         'user_event_pivot': relational.user_event_pivot,
@@ -266,6 +270,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'dedup_keep_best': clusters.dedup_keep_best,
         'dedup_normalized': dedup.dedup_normalized,
         'vocab_coverage': textstats.vocab_coverage,
+        'source_token_drift': textstats.source_token_drift,
+        'embedding_kmeans': similarity.embedding_kmeans,
+        'score_calibration': modelscore.score_calibration,
+        'conv_turn_gaps': _conv_turn_gaps,
+        'doc_ttr': textstats.doc_ttr,
+        'events_hourly_profile': relational.events_hourly_profile,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -369,6 +379,8 @@ def oracle_sql() -> dict[str, str]:
         generated['conv_role_transitions'] = \
             conv_role_transitions_oracle_sql(_corpus)
         generated['conv_tool_usage'] = conv_tool_usage_oracle_sql(_corpus)
+        from engine.ops.convstats import conv_turn_gaps_oracle_sql
+        generated['conv_turn_gaps'] = conv_turn_gaps_oracle_sql(_corpus)
         # flagship extraction: reference-derived expected tables → SQL joins
         generated.update(oracles.extract_oracle_sqls())
         # multimodal blob md5s vs fixture-time independent recompute
@@ -406,6 +418,14 @@ def oracle_sql() -> dict[str, str]:
     generated['dedup_keep_best'] = oracles.keep_best_oracle_sql()
     generated['dedup_normalized'] = _dedup_mod.DEDUP_NORMALIZED_SQL
     generated['vocab_coverage'] = _textstats.vocab_coverage_oracle_sql()
+    generated['source_token_drift'] = _textstats.SOURCE_TOKEN_DRIFT_SQL
+    generated['doc_ttr'] = _textstats.DOC_TTR_SQL
+    generated['events_hourly_profile'] = \
+        _relational_mod.EVENTS_HOURLY_PROFILE_SQL
+    from engine.ops import similarity as _similarity_mod
+    generated['embedding_kmeans'] = _similarity_mod.kmeans_oracle_sql()
+    from engine.ops import modelscore as _modelscore_mod
+    generated['score_calibration'] = _modelscore_mod.calibration_oracle_sql()
     generated['token_postings'] = _textstats.postings_oracle_sql()
     generated['token_cooccur_topk'] = _textstats.cooccur_oracle_sql()
     generated['source_token_topk'] = _textstats.source_topk_oracle_sql()

@@ -19,7 +19,8 @@ from .textstats import _string_bucket
 __all__ = ['conv_stats', 'conv_stats_oracle_sql',
            'conv_text_md5', 'conv_text_oracle_sql',
            'conv_role_transitions', 'conv_role_transitions_oracle_sql',
-           'conv_tool_usage', 'conv_tool_usage_oracle_sql']
+           'conv_tool_usage', 'conv_tool_usage_oracle_sql',
+           'conv_turn_gaps', 'conv_turn_gaps_oracle_sql']
 
 
 def conv_stats(corpus_dir, num_buckets=64):
@@ -296,4 +297,89 @@ SELECT tool, n_turns, n_convs,
              / CAST((SELECT sum(n_turns) FROM t) AS DOUBLE)
              * 1000000 + 0.5) / 1000000 AS share
 FROM t
+""".format(corpus=corpus_dir)
+
+
+def conv_turn_gaps(corpus_dir, num_buckets=64):
+    """INTER-TURN LATENCY rollup over the flagship's input table: per
+    conversation, the turn count, the LARGEST gap between consecutive
+    turns (in turn_idx order) and the mean gap — the cadence audit an
+    agent-transcript owner runs to find stalled sessions and
+    segmentation bugs (a huge max_gap inside one conv_id usually means
+    two sessions were glued together).  Output: (conv_id, n_turns,
+    max_gap_us, mean_gap_us r6); single-turn conversations have NULL
+    gaps.
+
+    Shape: one conv-bucketed exchange of (conv_id, turn_idx, ts) rows
+    (row-cardinality, the conv_text_md5 contract — skew bound = the
+    largest single conversation); per bucket one lexsort + vectorized
+    run arithmetic (np.diff + maximum.at), no per-conversation Python.
+    Gaps are int64 µs end-to-end; the mean telescopes to
+    (ts_last − ts_first)/(n−1) — one float division of int64-exact
+    operands, half-up r6."""
+    import numpy as np
+
+    from .common import round_half_up
+
+    nb = num_buckets
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        t = batch.select(['conv_id', 'turn_idx', 'ts'])
+        return t.append_column('bucket',
+                               _string_bucket(t.column('conv_id'), nb))
+
+    def fold(group: pa.Table) -> pa.Table:
+        conv = group.column('conv_id').to_numpy(zero_copy_only=False)
+        tidx = group.column('turn_idx').to_numpy(zero_copy_only=False)
+        ts = group.column('ts').to_numpy(zero_copy_only=False) \
+                  .view(np.int64)
+        order = np.lexsort((tidx, conv))
+        c, t = conv[order], ts[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        ends = np.r_[starts[1:], len(c)]
+        n = (ends - starts).astype(np.int64)
+        d = np.diff(t)
+        valid = np.ones(max(len(c) - 1, 0), bool)
+        if len(starts) > 1:
+            valid[starts[1:] - 1] = False
+        run_of_gap = np.repeat(np.arange(len(starts)), n)[1:][valid] \
+            if len(c) > 1 else np.zeros(0, np.int64)
+        maxg = np.full(len(starts), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(maxg, run_of_gap, d[valid])
+        has = n > 1
+        span = t[ends - 1] - t[starts]
+        mean = np.where(has, round_half_up(
+            span.astype(np.float64) / np.maximum(n - 1, 1).astype(np.float64),
+            6), 0.0)
+        return pa.table({
+            'conv_id': pa.array(c[starts]),
+            'n_turns': pa.array(n, pa.int64()),
+            'max_gap_us': pa.array(maxg, pa.int64(), mask=~has),
+            'mean_gap_us': pa.array(mean, pa.float64(), mask=~has),
+        })
+
+    ds = ray.data.read_parquet(corpus_dir,
+                               columns=['conv_id', 'turn_idx', 'ts'])
+    return ds.map_batches(add_bucket, batch_format='pyarrow',
+                          zero_copy_batch=True) \
+             .groupby('bucket').map_groups(fold, batch_format='pyarrow')
+
+
+def conv_turn_gaps_oracle_sql(corpus_dir):
+    """DuckDB over the SAME corpus parquet files: lag() gaps in turn_idx
+    order; sum(gap) telescopes to the engine's span, count(gap) = n−1."""
+    return """
+WITH g AS (
+  SELECT conv_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap
+  FROM read_parquet('{corpus}/*.parquet')
+)
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       max(gap)::BIGINT AS max_gap_us,
+       CASE WHEN count(gap) > 0
+            THEN floor(sum(gap)::DOUBLE / count(gap)::DOUBLE
+                       * 1000000 + 0.5) / 1000000
+            ELSE NULL END AS mean_gap_us
+FROM g GROUP BY conv_id
 """.format(corpus=corpus_dir)

@@ -30,7 +30,8 @@ import ray
 from .common import BroadcastLookup, pool, read_table
 from .textstats import DIGIT_RE, TOKEN_RE
 
-__all__ = ['doc_model_score', 'model_score_oracle_sql', 'MODEL_WEIGHTS']
+__all__ = ['doc_model_score', 'model_score_oracle_sql', 'MODEL_WEIGHTS',
+           'score_calibration', 'calibration_oracle_sql']
 
 # The "trained" model: integer weights over integer features, softsign
 # temperature T.  z = w·x + b;  score = z / (T + |z|);  keep = z > 0.
@@ -104,3 +105,104 @@ SELECT doc_id, z_num,
 FROM z
 """.format(wt=w['w_tokens'], wc=w['w_chars'], wd=w['w_digits'],
            b=w['bias'], t='%d.0' % w['temp'])
+
+
+def score_calibration(sf_dir, num_buckets=10):
+    """CLASSIFIER CALIBRATION curve: bucket every document by its model
+    score into 10 fixed bins over (−1, 1) and report, per bin, how many
+    documents the independent heuristic quality gate
+    (textstats.quality_signals) keeps — the table a filter owner reads
+    to pick the score threshold (a well-calibrated model shows keep-rate
+    rising monotonically with the bin).  Output: (bin, n_docs,
+    n_quality, quality_rate r6).
+
+    ALL-INTEGER binning: bin = min(9, (5·(z + T + |z|)) // (T + |z|))
+    is the exact integer form of floor((softsign(z) + 1)·5) — no float
+    boundary to drift at a bin edge.  Shape: one (bin, counts) combiner
+    per block → one tiny groupby fold (state = 10 bins); the corpus is
+    touched once, nothing scales with it past the combiner."""
+    from .common import round_half_up
+    from .textstats import quality_signals
+
+    w = MODEL_WEIGHTS
+    T = w['temp']
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column('text')
+        n_tokens = pc.cast(pc.count_substring_regex(
+            text, pattern=TOKEN_RE), pa.int64()).to_numpy()
+        n_digits = pc.cast(pc.count_substring_regex(
+            text, pattern=DIGIT_RE), pa.int64()).to_numpy()
+        n_chars = batch.column('n_chars').to_numpy()
+        z = (w['w_tokens'] * n_tokens + w['w_chars'] * n_chars
+             + w['w_digits'] * n_digits + w['bias'])
+        az = np.abs(z)
+        bins = np.minimum(9, (5 * (z + T + az)) // (T + az))
+        _, _, _, keep = quality_signals(text)
+        t = pa.table({
+            'bin': pa.array(bins, pa.int64()),
+            'q': pa.array(keep.astype(np.int64), pa.int64()),
+        })
+        g = t.group_by('bin').aggregate([('q', 'sum'), ([], 'count_all')])
+        return g.rename_columns(['bin', 'n_quality', 'n_docs'])
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by('bin').aggregate([('n_quality', 'sum'),
+                                             ('n_docs', 'sum')])
+        nq = g.column('n_quality_sum').to_numpy(zero_copy_only=False) \
+              .astype(np.int64)
+        nd = g.column('n_docs_sum').to_numpy(zero_copy_only=False) \
+              .astype(np.int64)
+        return pa.table({
+            'bin': g.column('bin'),
+            'n_docs': pa.array(nd, pa.int64()),
+            'n_quality': pa.array(nq, pa.int64()),
+            'quality_rate': pa.array(
+                round_half_up(nq.astype(np.float64)
+                              / nd.astype(np.float64), 6), pa.float64()),
+        })
+
+    return read_table(sf_dir, 'documents', columns=['text', 'n_chars'],
+                      min_blocks=pool()[1]) \
+        .map_batches(partial, batch_format='pyarrow',
+                     zero_copy_batch=True) \
+        .groupby('bin').map_groups(fold, batch_format='pyarrow')
+
+
+def calibration_oracle_sql(weights=None):
+    """Oracle generated from the SAME weight + quality-gate constants:
+    integer logit, integer bin arithmetic, the corpus_clean oracle's
+    half-up quality-ratio expressions, one final r6 division."""
+    from .textstats import (QUALITY_MAX_TOKENS, QUALITY_MIN_STOPWORD_RATIO,
+                            QUALITY_MIN_TOKENS, STOPWORD_RE)
+    w = weights or MODEL_WEIGHTS
+    return r"""
+WITH f AS (
+  SELECT len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+         len(regexp_extract_all(text, '{stop}'))::BIGINT AS n_stop,
+         len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits,
+         n_chars
+  FROM documents
+), z AS (
+  SELECT {wt} * n_tokens + {wc} * n_chars + {wd} * n_digits + {b} AS z_num,
+         n_tokens, n_stop
+  FROM f
+), g AS (
+  SELECT least(9, (5 * (z_num + {t} + abs(z_num)))
+                   // ({t} + abs(z_num)))::BIGINT AS bin,
+         CASE WHEN n_tokens >= {mint} AND n_tokens <= {maxt}
+                   AND (CASE WHEN n_tokens > 0
+                        THEN floor(n_stop::DOUBLE / n_tokens
+                                   * 1000000 + 0.5) / 1000000
+                        ELSE 0.0 END) > {minr}
+              THEN 1 ELSE 0 END AS q
+  FROM z
+)
+SELECT bin, count(*)::BIGINT AS n_docs, sum(q)::BIGINT AS n_quality,
+       floor(sum(q)::DOUBLE / count(*)::DOUBLE * 1000000 + 0.5)
+         / 1000000 AS quality_rate
+FROM g GROUP BY bin
+""".format(wt=w['w_tokens'], wc=w['w_chars'], wd=w['w_digits'],
+           b=w['bias'], t=w['temp'], stop=STOPWORD_RE,
+           mint=QUALITY_MIN_TOKENS, maxt=QUALITY_MAX_TOKENS,
+           minr=repr(QUALITY_MIN_STOPWORD_RATIO))

@@ -54,7 +54,8 @@ __all__ = ['q1_pricing', 'top_orders_revenue', 'customers_per_region',
            'events_value_mad_outliers', 'orders_cohort_retention',
            'events_anomaly_days', 'events_late_arrivals',
            'session_durations', 'purchase_view_lag',
-           'customer_ltv_deciles', 'events_type_drift']
+           'customer_ltv_deciles', 'events_type_drift',
+           'events_hourly_profile']
 
 
 def rank_in_sorted_key(keys_sorted):
@@ -3361,3 +3362,75 @@ SELECT days.day::BIGINT AS day, days.total AS n_events,
                        * 1000000 + 0.5) / 1000000 END AS l1_drift
 FROM days LEFT JOIN pairs ON pairs.day = days.day
 """.format(us_day=_US_PER_DAY)
+
+
+_US_PER_HOUR = 3_600_000_000
+
+
+def events_hourly_profile(sf_dir):
+    """DIURNAL SEASONALITY profile: per event type, the hour-of-day
+    histogram with each hour's share of the type's volume and a peak
+    flag — the shape an ingestion owner checks before reading any
+    day-over-day number (events_type_drift) so daily seasonality is not
+    mistaken for drift.  Output: (event_type, hour, n_events, share r6,
+    is_peak); peak tie-break = lowest hour.
+
+    Shape: one (type, hour) count combiner exchange — state is
+    types × 24 cells, calendar-bounded like events_type_drift; the
+    per-type enrichment (total, share, argmax) is vectorized inside the
+    type's group.  hour = (epoch_µs // 3.6e9) % 24, integer arithmetic
+    matching the oracle's extract(hour) for naive UTC timestamps."""
+    from .common import round_half_up
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column('ts').to_numpy(zero_copy_only=False) \
+                  .view(np.int64)
+        t = pa.table({
+            'event_type': batch.column('event_type'),
+            'hour': pa.array((ts // _US_PER_HOUR) % 24, pa.int64()),
+        })
+        g = t.group_by(['event_type', 'hour']).aggregate([([], 'count_all')])
+        return g.rename_columns(['event_type', 'hour', 'n'])
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by(['event_type', 'hour']).aggregate([('n', 'sum')])
+        g = g.rename_columns(['event_type', 'hour', 'n'])
+        hr = g.column('hour').to_numpy(zero_copy_only=False)
+        n = g.column('n').to_numpy(zero_copy_only=False).astype(np.int64)
+        total = n.sum()
+        peak_hour = hr[np.lexsort((hr, -n))[0]]
+        return pa.table({
+            'event_type': g.column('event_type'),
+            'hour': pa.array(hr, pa.int64()),
+            'n_events': pa.array(n, pa.int64()),
+            'share': pa.array(round_half_up(
+                n.astype(np.float64) / np.float64(total), 6), pa.float64()),
+            'is_peak': pa.array(hr == peak_hour, pa.bool_()),
+        })
+
+    return read_table(sf_dir, 'events', columns=['event_type', 'ts']) \
+        .map_batches(partial, batch_format='pyarrow',
+                     zero_copy_batch=True) \
+        .groupby('event_type').map_groups(fold, batch_format='pyarrow')
+
+
+EVENTS_HOURLY_PROFILE_SQL = """
+WITH h AS (
+  SELECT event_type, extract(hour FROM ts)::BIGINT AS hour,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, sum(n)::BIGINT AS tot FROM h GROUP BY event_type
+), p AS (
+  SELECT event_type, hour AS peak FROM (
+    SELECT event_type, hour,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY n DESC, hour) AS rn
+    FROM h) WHERE rn = 1
+)
+SELECT h.event_type, h.hour, h.n AS n_events,
+       floor(h.n::DOUBLE / t.tot::DOUBLE * 1000000 + 0.5) / 1000000
+         AS share,
+       h.hour = p.peak AS is_peak
+FROM h JOIN t USING (event_type) JOIN p USING (event_type)
+"""

@@ -30,7 +30,8 @@ __all__ = ['embedding_dup_pairs', 'embedding_dup_pairs_blocked',
            'embedding_dup_lsh', 'ann_topk', 'ann_topk_lsh', 'ann_topk_ivf',
            'ann_topk_pq', 'embedding_norms', 'EMBEDDING_NORMS_SQL',
            'embedding_norm_stats', 'EMBEDDING_NORM_STATS_SQL',
-           'embedding_project2d', 'project2d_oracle_sql']
+           'embedding_project2d', 'project2d_oracle_sql',
+           'embedding_kmeans', 'kmeans_oracle_sql']
 
 
 def _read_embeddings(sf_dir):
@@ -855,3 +856,77 @@ SELECT vec_id, label::BIGINT AS label,
          / 1000000 AS y
 FROM embeddings
 """.format(p0=dlist(planes[:, 0]), p1=dlist(planes[:, 1]))
+
+
+def embedding_kmeans(sf_dir, nlist=16):
+    """SEMANTIC SHARDING assignment: every vector labeled with its
+    nearest k-means centroid — the clustering pass a training-data
+    pipeline runs to shard a corpus by topic (route each cluster to its
+    own mixture weight / dedup domain).  Output: (vec_id, cluster,
+    dot r6) — one row per vector.
+
+    Training reuses the IVF coarse quantizer EXACTLY (the bounded,
+    order-independent md5-keyed sample + deterministic seeded k-means,
+    :func:`_train_matrix` / :func:`_kmeans`) so the oracle can retrain
+    the identical centroids at build time and inline them as literals.
+    ASSIGNMENT is exactly reproducible: centroids are unit vectors, so
+    argmax of the RAW dot (no normalization of x — a positive common
+    factor cannot change the argmax) with ties → lowest cluster; dots
+    are :func:`_seq_dot` sequential folds matching DuckDB's
+    ``list_dot_product`` left-to-right order IEEE-exactly.  Shape: pure
+    map — centroids ride ONE ray.put broadcast, no shuffle at all."""
+    from .common import round_half_up
+
+    _, train = _train_matrix(sf_dir)
+    cent = _kmeans(train, nlist)
+    ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = _fetch_broadcast(ref)
+        ids, mat = _raw_matrix(batch)
+        dots = np.empty((len(ids), len(c)), np.float64)
+        for ci in range(len(c)):
+            dots[:, ci] = _seq_dot(mat, c[ci])
+        best = dots.argmax(axis=1)          # first max == lowest cluster
+        sim = dots[np.arange(len(ids)), best]
+        return pa.table({
+            'vec_id': pa.array(ids, pa.int64()),
+            'cluster': pa.array(best, pa.int64()),
+            'dot': pa.array(round_half_up(sim, 6), pa.float64()),
+        })
+
+    return _read_embeddings(sf_dir).map_batches(
+        assign, batch_format='pyarrow', zero_copy_batch=True)
+
+
+def kmeans_oracle_sql(sf_dir=None, nlist=16, max_train=65536):
+    """Oracle for :func:`embedding_kmeans`: retrains the SAME
+    deterministic k-means on the SAME bounded md5-keyed sample at build
+    time (ivf_oracle_sql precedent) and inlines the centroids;
+    assignment is row_number() OVER (ORDER BY list_dot_product DESC,
+    cluster ASC) = 1 — DuckDB's left-to-right list fold matches
+    _seq_dot IEEE-exactly."""
+    import os as _os
+
+    from .oracles import _dlist, _oracle_sf_dir, _sample_matrix
+    sf_dir = sf_dir or _oracle_sf_dir()
+    path = _os.path.join(sf_dir, 'embeddings.parquet')
+    _, train = _sample_matrix(path, max_train)
+    cent = _kmeans(train, nlist)
+    cent_rows = ',\n    '.join('(%d, %s)' % (ci, _dlist(cent[ci]))
+                               for ci in range(nlist))
+    return """
+WITH cent(ci, cv) AS (VALUES
+    {cent_rows}
+), d AS (
+  SELECT e.vec_id, cent.ci,
+         list_dot_product(e.embedding::DOUBLE[], cent.cv) AS dot,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY list_dot_product(e.embedding::DOUBLE[], cent.cv) DESC,
+                    cent.ci ASC) AS rn
+  FROM embeddings e, cent
+)
+SELECT vec_id, ci::BIGINT AS cluster,
+       floor(dot * 1000000 + 0.5) / 1000000 AS dot
+FROM d WHERE rn = 1
+""".format(cent_rows=cent_rows)

@@ -27,6 +27,8 @@ __all__ = ['doc_token_stats', 'doc_quality', 'lang_id', 'fingerprint_md5',
            'lang_fertility', 'LANG_FERTILITY_SQL',
            'doc_surprisal', 'DOC_SURPRISAL_SQL',
            'vocab_coverage', 'vocab_coverage_oracle_sql',
+           'source_token_drift', 'SOURCE_TOKEN_DRIFT_SQL',
+           'doc_ttr', 'DOC_TTR_SQL',
            'TOKEN_RE', 'BPE_RE',
            'STOPWORD_RE', 'PUNCT_RE', 'DIGIT_RE', 'LANG_MARKERS']
 
@@ -951,6 +953,29 @@ ORDER BY support DESC, token_a, token_b LIMIT {k}
 SOURCE_TOPK = 10
 
 
+def _source_token_partial(nb):
+    """Per-block (source, token) count combiner shared by
+    source_token_topk and source_token_drift: explode tokens with their
+    parent row's source via one np.repeat gather, fold per block, route
+    by TOKEN md5 bucket — one row per distinct (source, token) per
+    block leaves the map stage, never raw tokens."""
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column('text'),
+                                      pattern=r'\s+')
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(batch.num_rows), lens)
+        t = pa.table({
+            'source': batch.column('source').take(pa.array(parent)),
+            'token': pc.list_flatten(toks),
+        })
+        t = t.filter(pc.not_equal(t.column('token'), ''))
+        g = t.group_by(['source', 'token']).aggregate([([], 'count_all')]) \
+             .rename_columns(['source', 'token', 'cnt'])
+        return g.append_column('bucket',
+                               _string_bucket(g.column('token'), nb))
+    return partial
+
+
 def source_token_topk(sf_dir, k=SOURCE_TOPK, num_buckets=64):
     """Per-``source`` top-``k`` tokens by occurrence count, with each
     token's share of the source's total token mass — the per-slice
@@ -969,21 +994,7 @@ def source_token_topk(sf_dir, k=SOURCE_TOPK, num_buckets=64):
     ``pct`` = cnt / total, both int64 < 2^53 cast to float64: a single
     IEEE division, identical on both sides — no rounding needed."""
     nb = num_buckets
-
-    def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(batch.column('text'),
-                                      pattern=r'\s+')
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        parent = np.repeat(np.arange(batch.num_rows), lens)
-        t = pa.table({
-            'source': batch.column('source').take(pa.array(parent)),
-            'token': pc.list_flatten(toks),
-        })
-        t = t.filter(pc.not_equal(t.column('token'), ''))
-        g = t.group_by(['source', 'token']).aggregate([([], 'count_all')]) \
-             .rename_columns(['source', 'token', 'cnt'])
-        return g.append_column('bucket',
-                               _string_bucket(g.column('token'), nb))
+    partial = _source_token_partial(nb)
 
     def count_fold(group: pa.Table) -> pa.Table:
         g = group.group_by(['source', 'token']).aggregate([('cnt', 'sum')])
@@ -1390,3 +1401,171 @@ SELECT ks.k::BIGINT AS k,
 FROM ks CROSS JOIN tot CROSS JOIN r
 GROUP BY ks.k, tot.s
 """.format(values=values)
+
+
+def source_token_drift(sf_dir, num_buckets=64):
+    """DOMAIN-MIX drift audit: per ``source``, the L1 distance between
+    the source's token distribution and the CORPUS-WIDE token
+    distribution — the number a mixture owner reads to see which crawl
+    slice is lexically farthest from the blend (a source near 0 is
+    redundant with the mix; near 2 is disjoint vocabulary).  Output:
+    (source, n_tokens, l1_drift r6).
+
+    EXACT RATIONAL arithmetic (the events_type_drift identity over an
+    UNBOUNDED key space): with source counts c_t (total N_s) and corpus
+    counts g_t (total M), L1 = Σ_t |c_t/N_s − g_t/M| =
+    (Σ_{t: c_t>0} (|c_t·M − g_t·N_s| − g_t·N_s) + N_s·M) / (N_s·M) —
+    the closed-form fold of the tokens a source LACKS means no side
+    ever materializes the full vocabulary per source.  Integer
+    numerator (Python-int exact at any scale, shipped as decimal128),
+    ONE division, half-up r6.
+
+    Shape: the shared (source, token) combiner → token-bucketed
+    exchange, MATERIALIZED once and read twice (per-source totals =
+    a tiny sum over combiner rows; the drift fold resolves each
+    token's corpus count g_t INSIDE its bucket — a token lives in one
+    bucket, so per-(bucket, source) partials sum exactly); driver folds
+    ≤ buckets × sources partial rows."""
+    nb = num_buckets
+
+    combined = _read_docs(sf_dir, ['source', 'text']) \
+        .map_batches(_source_token_partial(nb), batch_format='pyarrow',
+                     zero_copy_batch=True).materialize()
+
+    totals = combined.map_batches(
+        lambda t: t.group_by('source').aggregate([('cnt', 'sum')])
+                   .rename_columns(['source', 'n']),
+        batch_format='pyarrow', zero_copy_batch=True) \
+        .take_batch(1 << 20, batch_format='pyarrow') \
+        .group_by('source').aggregate([('n', 'sum')])
+    ns = {s: int(v) for s, v in zip(totals.column('source').to_pylist(),
+                                    totals.column('n_sum').to_pylist())}
+    M = sum(ns.values())
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by(['source', 'token']).aggregate([('cnt', 'sum')])
+        g = g.rename_columns(['source', 'token', 'c'])
+        gt = g.group_by('token').aggregate([('c', 'sum')]) \
+              .rename_columns(['token', 'g'])
+        j = g.join(gt, keys='token', join_type='inner')
+        # exact Python-int fold (c·M and g·N_s exceed int64 past ~3e9
+        # corpus tokens; the combiner bounded rows to vocabulary size,
+        # so this per-bucket loop is over token TYPES, not occurrences)
+        acc = {}
+        for s, c, gv in zip(j.column('source').to_pylist(),
+                            j.column('c').to_pylist(),
+                            j.column('g').to_pylist()):
+            n_s = ns[s]
+            acc[s] = acc.get(s, 0) + abs(c * M - gv * n_s) - gv * n_s
+        srcs = sorted(acc)
+        return pa.table({
+            'source': pa.array(srcs, pa.string()),
+            'partial': pa.array([acc[s] for s in srcs],
+                                pa.decimal128(38, 0)),
+        })
+
+    parts = combined.groupby('bucket').map_groups(
+        fold, batch_format='pyarrow') \
+        .take_batch(1 << 20, batch_format='pyarrow')
+    acc = {}
+    for s, p in zip(parts.column('source').to_pylist(),
+                    parts.column('partial').to_pylist()):
+        acc[s] = acc.get(s, 0) + int(p)
+    from .common import round_half_up
+    srcs = sorted(ns)
+    out_n, out_l1 = [], []
+    for s in srcs:
+        den = ns[s] * M
+        num = acc.get(s, 0) + den
+        out_n.append(ns[s])
+        out_l1.append(float(round_half_up(
+            np.float64(num) / np.float64(den), 6)))
+    return pa.table({
+        'source': pa.array(srcs, pa.string()),
+        'n_tokens': pa.array(out_n, pa.int64()),
+        'l1_drift': pa.array(out_l1, pa.float64()),
+    })
+
+
+SOURCE_TOKEN_DRIFT_SQL = r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS token
+  FROM documents
+), st AS (
+  SELECT source, token, count(*)::HUGEINT AS c FROM tok GROUP BY 1, 2
+), gt AS (
+  SELECT token, sum(c)::HUGEINT AS g FROM st GROUP BY token
+), ns AS (
+  SELECT source, sum(c)::HUGEINT AS n FROM st GROUP BY source
+), m AS (
+  SELECT sum(c)::HUGEINT AS m FROM st
+), p AS (
+  SELECT st.source,
+         sum(abs(st.c * m.m - gt.g * ns.n) - gt.g * ns.n)::HUGEINT AS part
+  FROM st JOIN gt USING (token) JOIN ns USING (source) CROSS JOIN m
+  GROUP BY st.source
+)
+SELECT p.source, ns.n::BIGINT AS n_tokens,
+       floor((p.part + ns.n * m.m)::DOUBLE / (ns.n * m.m)::DOUBLE
+             * 1000000 + 0.5) / 1000000 AS l1_drift
+FROM p JOIN ns USING (source) CROSS JOIN m
+"""
+
+
+def doc_ttr(sf_dir):
+    """LEXICAL DIVERSITY (type/token ratio) per document — the
+    complement to doc_repetition in a quality stack: boilerplate and
+    generated spam sit at the TTR extremes.  Output: (doc_id, n_tokens,
+    n_types, ttr r6); ttr = 0 for token-less docs.
+
+    Embarrassingly parallel — a document is one row, so its distinct
+    count resolves INSIDE the block: explode (doc_id, token) with one
+    np.repeat gather, one in-block Arrow distinct fold, one join back
+    to the per-doc token count.  No shuffle at all."""
+    def ttr(batch: pa.Table) -> pa.Table:
+        text = batch.column('text')
+        n_tokens = _count_re(text, TOKEN_RE)
+        toks = pc.split_pattern_regex(text, pattern=r'\s+')
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = batch.column('doc_id').to_numpy(zero_copy_only=False)
+        t = pa.table({
+            'doc_id': pa.array(np.repeat(ids, lens), pa.int64()),
+            'token': pc.list_flatten(toks),
+        })
+        t = t.filter(pc.not_equal(t.column('token'), ''))
+        types = t.group_by(['doc_id', 'token']).aggregate([]) \
+                 .group_by('doc_id').aggregate([([], 'count_all')]) \
+                 .rename_columns(['doc_id', 'n_types'])
+        base = pa.table({'doc_id': batch.column('doc_id'),
+                         'n_tokens': n_tokens})
+        j = base.join(types, keys='doc_id', join_type='left outer')
+        nt = j.column('n_tokens').to_numpy(zero_copy_only=False) \
+              .astype(np.int64)
+        ty = j.column('n_types').fill_null(0) \
+              .to_numpy(zero_copy_only=False).astype(np.int64)
+        ratio = np.where(nt > 0, round_half_up(
+            ty.astype(np.float64) / np.maximum(nt, 1).astype(np.float64),
+            6), 0.0)
+        return pa.table({
+            'doc_id': j.column('doc_id'),
+            'n_tokens': pa.array(nt, pa.int64()),
+            'n_types': pa.array(ty, pa.int64()),
+            'ttr': pa.array(ratio, pa.float64()),
+        })
+
+    return _read_docs(sf_dir, ['doc_id', 'text']).map_batches(
+        ttr, batch_format='pyarrow', zero_copy_batch=True)
+
+
+DOC_TTR_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+)
+SELECT doc_id, len(t)::BIGINT AS n_tokens,
+       len(list_distinct(t))::BIGINT AS n_types,
+       CASE WHEN len(t) > 0
+            THEN floor(len(list_distinct(t))::DOUBLE / len(t)::DOUBLE
+                       * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS ttr
+FROM tk
+"""

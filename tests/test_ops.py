@@ -99,7 +99,10 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'conv_tool_usage', 'embedding_project2d',
                   'customer_ltv_deciles', 'events_type_drift',
                   'doc_ngram_novelty', 'dedup_keep_best',
-                  'dedup_normalized', 'vocab_coverage']
+                  'dedup_normalized', 'vocab_coverage',
+                  'source_token_drift', 'embedding_kmeans',
+                  'score_calibration', 'conv_turn_gaps',
+                  'doc_ttr', 'events_hourly_profile']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
