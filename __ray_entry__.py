@@ -79,6 +79,16 @@ def _conv_turn_gaps(sf_dir: str) -> Any:
     return conv_turn_gaps(_transcripts_dir(sf_dir))
 
 
+def _conv_split_manifest(sf_dir: str) -> Any:
+    from engine.ops.convstats import conv_split_manifest
+    return conv_split_manifest(_transcripts_dir(sf_dir))
+
+
+def _conv_first_tool(sf_dir: str) -> Any:
+    from engine.ops.convstats import conv_first_tool
+    return conv_first_tool(_transcripts_dir(sf_dir))
+
+
 def _engine_fingerprint() -> str:
     """md5 over the extraction-relevant source files: a resume dir is
     only trusted for output produced by the SAME engine code, so a code
@@ -276,6 +286,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'conv_turn_gaps': _conv_turn_gaps,
         'doc_ttr': textstats.doc_ttr,
         'events_hourly_profile': relational.events_hourly_profile,
+        'source_dup_rate': dedup.source_dup_rate,
+        'conv_split_manifest': _conv_split_manifest,
+        'conv_first_tool': _conv_first_tool,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -379,8 +392,12 @@ def oracle_sql() -> dict[str, str]:
         generated['conv_role_transitions'] = \
             conv_role_transitions_oracle_sql(_corpus)
         generated['conv_tool_usage'] = conv_tool_usage_oracle_sql(_corpus)
-        from engine.ops.convstats import conv_turn_gaps_oracle_sql
+        from engine.ops.convstats import (conv_first_tool_oracle_sql,
+                                          conv_split_oracle_sql,
+                                          conv_turn_gaps_oracle_sql)
         generated['conv_turn_gaps'] = conv_turn_gaps_oracle_sql(_corpus)
+        generated['conv_split_manifest'] = conv_split_oracle_sql(_corpus)
+        generated['conv_first_tool'] = conv_first_tool_oracle_sql(_corpus)
         # flagship extraction: reference-derived expected tables → SQL joins
         generated.update(oracles.extract_oracle_sqls())
         # multimodal blob md5s vs fixture-time independent recompute
@@ -420,6 +437,7 @@ def oracle_sql() -> dict[str, str]:
     generated['vocab_coverage'] = _textstats.vocab_coverage_oracle_sql()
     generated['source_token_drift'] = _textstats.SOURCE_TOKEN_DRIFT_SQL
     generated['doc_ttr'] = _textstats.DOC_TTR_SQL
+    generated['source_dup_rate'] = _dedup_mod.SOURCE_DUP_RATE_SQL
     generated['events_hourly_profile'] = \
         _relational_mod.EVENTS_HOURLY_PROFILE_SQL
     from engine.ops import similarity as _similarity_mod

@@ -20,7 +20,9 @@ __all__ = ['conv_stats', 'conv_stats_oracle_sql',
            'conv_text_md5', 'conv_text_oracle_sql',
            'conv_role_transitions', 'conv_role_transitions_oracle_sql',
            'conv_tool_usage', 'conv_tool_usage_oracle_sql',
-           'conv_turn_gaps', 'conv_turn_gaps_oracle_sql']
+           'conv_turn_gaps', 'conv_turn_gaps_oracle_sql',
+           'conv_split_manifest', 'conv_split_oracle_sql',
+           'conv_first_tool', 'conv_first_tool_oracle_sql']
 
 
 def conv_stats(corpus_dir, num_buckets=64):
@@ -382,4 +384,204 @@ SELECT conv_id, count(*)::BIGINT AS n_turns,
                        * 1000000 + 0.5) / 1000000
             ELSE NULL END AS mean_gap_us
 FROM g GROUP BY conv_id
+""".format(corpus=corpus_dir)
+
+
+def conv_split_manifest(corpus_dir, val_pct=5, test_pct=5, num_buckets=64):
+    """CONVERSATION-GRANULAR train/val/test split manifest over the
+    flagship's input table — the transcripts counterpart of
+    sampling.split_manifest with the integrity constraint that matters
+    here: a conversation NEVER spans splits (turn-level splitting leaks
+    dialogue context across the boundary).  Deterministic md5(conv_id)
+    keying, so any node can recompute any conversation's split without
+    coordination.  Output: (split, n_convs, n_turns, n_chars).
+
+    Shape: per-block (conv_id, counts) combiner → conv-bucketed
+    exchange so each conversation's distinct-ness resolves in one
+    bucket → ≤ 3 rows per bucket fold driver-side via one tiny final
+    groupby.  All integers."""
+    import hashlib
+
+    import numpy as np
+
+    nb = num_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            'conv_id': batch.column('conv_id'),
+            'n_chars': pc.cast(pc.utf8_length(batch.column('text')),
+                               pa.int64()),
+        })
+        g = t.group_by('conv_id').aggregate([('n_chars', 'sum'),
+                                             ([], 'count_all')])
+        g = g.rename_columns(['conv_id', 'n_chars', 'n_turns'])
+        return g.append_column('bucket',
+                               _string_bucket(g.column('conv_id'), nb))
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by('conv_id').aggregate([('n_chars', 'sum'),
+                                                 ('n_turns', 'sum')])
+        convs = g.column('conv_id').to_pylist()
+        # md5_number_lower(conv_id) % 100 percent bucket (the
+        # common.hash63_keys byte rule: LAST 8 digest bytes
+        # little-endian): < test → test, < test+val → val, else train
+        pcts = np.array([int.from_bytes(
+            hashlib.md5(c.encode('utf-8')).digest()[8:16], 'little') % 100
+            for c in convs], np.uint64).astype(np.int64)
+        split = np.where(pcts < test_pct, 'test',
+                         np.where(pcts < test_pct + val_pct, 'val',
+                                  'train'))
+        t = pa.table({
+            'split': pa.array(split.tolist(), pa.string()),
+            'n_chars': g.column('n_chars_sum').cast(pa.int64()),
+            'n_turns': g.column('n_turns_sum').cast(pa.int64()),
+        })
+        s = t.group_by('split').aggregate([([], 'count_all'),
+                                           ('n_turns', 'sum'),
+                                           ('n_chars', 'sum')])
+        return s.rename_columns(['split', 'n_convs', 'n_turns', 'n_chars'])
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by('split').aggregate([('n_convs', 'sum'),
+                                               ('n_turns', 'sum'),
+                                               ('n_chars', 'sum')])
+        return pa.table({
+            'split': g.column('split'),
+            'n_convs': g.column('n_convs_sum').cast(pa.int64()),
+            'n_turns': g.column('n_turns_sum').cast(pa.int64()),
+            'n_chars': g.column('n_chars_sum').cast(pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(corpus_dir, columns=['conv_id', 'text'])
+    return ds.map_batches(partial, batch_format='pyarrow',
+                          zero_copy_batch=True) \
+        .groupby('bucket').map_groups(fold, batch_format='pyarrow') \
+        .groupby('split').map_groups(final, batch_format='pyarrow')
+
+
+def conv_split_oracle_sql(corpus_dir, val_pct=5, test_pct=5):
+    """DuckDB over the SAME corpus: the percent key is
+    md5_number_lower(conv_id) % 100 (last 8 digest bytes little-endian
+    — the common.hash63_keys byte rule)."""
+    return """
+WITH c AS (
+  SELECT conv_id, count(*)::BIGINT AS n_turns,
+         sum(length(text))::BIGINT AS n_chars,
+         md5_number_lower(conv_id) % 100 AS pct
+  FROM read_parquet('{corpus}/*.parquet')
+  GROUP BY conv_id
+)
+SELECT CASE WHEN pct < {test} THEN 'test'
+            WHEN pct < {test} + {val} THEN 'val'
+            ELSE 'train' END AS split,
+       count(*)::BIGINT AS n_convs,
+       sum(n_turns)::BIGINT AS n_turns,
+       sum(n_chars)::BIGINT AS n_chars
+FROM c GROUP BY 1
+""".format(corpus=corpus_dir, test=test_pct, val=val_pct)
+
+
+def conv_first_tool(corpus_dir, num_buckets=64):
+    """TIME-TO-FIRST-TOOL-CALL per conversation — the agent-behavior
+    metric a transcript owner tracks across model versions (how many
+    turns, and how much wall time, before the agent reaches for a
+    tool).  Output: (conv_id, first_tool_turn, first_tool, us_to_tool)
+    for conversations that call at least one tool; turns are compared
+    by turn_idx, the clock starts at the conversation's FIRST turn's
+    ts (by turn_idx, not min ts — out-of-order timestamps are data,
+    not noise).
+
+    Shape: map-side filter to tool turns + per-conv min fold, one
+    conv-bucketed co-partition with the per-conv first-turn rows —
+    the exchange carries two combiner rows per conversation, never
+    turns."""
+    import numpy as np
+
+    nb = num_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            'conv_id': batch.column('conv_id'),
+            'turn_idx': pc.cast(batch.column('turn_idx'), pa.int64()),
+            'tool': batch.column('tool'),
+            'ts_us': pa.array(batch.column('ts')
+                              .to_numpy(zero_copy_only=False)
+                              .view(np.int64), pa.int64()),
+        })
+        # side 1: first turn per conversation (clock origin)
+        f = t.sort_by([('conv_id', 'ascending'), ('turn_idx', 'ascending')]) \
+             .group_by('conv_id', use_threads=False) \
+             .aggregate([('turn_idx', 'first'), ('ts_us', 'first')])
+        f = f.rename_columns(['conv_id', 'turn_idx', 'ts_us'])
+        first = pa.table({
+            'conv_id': f.column('conv_id'),
+            'turn_idx': f.column('turn_idx'),
+            'tool': pa.nulls(f.num_rows, pa.string()),
+            'ts_us': f.column('ts_us'),
+        })
+        # side 2: first TOOL turn per conversation
+        tt = t.filter(pc.not_equal(t.column('tool'), ''))
+        g = tt.sort_by([('conv_id', 'ascending'),
+                        ('turn_idx', 'ascending')]) \
+              .group_by('conv_id', use_threads=False) \
+              .aggregate([('turn_idx', 'first'), ('tool', 'first'),
+                          ('ts_us', 'first')])
+        g = g.rename_columns(['conv_id', 'turn_idx', 'tool', 'ts_us'])
+        both = pa.concat_tables([first, g.select(
+            ['conv_id', 'turn_idx', 'tool', 'ts_us'])])
+        return both.append_column(
+            'bucket', _string_bucket(both.column('conv_id'), nb))
+
+    def fold(group: pa.Table) -> pa.Table:
+        is_first = pc.is_null(group.column('tool'))
+        f = group.filter(is_first) \
+                 .sort_by([('conv_id', 'ascending'),
+                           ('turn_idx', 'ascending')]) \
+                 .group_by('conv_id', use_threads=False) \
+                 .aggregate([('ts_us', 'first')])
+        f = f.rename_columns(['conv_id', 'ts0'])
+        g = group.filter(pc.invert(is_first)) \
+                 .sort_by([('conv_id', 'ascending'),
+                           ('turn_idx', 'ascending')]) \
+                 .group_by('conv_id', use_threads=False) \
+                 .aggregate([('turn_idx', 'first'), ('tool', 'first'),
+                             ('ts_us', 'first')])
+        g = g.rename_columns(['conv_id', 'first_tool_turn', 'first_tool',
+                              'ts_tool'])
+        j = g.join(f, keys='conv_id', join_type='inner')
+        return pa.table({
+            'conv_id': j.column('conv_id'),
+            'first_tool_turn': j.column('first_tool_turn'),
+            'first_tool': j.column('first_tool'),
+            'us_to_tool': pc.subtract(j.column('ts_tool'),
+                                      j.column('ts0')),
+        })
+
+    ds = ray.data.read_parquet(corpus_dir,
+                               columns=['conv_id', 'turn_idx', 'tool',
+                                        'ts'])
+    return ds.map_batches(partial, batch_format='pyarrow',
+                          zero_copy_batch=True) \
+             .groupby('bucket').map_groups(fold, batch_format='pyarrow')
+
+
+def conv_first_tool_oracle_sql(corpus_dir):
+    return """
+WITH t AS (
+  SELECT conv_id, turn_idx, tool, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS rn_all
+  FROM read_parquet('{corpus}/*.parquet')
+), f AS (
+  SELECT conv_id, ts_us AS ts0 FROM t WHERE rn_all = 1
+), g AS (
+  SELECT conv_id, turn_idx AS first_tool_turn, tool AS first_tool,
+         ts_us AS ts_tool,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS rn
+  FROM t WHERE tool <> ''
+)
+SELECT g.conv_id, g.first_tool_turn::BIGINT AS first_tool_turn,
+       g.first_tool, (g.ts_tool - f.ts0)::BIGINT AS us_to_tool
+FROM g JOIN f USING (conv_id) WHERE g.rn = 1
 """.format(corpus=corpus_dir)

@@ -39,7 +39,7 @@ from .common import round_half_up, table_path, read_table, pool
 
 __all__ = ['dedup_exact', 'dedup_exact_payloads', 'ngram_jaccard_pairs',
            'minhash_near_dup', 'simhash_near_dup', 'shingle_set',
-           'shared_span_pairs', 'dedup_normalized']
+           'shared_span_pairs', 'dedup_normalized', 'source_dup_rate']
 
 _TOKEN_RE = re.compile(r'\S+')
 
@@ -785,4 +785,81 @@ WITH t AS (
 )
 SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
 FROM t GROUP BY md5(norm)
+"""
+
+
+def source_dup_rate(sf_dir, num_buckets=64):
+    """PER-SOURCE duplication audit: for each source, how much of its
+    document volume is exact-duplicate mass (1 − distinct/total) — the
+    crawl-health number that decides which source gets a deeper dedup
+    pass before mixing.  Output: (source, n_docs, n_distinct,
+    dup_rate r6).
+
+    Shape: dedup_exact's bucketed combiner keyed on (source, md5):
+    per-block partials fold one row per distinct (source, fp) per
+    block, the fp-bucketed exchange resolves distinct-ness exactly (a
+    fp lives in one bucket), and per-bucket (source, distinct, total)
+    partials fold in one tiny final groupby — nothing scales with the
+    corpus past the combiner.  A text duplicated ACROSS sources counts
+    as distinct in each (the per-source rate isolates intra-source
+    crawl redundancy; cross-source overlap is dedup_exact's job)."""
+    import hashlib
+    nb = num_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        digs = [hashlib.md5(t.encode('utf-8')).digest()
+                for t in batch.column('text').to_pylist()]
+        fps = pa.array([d.hex() for d in digs], pa.string())
+        bks = pa.array([int.from_bytes(d[:2], 'little') & (nb - 1)
+                        for d in digs], pa.int64())
+        t = pa.table({'source': batch.column('source'), 'fp': fps,
+                      'bucket': bks})
+        g = t.group_by(['source', 'fp', 'bucket']).aggregate(
+            [([], 'count_all')])
+        return g.rename_columns(['source', 'fp', 'bucket', 'cnt'])
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        g = group.group_by(['source', 'fp']).aggregate([('cnt', 'sum')])
+        s = g.group_by('source').aggregate([('cnt_sum', 'sum'),
+                                            ([], 'count_all')])
+        return s.rename_columns(['source', 'n_docs', 'n_distinct'])
+
+    def final(group: pa.Table) -> pa.Table:
+        from .common import round_half_up
+        g = group.group_by('source').aggregate([('n_docs', 'sum'),
+                                                ('n_distinct', 'sum')])
+        nd = g.column('n_docs_sum').to_numpy(zero_copy_only=False) \
+              .astype(np.int64)
+        nu = g.column('n_distinct_sum').to_numpy(zero_copy_only=False) \
+              .astype(np.int64)
+        return pa.table({
+            'source': g.column('source'),
+            'n_docs': pa.array(nd, pa.int64()),
+            'n_distinct': pa.array(nu, pa.int64()),
+            'dup_rate': pa.array(round_half_up(
+                (nd - nu).astype(np.float64) / nd.astype(np.float64), 6),
+                pa.float64()),
+        })
+
+    ds = read_table(sf_dir, 'documents', columns=['source', 'text'],
+                    min_blocks=pool()[1])
+    return ds.map_batches(partial, batch_format='pyarrow',
+                          zero_copy_batch=True) \
+        .groupby('bucket').map_groups(bucket_fold,
+                                      batch_format='pyarrow') \
+        .groupby('source').map_groups(final, batch_format='pyarrow')
+
+
+SOURCE_DUP_RATE_SQL = """
+WITH t AS (
+  SELECT source, md5(text) AS fp FROM documents
+), s AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         count(DISTINCT fp)::BIGINT AS n_distinct
+  FROM t GROUP BY source
+)
+SELECT source, n_docs, n_distinct,
+       floor((n_docs - n_distinct)::DOUBLE / n_docs::DOUBLE
+             * 1000000 + 0.5) / 1000000 AS dup_rate
+FROM s
 """

@@ -102,7 +102,9 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'dedup_normalized', 'vocab_coverage',
                   'source_token_drift', 'embedding_kmeans',
                   'score_calibration', 'conv_turn_gaps',
-                  'doc_ttr', 'events_hourly_profile']
+                  'doc_ttr', 'events_hourly_profile',
+                  'source_dup_rate', 'conv_split_manifest',
+                  'conv_first_tool']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
