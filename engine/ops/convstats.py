@@ -22,7 +22,8 @@ __all__ = ['conv_stats', 'conv_stats_oracle_sql',
            'conv_tool_usage', 'conv_tool_usage_oracle_sql',
            'conv_turn_gaps', 'conv_turn_gaps_oracle_sql',
            'conv_split_manifest', 'conv_split_oracle_sql',
-           'conv_first_tool', 'conv_first_tool_oracle_sql']
+           'conv_first_tool', 'conv_first_tool_oracle_sql',
+           'conv_pack_manifest', 'conv_pack_oracle_sql']
 
 
 def conv_stats(corpus_dir, num_buckets=64):
@@ -585,3 +586,122 @@ SELECT g.conv_id, g.first_tool_turn::BIGINT AS first_tool_turn,
        g.first_tool, (g.ts_tool - f.ts0)::BIGINT AS us_to_tool
 FROM g JOIN f USING (conv_id) WHERE g.rn = 1
 """.format(corpus=corpus_dir)
+
+
+def conv_pack_manifest(corpus_dir, budget=512, num_buckets=64):
+    """SEQUENCE PACKING manifest: greedily pack each conversation's
+    turns, in turn_idx order, into training chunks of at most
+    ``budget`` whitespace tokens — the planning pass every LLM trainer
+    runs before tokenize-and-concat (how many sequences, how full are
+    they, where do chunk boundaries fall).  Packing NEVER crosses a
+    conversation (context integrity, same constraint as
+    conv_split_manifest) and never reorders turns.  A single turn
+    longer than the budget forms its own oversized chunk (a chunk
+    always holds >= 1 turn).  Output: (conv_id, chunk_idx 0-based,
+    first_turn, n_turns, n_tokens).
+
+    Shape: the exchange carries (conv_id, turn_idx, tok) rows —
+    row-cardinality, the conv_turn_gaps contract (skew bound = the
+    largest single conversation).  Per bucket: ONE lexsort, a global
+    no-reset cumsum, then a rounds loop that advances EVERY active
+    conversation one chunk per iteration via a single vectorized
+    np.searchsorted over the monotone cumsum — iterations = max chunks
+    per conversation in the bucket, each O(active * log rows), so the
+    total boundary work is O(total_chunks * log rows), near-linear in
+    rows/budget even for one giant conversation.  All integers; no
+    per-turn and no per-conversation Python."""
+    import numpy as np
+
+    from .textstats import TOKEN_RE
+    nb = num_buckets
+    B = int(budget)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            'conv_id': batch.column('conv_id'),
+            'turn_idx': pc.cast(batch.column('turn_idx'), pa.int64()),
+            'tok': pc.cast(pc.count_substring_regex(
+                batch.column('text'), pattern=TOKEN_RE), pa.int64()),
+        })
+        return t.append_column('bucket',
+                               _string_bucket(t.column('conv_id'), nb))
+
+    def fold(group: pa.Table) -> pa.Table:
+        conv = group.column('conv_id').to_numpy(zero_copy_only=False)
+        tidx = group.column('turn_idx').to_numpy(zero_copy_only=False)
+        tok = group.column('tok').to_numpy(zero_copy_only=False)
+        order = np.lexsort((tidx, conv))
+        conv, tidx, tok = conv[order], tidx[order], tok[order]
+        n = len(conv)
+        # conversation segments over the sorted rows
+        uniq, seg_start = np.unique(conv, return_index=True)
+        seg_end = np.r_[seg_start[1:], n]
+        cum = np.cumsum(tok, dtype=np.int64)          # global, monotone
+        # rounds loop: every active conversation emits one chunk/round
+        starts = np.zeros(n, np.int64)                # 1 at chunk starts
+        p = seg_start.copy()
+        active = p < seg_end
+        while active.any():
+            pa_, ea = p[active], seg_end[active]
+            starts[pa_] = 1
+            prev = np.where(pa_ > 0, cum[pa_ - 1], 0)
+            e = np.searchsorted(cum, prev + B, side='right')
+            e = np.minimum(np.maximum(e, pa_ + 1), ea)
+            p[active] = e
+            active = p < seg_end
+        # chunk_idx per row = chunk starts seen so far within the conv
+        glob = np.cumsum(starts) - 1                  # global chunk id
+        chunk0 = glob[seg_start]                      # first chunk per conv
+        conv_row = np.repeat(np.arange(len(uniq)), seg_end - seg_start)
+        chunk_idx = glob - chunk0[conv_row]
+        t = pa.table({
+            'conv_id': pa.array(conv),
+            'chunk_idx': pa.array(chunk_idx, pa.int64()),
+            'turn_idx': pa.array(tidx, pa.int64()),
+            'tok': pa.array(tok, pa.int64()),
+        })
+        g = t.group_by(['conv_id', 'chunk_idx']).aggregate(
+            [('turn_idx', 'min'), ([], 'count_all'), ('tok', 'sum')])
+        return pa.table({
+            'conv_id': g.column('conv_id'),
+            'chunk_idx': g.column('chunk_idx'),
+            'first_turn': g.column('turn_idx_min').cast(pa.int64()),
+            'n_turns': g.column('count_all').cast(pa.int64()),
+            'n_tokens': g.column('tok_sum').cast(pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(corpus_dir,
+                               columns=['conv_id', 'turn_idx', 'text'])
+    return ds.map_batches(partial, batch_format='pyarrow',
+                          zero_copy_batch=True) \
+             .groupby('bucket').map_groups(fold, batch_format='pyarrow')
+
+
+def conv_pack_oracle_sql(corpus_dir, budget=512):
+    """DuckDB greedy packing via a row-at-a-time recursive CTE (the
+    recursion is set-based: each step advances EVERY conversation one
+    turn, so depth = longest conversation) — independent semantics,
+    same greedy rule: add the next turn iff acc + tok <= budget."""
+    return """
+WITH RECURSIVE t AS (
+  SELECT conv_id, turn_idx,
+         len(regexp_extract_all(text, '\\S+'))::BIGINT AS tok,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS rn
+  FROM read_parquet('{corpus}/*.parquet')
+), g AS (
+  SELECT conv_id, rn, turn_idx, tok,
+         0::BIGINT AS chunk_idx, tok AS acc
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.conv_id, t.rn, t.turn_idx, t.tok,
+         CASE WHEN g.acc + t.tok <= {b} THEN g.chunk_idx
+              ELSE g.chunk_idx + 1 END,
+         CASE WHEN g.acc + t.tok <= {b} THEN g.acc + t.tok
+              ELSE t.tok END
+  FROM g JOIN t ON t.conv_id = g.conv_id AND t.rn = g.rn + 1
+)
+SELECT conv_id, chunk_idx, min(turn_idx)::BIGINT AS first_turn,
+       count(*)::BIGINT AS n_turns, sum(tok)::BIGINT AS n_tokens
+FROM g GROUP BY conv_id, chunk_idx
+""".format(corpus=corpus_dir, b=int(budget))

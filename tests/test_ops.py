@@ -104,7 +104,7 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'score_calibration', 'conv_turn_gaps',
                   'doc_ttr', 'events_hourly_profile',
                   'source_dup_rate', 'conv_split_manifest',
-                  'conv_first_tool']
+                  'conv_first_tool', 'conv_pack_manifest']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
@@ -1093,3 +1093,26 @@ def test_late_arrivals_true_branch(ray_session, tmp_path):
     a = _canon(got)
     b = _canon(want)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_conv_pack_invariants(ray_session):
+    """Greedy packing invariants: chunks partition each conversation's
+    turns exactly (turn conservation vs conv_stats), every multi-turn
+    chunk respects the token budget, oversized chunks are singletons,
+    and chunk_idx is dense from 0 per conversation."""
+    from engine.ops.common import sf_from_dir
+    from engine.ops.convstats import conv_pack_manifest, conv_stats
+    from engine.rayjob.transcripts import ensure_corpus
+
+    corpus = ensure_corpus(sf_from_dir(SF_DIR))
+    budget = 64
+    packs = conv_pack_manifest(corpus, budget=budget).to_pandas()
+    stats = conv_stats(corpus).to_pandas().set_index('conv_id')
+
+    assert ((packs.n_tokens <= budget) | (packs.n_turns == 1)).all()
+    per_conv = packs.groupby('conv_id')
+    got_turns = per_conv.n_turns.sum().sort_index()
+    assert (got_turns == stats.n_turns.sort_index()).all()
+    for cid, g in per_conv:
+        idx = sorted(g.chunk_idx)
+        assert idx == list(range(len(idx)))
