@@ -181,7 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from engine.ops import (dedup, relational, similarity, textstats,
                             multimodal, sampling, clusters, sketches, ingest,
                             bloomjoin, checksum, graph, modelscore, decontam,
-                            evals, sharding)
+                            evals, sharding, quality)
 
     # ORDERING CONTRACT: the driver's correctness check caps at the
     # FIRST 50 entries, so the dict front-loads (a) every query with no
@@ -295,6 +295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'conv_split_manifest': _conv_split_manifest,
         'conv_first_tool': _conv_first_tool,
         'conv_pack_manifest': _conv_pack_manifest,
+        'fk_integrity_audit': quality.fk_integrity_audit,
+        'table_profile': quality.table_profile,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -448,6 +450,9 @@ def oracle_sql() -> dict[str, str]:
     generated['source_dup_rate'] = _dedup_mod.SOURCE_DUP_RATE_SQL
     generated['events_hourly_profile'] = \
         _relational_mod.EVENTS_HOURLY_PROFILE_SQL
+    from engine.ops import quality as _quality_mod
+    generated['fk_integrity_audit'] = _quality_mod.FK_INTEGRITY_SQL
+    generated['table_profile'] = _quality_mod.TABLE_PROFILE_SQL
     from engine.ops import similarity as _similarity_mod
     generated['embedding_kmeans'] = _similarity_mod.kmeans_oracle_sql()
     from engine.ops import modelscore as _modelscore_mod

@@ -104,7 +104,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'score_calibration', 'conv_turn_gaps',
                   'doc_ttr', 'events_hourly_profile',
                   'source_dup_rate', 'conv_split_manifest',
-                  'conv_first_tool', 'conv_pack_manifest']
+                  'conv_first_tool', 'conv_pack_manifest',
+                  'fk_integrity_audit', 'table_profile']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
@@ -1116,3 +1117,42 @@ def test_conv_pack_invariants(ray_session):
     for cid, g in per_conv:
         idx = sorted(g.chunk_idx)
         assert idx == list(range(len(idx)))
+
+
+def test_fk_orphans_true_branch(ray_session, tmp_path):
+    """The sf tables are referentially intact (0 orphans), so the oracle
+    check never exercises the orphan path — this fixture drops parent
+    rows deterministically and re-checks full parity with orphans
+    present."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import duckdb
+
+    from engine.ops.quality import fk_integrity_audit
+
+    n_parent, n_child = 40, 400
+    pk = np.arange(n_parent, dtype=np.int64)
+    pq.write_table(pa.table({'pid': pa.array(pk[pk % 4 != 0])}),
+                   str(tmp_path / 'parent.parquet'))
+    ck = (np.arange(n_child, dtype=np.int64) * 13) % n_parent
+    pq.write_table(pa.table({'fk': pa.array(ck)}),
+                   str(tmp_path / 'child.parquet'))
+
+    rels = [('child->parent', 'child', 'fk', 'parent', 'pid')]
+    got = fk_integrity_audit(str(tmp_path), relations=rels).to_pandas()
+    con = duckdb.connect()
+    for t in ('parent', 'child'):
+        con.execute("CREATE VIEW %s AS SELECT * FROM read_parquet('%s')"
+                    % (t, str(tmp_path / (t + '.parquet'))))
+    want = con.execute("""
+        SELECT 'child->parent' AS relation, count(*)::BIGINT AS n_child,
+               count(DISTINCT c.fk)::BIGINT AS n_keys,
+               count(*) FILTER (WHERE p.pid IS NULL)::BIGINT
+                 AS n_orphan_rows,
+               count(DISTINCT c.fk)
+                 FILTER (WHERE p.pid IS NULL)::BIGINT AS n_orphan_keys
+        FROM child c LEFT JOIN parent p ON c.fk = p.pid""").fetchdf()
+    assert int(got.n_orphan_rows.iloc[0]) > 0
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
