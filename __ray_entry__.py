@@ -94,6 +94,11 @@ def _conv_pack_manifest(sf_dir: str) -> Any:
     return conv_pack_manifest(_transcripts_dir(sf_dir))
 
 
+def _conv_near_dup(sf_dir: str) -> Any:
+    from engine.ops.convstats import conv_near_dup
+    return conv_near_dup(_transcripts_dir(sf_dir))
+
+
 def _engine_fingerprint() -> str:
     """md5 over the extraction-relevant source files: a resume dir is
     only trusted for output produced by the SAME engine code, so a code
@@ -295,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'conv_split_manifest': _conv_split_manifest,
         'conv_first_tool': _conv_first_tool,
         'conv_pack_manifest': _conv_pack_manifest,
+        'conv_near_dup': _conv_near_dup,
         'fk_integrity_audit': quality.fk_integrity_audit,
         'table_profile': quality.table_profile,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
@@ -401,6 +407,7 @@ def oracle_sql() -> dict[str, str]:
             conv_role_transitions_oracle_sql(_corpus)
         generated['conv_tool_usage'] = conv_tool_usage_oracle_sql(_corpus)
         from engine.ops.convstats import (conv_first_tool_oracle_sql,
+                                          conv_near_dup_oracle_sql,
                                           conv_pack_oracle_sql,
                                           conv_split_oracle_sql,
                                           conv_turn_gaps_oracle_sql)
@@ -408,6 +415,7 @@ def oracle_sql() -> dict[str, str]:
         generated['conv_split_manifest'] = conv_split_oracle_sql(_corpus)
         generated['conv_first_tool'] = conv_first_tool_oracle_sql(_corpus)
         generated['conv_pack_manifest'] = conv_pack_oracle_sql(_corpus)
+        generated['conv_near_dup'] = conv_near_dup_oracle_sql(_corpus)
         # flagship extraction: reference-derived expected tables → SQL joins
         generated.update(oracles.extract_oracle_sqls())
         # multimodal blob md5s vs fixture-time independent recompute

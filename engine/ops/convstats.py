@@ -23,7 +23,8 @@ __all__ = ['conv_stats', 'conv_stats_oracle_sql',
            'conv_turn_gaps', 'conv_turn_gaps_oracle_sql',
            'conv_split_manifest', 'conv_split_oracle_sql',
            'conv_first_tool', 'conv_first_tool_oracle_sql',
-           'conv_pack_manifest', 'conv_pack_oracle_sql']
+           'conv_pack_manifest', 'conv_pack_oracle_sql',
+           'conv_near_dup', 'conv_near_dup_oracle_sql']
 
 
 def conv_stats(corpus_dir, num_buckets=64):
@@ -705,3 +706,163 @@ SELECT conv_id, chunk_idx, min(turn_idx)::BIGINT AS first_turn,
        count(*)::BIGINT AS n_turns, sum(tok)::BIGINT AS n_tokens
 FROM g GROUP BY conv_id, chunk_idx
 """.format(corpus=corpus_dir, b=int(budget))
+
+
+def conv_near_dup(corpus_dir, threshold=0.5, num_buckets=64):
+    """NEAR-DUPLICATE CONVERSATIONS by turn-set Jaccard: two
+    conversations are near-dups when they share most of their DISTINCT
+    turn texts — the transcript-granular dedup tier (re-run sessions,
+    retried agent episodes, template conversations), where
+    whole-corpus minhash over concatenated text would dilute the
+    per-turn structure.  Output: (conv_a, conv_b, inter, jac) for
+    pairs with Jaccard >= threshold, pair ordered conv_a < conv_b.
+
+    Shape: three bucketed exchanges, no joins, no driver state —
+    1. fp-bucketed: distinct (conv, turn-fp) resolves exactly (a fp
+       lives in one bucket); per-fp runs expand to canonical pairs
+       (``common.run_pairs``, vectorized) and fold per (a, b); per-conv
+       set-size partials fold per bucket.  The expansion is quadratic
+       in a fp's run length — the shared_span_pairs contract:
+       boilerplate-heavy corpora should run exact payload dedup first.
+    2. conv-bucketed: each pair row rides TWICE (keyed by a, keyed by
+       b) alongside the size partials, so inter fully folds and each
+       side's set size attaches in ONE exchange with no dataset reuse.
+    3. pair-bucketed: the two halves meet; uni = na + nb − inter, one
+       exact-operand division, r6, threshold filter (identical float
+       expression to the oracle)."""
+    import numpy as np
+
+    from .common import hash63_strings, round_half_up, run_pairs
+    nb = num_buckets
+    thr = float(threshold)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        fps = hash63_strings(batch.column('text').to_pylist())
+        t = pa.table({'conv_id': batch.column('conv_id'),
+                      'fp': pa.array(fps, pa.int64())})
+        g = t.group_by(['conv_id', 'fp']).aggregate([])
+        fpv = g.column('fp').to_numpy(zero_copy_only=False)
+        return g.append_column('bucket', pa.array(fpv & (nb - 1),
+                                                  pa.int64()))
+
+    def fp_fold(group: pa.Table) -> pa.Table:
+        # exact distinct within the fp bucket, then runs per fp
+        g = group.group_by(['fp', 'conv_id']).aggregate([]) \
+                 .sort_by([('fp', 'ascending'), ('conv_id', 'ascending')])
+        fp = g.column('fp').to_numpy(zero_copy_only=False)
+        conv = np.asarray(g.column('conv_id').to_pylist(), dtype=object)
+        starts = np.flatnonzero(np.r_[True, fp[1:] != fp[:-1]])
+        lens = np.diff(np.r_[starts, len(fp)])
+        ai, bi = run_pairs(lens, upper=True)
+        # per-bucket pair partial counts
+        pt = pa.table({'ca': pa.array(conv[ai].tolist(), pa.string()),
+                       'cb': pa.array(conv[bi].tolist(), pa.string())})
+        pg = pt.group_by(['ca', 'cb']).aggregate([([], 'count_all')])
+        ca = pg.column('ca')
+        cb = pg.column('cb')
+        n_pair = pg.column('count_all').cast(pa.int64())
+        # per-conv set-size partials (each (conv, fp) counted once,
+        # exactly — the fp lives in this bucket only)
+        sz = pa.table({'conv_id': g.column('conv_id')}) \
+               .group_by('conv_id').aggregate([([], 'count_all')])
+        uconv = sorted(set(conv.tolist()))
+        hkey = {c: int(h) & (nb - 1)
+                for c, h in zip(uconv, hash63_strings(uconv))}
+        cav, cbv = ca.to_pylist(), cb.to_pylist()
+        szc = sz.column('conv_id').to_pylist()
+        key = ([hkey[c] for c in cav] + [hkey[c] for c in cbv] +
+               [hkey[c] for c in szc])
+        kind = [0] * len(cav) + [1] * len(cav) + [2] * len(szc)
+        nvals = n_pair.to_pylist()
+        return pa.table({
+            'key': pa.array(key, pa.int64()),
+            'kind': pa.array(kind, pa.int64()),
+            'ca': pa.array(cav + cav + szc, pa.string()),
+            'cb': pa.array(cbv + cbv + [''] * len(szc), pa.string()),
+            'n': pa.array(nvals + nvals +
+                          sz.column('count_all').to_pylist(), pa.int64()),
+        })
+
+    def attach_fold(group: pa.Table) -> pa.Table:
+        kinds = group.column('kind')
+        sizes = group.filter(pc.equal(kinds, 2)) \
+                     .group_by('ca').aggregate([('n', 'sum')])
+        smap = dict(zip(sizes.column('ca').to_pylist(),
+                        sizes.column('n_sum').to_pylist()))
+        out = []
+        for half, side_col in ((0, 'ca'), (1, 'cb')):
+            p = group.filter(pc.equal(kinds, half)) \
+                     .group_by(['ca', 'cb']).aggregate([('n', 'sum')])
+            if p.num_rows == 0:
+                continue
+            cav = p.column('ca').to_pylist()
+            cbv = p.column('cb').to_pylist()
+            sz = [int(smap[c]) for c in (cav if half == 0 else cbv)]
+            pb = [h & (nb - 1) for h in hash63_strings(
+                [a + '|' + b for a, b in zip(cav, cbv)])]
+            out.append(pa.table({
+                'conv_a': pa.array(cav, pa.string()),
+                'conv_b': pa.array(cbv, pa.string()),
+                'inter': p.column('n_sum').cast(pa.int64()),
+                'sz': pa.array(sz, pa.int64()),
+                'half': pa.array([half] * len(cav), pa.int64()),
+                'pbucket': pa.array(pb, pa.int64()),
+            }))
+        if not out:
+            return pa.table({
+                'conv_a': pa.array([], pa.string()),
+                'conv_b': pa.array([], pa.string()),
+                'inter': pa.array([], pa.int64()),
+                'sz': pa.array([], pa.int64()),
+                'half': pa.array([], pa.int64()),
+                'pbucket': pa.array([], pa.int64()),
+            })
+        return pa.concat_tables(out)
+
+    def pair_fold(group: pa.Table) -> pa.Table:
+        g = group.group_by(['conv_a', 'conv_b']).aggregate(
+            [('inter', 'max'), ('sz', 'sum')])
+        inter = g.column('inter_max').to_numpy(zero_copy_only=False) \
+                 .astype(np.int64)
+        uni = g.column('sz_sum').to_numpy(zero_copy_only=False) \
+               .astype(np.int64) - inter
+        jac = inter.astype(np.float64) / uni.astype(np.float64)
+        keep = jac >= thr
+        return pa.table({
+            'conv_a': g.column('conv_a').filter(pa.array(keep)),
+            'conv_b': g.column('conv_b').filter(pa.array(keep)),
+            'inter': pa.array(inter[keep], pa.int64()),
+            'jac': pa.array(round_half_up(jac[keep], 6), pa.float64()),
+        })
+
+    ds = ray.data.read_parquet(corpus_dir, columns=['conv_id', 'text'])
+    return ds.map_batches(explode, batch_format='pyarrow',
+                          zero_copy_batch=True) \
+             .groupby('bucket').map_groups(fp_fold,
+                                           batch_format='pyarrow') \
+             .groupby('key').map_groups(attach_fold,
+                                        batch_format='pyarrow') \
+             .groupby('pbucket').map_groups(pair_fold,
+                                            batch_format='pyarrow')
+
+
+def conv_near_dup_oracle_sql(corpus_dir, threshold=0.5):
+    """DuckDB turn-set Jaccard over DISTINCT (conv_id, text) — the
+    engine's md5-derived fp sets mirror the text sets exactly (md5
+    injectivity, the repo-wide oracle assumption)."""
+    return """
+WITH t AS (
+  SELECT DISTINCT conv_id, text FROM read_parquet('{corpus}/*.parquet')
+), sz AS (
+  SELECT conv_id, count(*)::BIGINT AS n FROM t GROUP BY conv_id
+), p AS (
+  SELECT a.conv_id AS ca, b.conv_id AS cb, count(*)::BIGINT AS inter
+  FROM t a JOIN t b ON a.text = b.text AND a.conv_id < b.conv_id
+  GROUP BY 1, 2
+)
+SELECT ca AS conv_a, cb AS conv_b, inter,
+       floor(inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE
+             * 1000000 + 0.5) / 1000000 AS jac
+FROM p JOIN sz sa ON sa.conv_id = ca JOIN sz sb ON sb.conv_id = cb
+WHERE inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE >= {thr}
+""".format(corpus=corpus_dir, thr=repr(float(threshold)))

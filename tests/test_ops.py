@@ -105,7 +105,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'doc_ttr', 'events_hourly_profile',
                   'source_dup_rate', 'conv_split_manifest',
                   'conv_first_tool', 'conv_pack_manifest',
-                  'fk_integrity_audit', 'table_profile']
+                  'fk_integrity_audit', 'table_profile',
+                  'conv_near_dup']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
