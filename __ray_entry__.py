@@ -99,6 +99,11 @@ def _conv_near_dup(sf_dir: str) -> Any:
     return conv_near_dup(_transcripts_dir(sf_dir))
 
 
+def _conv_context_growth(sf_dir: str) -> Any:
+    from engine.ops.convstats import conv_context_growth
+    return conv_context_growth(_transcripts_dir(sf_dir))
+
+
 def _engine_fingerprint() -> str:
     """md5 over the extraction-relevant source files: a resume dir is
     only trusted for output produced by the SAME engine code, so a code
@@ -301,8 +306,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'conv_first_tool': _conv_first_tool,
         'conv_pack_manifest': _conv_pack_manifest,
         'conv_near_dup': _conv_near_dup,
+        'conv_context_growth': _conv_context_growth,
         'fk_integrity_audit': quality.fk_integrity_audit,
         'table_profile': quality.table_profile,
+        'embedding_label_centroids': similarity.embedding_label_centroids,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -406,7 +413,8 @@ def oracle_sql() -> dict[str, str]:
         generated['conv_role_transitions'] = \
             conv_role_transitions_oracle_sql(_corpus)
         generated['conv_tool_usage'] = conv_tool_usage_oracle_sql(_corpus)
-        from engine.ops.convstats import (conv_first_tool_oracle_sql,
+        from engine.ops.convstats import (conv_context_growth_oracle_sql,
+                                          conv_first_tool_oracle_sql,
                                           conv_near_dup_oracle_sql,
                                           conv_pack_oracle_sql,
                                           conv_split_oracle_sql,
@@ -416,6 +424,8 @@ def oracle_sql() -> dict[str, str]:
         generated['conv_first_tool'] = conv_first_tool_oracle_sql(_corpus)
         generated['conv_pack_manifest'] = conv_pack_oracle_sql(_corpus)
         generated['conv_near_dup'] = conv_near_dup_oracle_sql(_corpus)
+        generated['conv_context_growth'] = \
+            conv_context_growth_oracle_sql(_corpus)
         # flagship extraction: reference-derived expected tables → SQL joins
         generated.update(oracles.extract_oracle_sqls())
         # multimodal blob md5s vs fixture-time independent recompute
@@ -462,6 +472,8 @@ def oracle_sql() -> dict[str, str]:
     generated['fk_integrity_audit'] = _quality_mod.FK_INTEGRITY_SQL
     generated['table_profile'] = _quality_mod.TABLE_PROFILE_SQL
     from engine.ops import similarity as _similarity_mod
+    generated['embedding_label_centroids'] = \
+        _similarity_mod.LABEL_CENTROIDS_SQL
     generated['embedding_kmeans'] = _similarity_mod.kmeans_oracle_sql()
     from engine.ops import modelscore as _modelscore_mod
     generated['score_calibration'] = _modelscore_mod.calibration_oracle_sql()

@@ -24,7 +24,8 @@ __all__ = ['conv_stats', 'conv_stats_oracle_sql',
            'conv_split_manifest', 'conv_split_oracle_sql',
            'conv_first_tool', 'conv_first_tool_oracle_sql',
            'conv_pack_manifest', 'conv_pack_oracle_sql',
-           'conv_near_dup', 'conv_near_dup_oracle_sql']
+           'conv_near_dup', 'conv_near_dup_oracle_sql',
+           'conv_context_growth', 'conv_context_growth_oracle_sql']
 
 
 def conv_stats(corpus_dir, num_buckets=64):
@@ -866,3 +867,81 @@ SELECT ca AS conv_a, cb AS conv_b, inter,
 FROM p JOIN sz sa ON sa.conv_id = ca JOIN sz sb ON sb.conv_id = cb
 WHERE inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE >= {thr}
 """.format(corpus=corpus_dir, thr=repr(float(threshold)))
+
+
+def conv_context_growth(corpus_dir, num_buckets=64):
+    """CONTEXT-WINDOW COST audit per conversation: at turn i the model
+    re-reads the whole prefix, so serving/training cost scales with the
+    SUM of prefix token counts, not the token total.  Output per
+    conversation: n_turns, total_tokens (= final context size) and
+    cum_token_turns = Σ_i ctx_i where ctx_i is the inclusive prefix
+    token count at turn i (the attention-cost proxy a transcript owner
+    tracks across model versions).  All integers.
+
+    Shape: one conv-bucketed exchange of (conv_id, turn_idx, tok) rows
+    (the conv_turn_gaps row-cardinality contract); per bucket ONE
+    lexsort + global cumsum with per-segment rebase — no per-conv
+    Python.  The telescoped identity Σ ctx_i = Σ_j tok_j·(n−j+1) means
+    the fold needs only the sorted position within the conversation."""
+    import numpy as np
+
+    from .textstats import TOKEN_RE
+    nb = num_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            'conv_id': batch.column('conv_id'),
+            'turn_idx': pc.cast(batch.column('turn_idx'), pa.int64()),
+            'tok': pc.cast(pc.count_substring_regex(
+                batch.column('text'), pattern=TOKEN_RE), pa.int64()),
+        })
+        return t.append_column('bucket',
+                               _string_bucket(t.column('conv_id'), nb))
+
+    def fold(group: pa.Table) -> pa.Table:
+        conv = group.column('conv_id').to_numpy(zero_copy_only=False)
+        tidx = group.column('turn_idx').to_numpy(zero_copy_only=False)
+        tok = group.column('tok').to_numpy(zero_copy_only=False)
+        order = np.lexsort((tidx, conv))
+        conv, tok = conv[order], tok[order]
+        n = len(conv)
+        uniq, seg_start = np.unique(conv, return_index=True)
+        seg_end = np.r_[seg_start[1:], n]
+        lens = seg_end - seg_start
+        # inclusive prefix sums, rebased per conversation
+        cum = np.cumsum(tok, dtype=np.int64)
+        base = np.where(seg_start > 0, cum[seg_start - 1], 0)
+        conv_row = np.repeat(np.arange(len(uniq)), lens)
+        ctx = cum - base[conv_row]
+        cum2 = np.cumsum(ctx, dtype=np.int64)
+        base2 = np.where(seg_start > 0, cum2[seg_start - 1], 0)
+        return pa.table({
+            'conv_id': pa.array(uniq),
+            'n_turns': pa.array(lens.astype(np.int64), pa.int64()),
+            'total_tokens': pa.array(ctx[seg_end - 1], pa.int64()),
+            'cum_token_turns': pa.array(cum2[seg_end - 1] - base2,
+                                        pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(corpus_dir,
+                               columns=['conv_id', 'turn_idx', 'text'])
+    return ds.map_batches(partial, batch_format='pyarrow',
+                          zero_copy_batch=True) \
+             .groupby('bucket').map_groups(fold, batch_format='pyarrow')
+
+
+def conv_context_growth_oracle_sql(corpus_dir):
+    return """
+WITH t AS (
+  SELECT conv_id,
+         len(regexp_extract_all(text, '\\S+'))::BIGINT AS tok,
+         sum(len(regexp_extract_all(text, '\\S+'))::BIGINT) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS UNBOUNDED PRECEDING) AS ctx
+  FROM read_parquet('{corpus}/*.parquet')
+)
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       sum(tok)::BIGINT AS total_tokens,
+       sum(ctx)::BIGINT AS cum_token_turns
+FROM t GROUP BY conv_id
+""".format(corpus=corpus_dir)

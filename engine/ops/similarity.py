@@ -31,7 +31,8 @@ __all__ = ['embedding_dup_pairs', 'embedding_dup_pairs_blocked',
            'ann_topk_pq', 'embedding_norms', 'EMBEDDING_NORMS_SQL',
            'embedding_norm_stats', 'EMBEDDING_NORM_STATS_SQL',
            'embedding_project2d', 'project2d_oracle_sql',
-           'embedding_kmeans', 'kmeans_oracle_sql']
+           'embedding_kmeans', 'kmeans_oracle_sql',
+           'embedding_label_centroids', 'LABEL_CENTROIDS_SQL']
 
 
 def _read_embeddings(sf_dir):
@@ -930,3 +931,80 @@ SELECT vec_id, ci::BIGINT AS cluster,
        floor(dot * 1000000 + 0.5) / 1000000 AS dot
 FROM d WHERE rn = 1
 """.format(cent_rows=cent_rows)
+
+
+def embedding_label_centroids(sf_dir, num_buckets=None):
+    """Per-label CLASS CENTROID, long format (label, dim, n, centroid)
+    — the embedding-space QC read behind classifier drift checks and
+    cluster sanity (is each label's mass where it was last export?).
+
+    Same QUANTIZE-THEN-AGGREGATE float discipline as
+    :func:`embedding_norm_stats`: every COMPONENT is carried as its
+    integer micro-unit numerator floor(v·10⁶ + 0.5) (float32→float64 is
+    exact, and the oracle quantizes the identical double), so the group
+    sums are order-free int64 arithmetic and the centroid is ONE
+    division of int64-exact operands, half-up r6.
+
+    100 TB shape: per-block combiner folds to labels × d rows
+    (np.add.at over label codes — no per-row Python); the exchange
+    never carries vectors; output is labels × d."""
+    from .common import round_half_up, pool, read_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch.column('embedding')
+        arr = emb.chunk(0) if emb.num_chunks == 1 else emb.combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False) \
+                  .astype(np.float64)
+        mat = flat.reshape(batch.num_rows, -1)
+        d = mat.shape[1]
+        micro = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        lab = batch.column('label').to_numpy(zero_copy_only=False) \
+                   .astype(np.int64)
+        codes, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(codes), d), np.int64)
+        np.add.at(sums, inv, micro)
+        cnt = np.bincount(inv, minlength=len(codes)).astype(np.int64)
+        return pa.table({
+            'label': pa.array(np.repeat(codes, d), pa.int64()),
+            'dim': pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(codes)), pa.int64()),
+            'sum_micro': pa.array(sums.ravel(), pa.int64()),
+            'n': pa.array(np.repeat(cnt, d), pa.int64()),
+        })
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by(['label', 'dim']).aggregate(
+            [('sum_micro', 'sum'), ('n', 'sum')])
+        sm = g.column('sum_micro_sum').to_numpy(zero_copy_only=False) \
+              .astype(np.int64)
+        n = g.column('n_sum').to_numpy(zero_copy_only=False) \
+             .astype(np.int64)
+        return pa.table({
+            'label': g.column('label'),
+            'dim': g.column('dim'),
+            'n': pa.array(n, pa.int64()),
+            'centroid': pa.array(
+                round_half_up(sm.astype(np.float64)
+                              / (n.astype(np.float64) * 1e6), 6),
+                pa.float64()),
+        })
+
+    return read_table(sf_dir, 'embeddings', columns=['embedding', 'label'],
+                      min_blocks=pool()[1]) \
+        .map_batches(partial, batch_format='pyarrow',
+                     zero_copy_batch=True) \
+        .groupby('label').map_groups(final, batch_format='pyarrow')
+
+
+LABEL_CENTROIDS_SQL = """
+WITH m AS (
+  SELECT label::BIGINT AS label, i AS dim,
+         CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT)
+           AS micro
+  FROM embeddings, generate_series(1, 64) t(i)
+)
+SELECT label, dim, count(*)::BIGINT AS n,
+       floor(sum(micro)::DOUBLE / (count(*) * 1000000)::DOUBLE
+             * 1000000 + 0.5) / 1000000 AS centroid
+FROM m GROUP BY label, dim
+"""

@@ -106,7 +106,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'source_dup_rate', 'conv_split_manifest',
                   'conv_first_tool', 'conv_pack_manifest',
                   'fk_integrity_audit', 'table_profile',
-                  'conv_near_dup']
+                  'conv_near_dup', 'embedding_label_centroids',
+                  'conv_context_growth']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
