@@ -43,7 +43,10 @@ BENCH_QUERIES = ['q1_pricing', 'events_by_type', 'dedup_exact',
                  'decontaminate_split', 'doc_shard_assign',
                  'conv_role_transitions', 'embedding_norm_stats',
                  # round-4d additions
-                 'events_type_drift', 'doc_ngram_novelty']
+                 'events_type_drift', 'doc_ngram_novelty',
+                 # round-4e additions (one per new family)
+                 'conv_near_dup', 'conv_pack_manifest',
+                 'fk_integrity_audit', 'embedding_label_centroids']
 
 
 def _init_ray(num_cpus):

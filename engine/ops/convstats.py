@@ -738,7 +738,13 @@ def conv_near_dup(corpus_dir, threshold=0.5, num_buckets=64):
     thr = float(threshold)
 
     def explode(batch: pa.Table) -> pa.Table:
-        fps = hash63_strings(batch.column('text').to_pylist())
+        # md5 only the block's DISTINCT texts (dictionary encode), then
+        # scatter — a boilerplate corpus hashes dozens of strings, not
+        # millions of turns
+        enc = pc.dictionary_encode(batch.column('text')).combine_chunks()
+        dict_fps = np.asarray(
+            hash63_strings(enc.dictionary.to_pylist()), np.int64)
+        fps = dict_fps[enc.indices.to_numpy(zero_copy_only=False)]
         t = pa.table({'conv_id': batch.column('conv_id'),
                       'fp': pa.array(fps, pa.int64())})
         g = t.group_by(['conv_id', 'fp']).aggregate([])
@@ -747,42 +753,65 @@ def conv_near_dup(corpus_dir, threshold=0.5, num_buckets=64):
                                                   pa.int64()))
 
     def fp_fold(group: pa.Table) -> pa.Table:
-        # exact distinct within the fp bucket, then runs per fp
-        g = group.group_by(['fp', 'conv_id']).aggregate([]) \
-                 .sort_by([('fp', 'ascending'), ('conv_id', 'ascending')])
+        # exact distinct within the fp bucket, then runs per fp.  All
+        # pair work happens on DICTIONARY CODES (conv strings hashed /
+        # materialized once per distinct conv per bucket, never per
+        # pair — the 18M-expansion buckets of a boilerplate corpus made
+        # per-pair Python the hot path).
+        g = group.group_by(['fp', 'conv_id']).aggregate([])
+        enc = pc.dictionary_encode(g.column('conv_id')).combine_chunks()
+        # dictionary order is first-appearance; pair canonicalization
+        # needs STRING order (the oracle's conv_a < conv_b), so remap
+        # codes onto the sorted dictionary
+        dvals = enc.dictionary.to_pylist()
+        sort_perm = np.argsort(np.asarray(dvals, dtype=object),
+                               kind='stable')
+        rank = np.empty(len(dvals), np.int64)
+        rank[sort_perm] = np.arange(len(dvals))
+        code = rank[enc.indices.to_numpy(zero_copy_only=False)]
+        uconv = [dvals[i] for i in sort_perm]           # string-sorted
+        hkeys = (np.asarray(hash63_strings(uconv), np.int64) & (nb - 1))
         fp = g.column('fp').to_numpy(zero_copy_only=False)
-        conv = np.asarray(g.column('conv_id').to_pylist(), dtype=object)
+        order = np.lexsort((code, fp))
+        fp, code = fp[order], code[order]
         starts = np.flatnonzero(np.r_[True, fp[1:] != fp[:-1]])
         lens = np.diff(np.r_[starts, len(fp)])
         ai, bi = run_pairs(lens, upper=True)
-        # per-bucket pair partial counts
-        pt = pa.table({'ca': pa.array(conv[ai].tolist(), pa.string()),
-                       'cb': pa.array(conv[bi].tolist(), pa.string())})
-        pg = pt.group_by(['ca', 'cb']).aggregate([([], 'count_all')])
-        ca = pg.column('ca')
-        cb = pg.column('cb')
-        n_pair = pg.column('count_all').cast(pa.int64())
+        # per-bucket pair partial counts, folded on int codes (C++)
+        pg = pa.table({'a': pa.array(code[ai], pa.int64()),
+                       'b': pa.array(code[bi], pa.int64())}) \
+               .group_by(['a', 'b']).aggregate([([], 'count_all')])
+        a = pg.column('a').to_numpy(zero_copy_only=False)
+        b = pg.column('b').to_numpy(zero_copy_only=False)
+        n_pair = pg.column('count_all').to_numpy(zero_copy_only=False) \
+                   .astype(np.int64)
         # per-conv set-size partials (each (conv, fp) counted once,
         # exactly — the fp lives in this bucket only)
-        sz = pa.table({'conv_id': g.column('conv_id')}) \
-               .group_by('conv_id').aggregate([([], 'count_all')])
-        uconv = sorted(set(conv.tolist()))
-        hkey = {c: int(h) & (nb - 1)
-                for c, h in zip(uconv, hash63_strings(uconv))}
-        cav, cbv = ca.to_pylist(), cb.to_pylist()
-        szc = sz.column('conv_id').to_pylist()
-        key = ([hkey[c] for c in cav] + [hkey[c] for c in cbv] +
-               [hkey[c] for c in szc])
-        kind = [0] * len(cav) + [1] * len(cav) + [2] * len(szc)
-        nvals = n_pair.to_pylist()
+        sz_cnt = np.bincount(code, minlength=len(uconv)).astype(np.int64)
+        conv_arr = pa.array(uconv, pa.string())
+        ca = pa.concat_arrays([conv_arr.take(pa.array(a, pa.int64()))] * 2
+                              + [conv_arr])
+        cb = pa.concat_arrays([conv_arr.take(pa.array(b, pa.int64()))] * 2
+                              + [pa.nulls(len(uconv), pa.string())])
+        key = np.concatenate([hkeys[a], hkeys[b], hkeys])
+        kind = np.concatenate([np.zeros(len(a), np.int64),
+                               np.ones(len(a), np.int64),
+                               np.full(len(uconv), 2, np.int64)])
+        n = np.concatenate([n_pair, n_pair, sz_cnt])
         return pa.table({
             'key': pa.array(key, pa.int64()),
             'kind': pa.array(kind, pa.int64()),
-            'ca': pa.array(cav + cav + szc, pa.string()),
-            'cb': pa.array(cbv + cbv + [''] * len(szc), pa.string()),
-            'n': pa.array(nvals + nvals +
-                          sz.column('count_all').to_pylist(), pa.int64()),
+            'ca': ca,
+            'cb': cb,
+            'n': pa.array(n, pa.int64()),
         })
+
+    def _scatter_over_distinct(col, fn):
+        """Apply fn over the column's DISTINCT strings, scatter back —
+        per-pair-row Python is the hot path this avoids."""
+        enc = pc.dictionary_encode(col).combine_chunks()
+        vals = np.asarray(fn(enc.dictionary.to_pylist()), np.int64)
+        return vals[enc.indices.to_numpy(zero_copy_only=False)]
 
     def attach_fold(group: pa.Table) -> pa.Table:
         kinds = group.column('kind')
@@ -791,22 +820,23 @@ def conv_near_dup(corpus_dir, threshold=0.5, num_buckets=64):
         smap = dict(zip(sizes.column('ca').to_pylist(),
                         sizes.column('n_sum').to_pylist()))
         out = []
-        for half, side_col in ((0, 'ca'), (1, 'cb')):
+        for half in (0, 1):
             p = group.filter(pc.equal(kinds, half)) \
                      .group_by(['ca', 'cb']).aggregate([('n', 'sum')])
             if p.num_rows == 0:
                 continue
-            cav = p.column('ca').to_pylist()
-            cbv = p.column('cb').to_pylist()
-            sz = [int(smap[c]) for c in (cav if half == 0 else cbv)]
-            pb = [h & (nb - 1) for h in hash63_strings(
-                [a + '|' + b for a, b in zip(cav, cbv)])]
+            side = p.column('ca') if half == 0 else p.column('cb')
+            sz = _scatter_over_distinct(
+                side, lambda vs: [int(smap[c]) for c in vs])
+            ha = _scatter_over_distinct(p.column('ca'), hash63_strings)
+            hb = _scatter_over_distinct(p.column('cb'), hash63_strings)
+            pb = (ha * 1_000_003 + hb) & (nb - 1)
             out.append(pa.table({
-                'conv_a': pa.array(cav, pa.string()),
-                'conv_b': pa.array(cbv, pa.string()),
+                'conv_a': p.column('ca'),
+                'conv_b': p.column('cb'),
                 'inter': p.column('n_sum').cast(pa.int64()),
                 'sz': pa.array(sz, pa.int64()),
-                'half': pa.array([half] * len(cav), pa.int64()),
+                'half': pa.array(np.full(p.num_rows, half, np.int64)),
                 'pbucket': pa.array(pb, pa.int64()),
             }))
         if not out:
