@@ -199,10 +199,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # changed this round, (c) the flagship.  Long-green entries (r1-r3
     # hash-green on unchanged code) sit at the back.
     # ROUND-5 TODO (first action next round): move the "late round-4"
-    # block below (everything from 'part_assoc_rules' up to the
-    # long-green comment — none have a driver CORRECTNESS row yet; all
-    # are tools/verify_queries.py + pytest green) to the TOP of this
-    # dict, and push the entries CORRECTNESS_r04 covers to the back.
+    # block below (everything from 'part_assoc_rules' through
+    # 'embedding_label_centroids', i.e. up to the long-green comment —
+    # none have a driver CORRECTNESS row yet; all are
+    # tools/verify_queries.py + pytest green) to the TOP of this dict,
+    # and push the entries CORRECTNESS_r04 covers to the back.  46
+    # entries — they fit one 50-row driver window with the flagship.
     return {
         # -- never driver-checked before round 4 ----------------------
         'user_event_pivot': relational.user_event_pivot,
@@ -310,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'fk_integrity_audit': quality.fk_integrity_audit,
         'table_profile': quality.table_profile,
         'embedding_label_centroids': similarity.embedding_label_centroids,
+        'training_manifest': clusters.training_manifest,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -384,6 +387,7 @@ def oracle_sql() -> dict[str, str]:
         'shared_span_pairs': oracles.shared_span_oracle_sql(),
         'dedup_clusters': oracles.clusters_oracle_sql(),
         'corpus_clean': oracles.corpus_clean_oracle_sql(),
+        'training_manifest': oracles.training_manifest_oracle_sql(),
         'embedding_dedup_clusters': oracles.embedding_clusters_oracle_sql(),
         'multimodal_resize_stats': oracles.multimodal_resized_oracle_sql(),
         'multimodal_frame_stats': oracles.multimodal_frames_oracle_sql(),

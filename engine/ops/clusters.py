@@ -43,7 +43,8 @@ from .dedup import minhash_near_dup
 __all__ = ['dedup_clusters', 'corpus_clean', 'components_from_pairs',
            'embedding_dedup_clusters', 'dedup_cluster_sizes',
            'cluster_sizes_oracle_sql', 'clean_token_budget',
-           'token_budget_oracle_sql', 'dedup_keep_best']
+           'token_budget_oracle_sql', 'dedup_keep_best',
+           'training_manifest']
 
 
 def _bucket(ids, nb):
@@ -631,3 +632,55 @@ def dedup_keep_best(sf_dir, threshold=0.8, k=3, num_buckets=64):
     return both.groupby('bucket').map_groups(attach,
                                              batch_format='pyarrow') \
                .groupby('cbucket').map_groups(best, batch_format='pyarrow')
+
+
+def training_manifest(sf_dir, threshold=0.8, k=3, train_mod=10,
+                      train_lt=8, val_eq=8, n_shards=4, num_buckets=64):
+    """THE END-TO-END TRAINING-DATA PIPELINE in one query — the
+    composition a pretraining run actually ships: clean the corpus
+    (:func:`corpus_clean` = near-dup cluster survivor ∩ quality gate),
+    assign each surviving document a deterministic train/val/test
+    split (the decontaminate_split / split_manifest md5 rule — the
+    SAME split the contamination screen checks) and a training shard
+    (an independent digit of the same 63-bit key), and emit the
+    per-(split, shard) document/token budget a trainer consumes.
+    Output: (split, shard, n_docs, n_tokens).
+
+    Shape: everything upstream is corpus_clean's exchange plan; this
+    adds ONE stateless combiner pass (hash63 → split/shard, per-block
+    group_by) and a tiny keyed fold over splits × shards rows.  Any
+    node recomputes any document's (split, shard) with no
+    coordination — resumable by construction.  All integers."""
+    from .common import hash63_keys
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_numpy(zero_copy_only=False)
+        hk = hash63_keys(ids)
+        mod = hk % train_mod
+        split = np.where(mod < train_lt, 'train',
+                         np.where(mod == val_eq, 'val', 'test'))
+        shard = (hk // train_mod) % n_shards
+        t = pa.table({
+            'split': pa.array(split, pa.string()),
+            'shard': pa.array(shard.astype(np.int64), pa.int64()),
+            'nt': batch.column('n_tokens'),
+        })
+        g = t.group_by(['split', 'shard']).aggregate(
+            [('nt', 'sum'), ([], 'count_all')])
+        return g.rename_columns(['split', 'shard', 'n_tokens', 'n_docs'])
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by(['split', 'shard']).aggregate(
+            [('n_tokens', 'sum'), ('n_docs', 'sum')])
+        return pa.table({
+            'split': g.column('split'),
+            'shard': g.column('shard'),
+            'n_docs': g.column('n_docs_sum').cast(pa.int64()),
+            'n_tokens': g.column('n_tokens_sum').cast(pa.int64()),
+        })
+
+    clean = corpus_clean(sf_dir, threshold=threshold, k=k,
+                         num_buckets=num_buckets)
+    return clean.map_batches(partial, batch_format='pyarrow',
+                             zero_copy_batch=True) \
+                .groupby('split').map_groups(fold, batch_format='pyarrow')

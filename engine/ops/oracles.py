@@ -857,3 +857,28 @@ FROM r WHERE rank <= {k}
 """.format(book_rows=book_rows, sub_cases=sub_cases,
            qsub_cases=qsub_cases, nq=n_queries,
            scale=_PQ_LUT_SCALE, k=k)
+
+
+def training_manifest_oracle_sql(threshold=0.8, k=3, train_mod=10,
+                                 train_lt=8, val_eq=8, n_shards=4):
+    """Oracle for :func:`engine.ops.clusters.training_manifest`: the
+    full corpus_clean oracle (recursive-CTE cluster solve + quality
+    gate) as a CTE, then the shared md5 split rule and the independent
+    shard digit of the same 63-bit key."""
+    clean = corpus_clean_oracle_sql(threshold=threshold, k=k)
+    return """
+WITH clean AS ({clean}
+), d AS (
+  SELECT ((md5_number_lower(doc_id::VARCHAR)
+           & 9223372036854775807) % {mod}) AS m,
+         (((md5_number_lower(doc_id::VARCHAR)
+            & 9223372036854775807) // {mod}) % {ns})::BIGINT AS shard,
+         n_tokens
+  FROM clean
+)
+SELECT CASE WHEN m < {lt} THEN 'train'
+            WHEN m = {veq} THEN 'val' ELSE 'test' END AS split,
+       shard, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+FROM d GROUP BY 1, 2
+""".format(clean=clean, mod=train_mod, lt=train_lt, veq=val_eq,
+           ns=n_shards)
