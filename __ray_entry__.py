@@ -104,6 +104,16 @@ def _conv_context_growth(sf_dir: str) -> Any:
     return conv_context_growth(_transcripts_dir(sf_dir))
 
 
+def _tool_transition_matrix(sf_dir: str) -> Any:
+    from engine.ops.convstats import tool_transition_matrix
+    return tool_transition_matrix(_transcripts_dir(sf_dir))
+
+
+def _conv_role_token_stats(sf_dir: str) -> Any:
+    from engine.ops.convstats import conv_role_token_stats
+    return conv_role_token_stats(_transcripts_dir(sf_dir))
+
+
 def _engine_fingerprint() -> str:
     """md5 over the extraction-relevant source files: a resume dir is
     only trusted for output produced by the SAME engine code, so a code
@@ -309,6 +319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'conv_pack_manifest': _conv_pack_manifest,
         'conv_near_dup': _conv_near_dup,
         'conv_context_growth': _conv_context_growth,
+        'tool_transition_matrix': _tool_transition_matrix,
+        'conv_role_token_stats': _conv_role_token_stats,
         'fk_integrity_audit': quality.fk_integrity_audit,
         'table_profile': quality.table_profile,
         'embedding_label_centroids': similarity.embedding_label_centroids,
@@ -420,6 +432,8 @@ def oracle_sql() -> dict[str, str]:
         from engine.ops.convstats import (conv_context_growth_oracle_sql,
                                           conv_first_tool_oracle_sql,
                                           conv_near_dup_oracle_sql,
+                                          conv_role_token_oracle_sql,
+                                          tool_transition_oracle_sql,
                                           conv_pack_oracle_sql,
                                           conv_split_oracle_sql,
                                           conv_turn_gaps_oracle_sql)
@@ -430,6 +444,10 @@ def oracle_sql() -> dict[str, str]:
         generated['conv_near_dup'] = conv_near_dup_oracle_sql(_corpus)
         generated['conv_context_growth'] = \
             conv_context_growth_oracle_sql(_corpus)
+        generated['tool_transition_matrix'] = \
+            tool_transition_oracle_sql(_corpus)
+        generated['conv_role_token_stats'] = \
+            conv_role_token_oracle_sql(_corpus)
         # flagship extraction: reference-derived expected tables → SQL joins
         generated.update(oracles.extract_oracle_sqls())
         # multimodal blob md5s vs fixture-time independent recompute

@@ -25,7 +25,9 @@ __all__ = ['conv_stats', 'conv_stats_oracle_sql',
            'conv_first_tool', 'conv_first_tool_oracle_sql',
            'conv_pack_manifest', 'conv_pack_oracle_sql',
            'conv_near_dup', 'conv_near_dup_oracle_sql',
-           'conv_context_growth', 'conv_context_growth_oracle_sql']
+           'conv_context_growth', 'conv_context_growth_oracle_sql',
+           'tool_transition_matrix', 'tool_transition_oracle_sql',
+           'conv_role_token_stats', 'conv_role_token_oracle_sql']
 
 
 def conv_stats(corpus_dir, num_buckets=64):
@@ -974,4 +976,138 @@ SELECT conv_id, count(*)::BIGINT AS n_turns,
        sum(tok)::BIGINT AS total_tokens,
        sum(ctx)::BIGINT AS cum_token_turns
 FROM t GROUP BY conv_id
+""".format(corpus=corpus_dir)
+
+
+def tool_transition_matrix(corpus_dir, num_buckets=64):
+    """AGENT TOOL-FLOW audit: which tool follows which within a
+    conversation — the Markov view of agent behavior (retry loops show
+    as self-edges, search→read→edit chains as off-diagonals).  Turns
+    are filtered to tool calls MAP-SIDE, so the exchange carries tool
+    turns only; consecutive means adjacent IN THE TOOL SUBSEQUENCE
+    (ordered by turn_idx), the standard agent-trace reading.  Output:
+    (tool_from, tool_to, n).
+
+    Same shape as :func:`conv_role_transitions`: conv-bucketed
+    exchange, per bucket one lexsort + shift compare, partials bounded
+    by tools² per bucket."""
+    import numpy as np
+
+    nb = num_buckets
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        t = batch.select(['conv_id', 'turn_idx', 'tool']) \
+                 .filter(pc.not_equal(batch.column('tool'), ''))
+        return t.append_column('bucket',
+                               _string_bucket(t.column('conv_id'), nb))
+
+    def pairs(group: pa.Table) -> pa.Table:
+        conv = group.column('conv_id').to_numpy(zero_copy_only=False)
+        tidx = group.column('turn_idx').to_numpy(zero_copy_only=False)
+        tool = group.column('tool').to_numpy(zero_copy_only=False)
+        order = np.lexsort((tidx, conv))
+        c, t = conv[order], tool[order]
+        same = c[1:] == c[:-1]
+        g = pa.table({
+            'tool_from': pa.array(t[:-1][same], pa.string()),
+            'tool_to': pa.array(t[1:][same], pa.string()),
+        }).group_by(['tool_from', 'tool_to']).aggregate([([], 'count_all')])
+        g = g.rename_columns(['tool_from', 'tool_to', 'n'])
+        return g.append_column('fbucket',
+                               pa.array(np.zeros(g.num_rows, np.int64)))
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by(['tool_from', 'tool_to']).aggregate([('n', 'sum')])
+        return pa.table({
+            'tool_from': g.column('tool_from'),
+            'tool_to': g.column('tool_to'),
+            'n': g.column('n_sum').cast(pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(corpus_dir,
+                               columns=['conv_id', 'turn_idx', 'tool'])
+    return ds.map_batches(add_bucket, batch_format='pyarrow',
+                          zero_copy_batch=True) \
+             .groupby('bucket').map_groups(pairs, batch_format='pyarrow') \
+             .groupby('fbucket').map_groups(fold, batch_format='pyarrow')
+
+
+def tool_transition_oracle_sql(corpus_dir):
+    return """
+WITH t AS (
+  SELECT conv_id, turn_idx, tool
+  FROM read_parquet('{corpus}/*.parquet') WHERE tool <> ''
+), o AS (
+  SELECT tool AS tool_from,
+         lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS tool_to
+  FROM t
+)
+SELECT tool_from, tool_to, count(*)::BIGINT AS n
+FROM o WHERE tool_to IS NOT NULL GROUP BY tool_from, tool_to
+""".format(corpus=corpus_dir)
+
+
+def conv_role_token_stats(corpus_dir):
+    """WHO WRITES HOW MUCH: per role, turn count, token total, mean
+    tokens per turn (r6) and the role's share of the corpus token mass
+    (r6) — the first composition read of a dialogue corpus (is the
+    assistant 10× wordier than the user? are tool outputs dominating
+    the token budget?).  Pure combiner → one tiny role-keyed fold; the
+    two ratios are single divisions of int64-exact operands."""
+    import numpy as np
+
+    from .common import round_half_up
+    from .textstats import TOKEN_RE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            'role': batch.column('role'),
+            'tok': pc.cast(pc.count_substring_regex(
+                batch.column('text'), pattern=TOKEN_RE), pa.int64()),
+        })
+        g = t.group_by('role').aggregate([('tok', 'sum'),
+                                          ([], 'count_all')])
+        g = g.rename_columns(['role', 'n_tokens', 'n_turns'])
+        return g.append_column('fbucket',
+                               pa.array(np.zeros(g.num_rows, np.int64)))
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by('role').aggregate([('n_tokens', 'sum'),
+                                              ('n_turns', 'sum')])
+        nt = g.column('n_tokens_sum').to_numpy(zero_copy_only=False) \
+              .astype(np.int64)
+        nu = g.column('n_turns_sum').to_numpy(zero_copy_only=False) \
+              .astype(np.int64)
+        total = int(nt.sum())
+        return pa.table({
+            'role': g.column('role'),
+            'n_turns': pa.array(nu, pa.int64()),
+            'n_tokens': pa.array(nt, pa.int64()),
+            'avg_tokens': pa.array(round_half_up(
+                nt.astype(np.float64) / nu.astype(np.float64), 6),
+                pa.float64()),
+            'token_share': pa.array(round_half_up(
+                nt.astype(np.float64) / float(total), 6), pa.float64()),
+        })
+
+    ds = ray.data.read_parquet(corpus_dir, columns=['role', 'text'])
+    return ds.map_batches(partial, batch_format='pyarrow',
+                          zero_copy_batch=True) \
+             .groupby('fbucket').map_groups(fold, batch_format='pyarrow')
+
+
+def conv_role_token_oracle_sql(corpus_dir):
+    return """
+WITH r AS (
+  SELECT role, count(*)::BIGINT AS n_turns,
+         sum(len(regexp_extract_all(text, '\\S+')))::BIGINT AS n_tokens
+  FROM read_parquet('{corpus}/*.parquet') GROUP BY role
+)
+SELECT role, n_turns, n_tokens,
+       floor(n_tokens::DOUBLE / n_turns::DOUBLE * 1000000 + 0.5)
+         / 1000000 AS avg_tokens,
+       floor(n_tokens::DOUBLE / (SELECT sum(n_tokens)::BIGINT FROM r)::DOUBLE
+             * 1000000 + 0.5) / 1000000 AS token_share
+FROM r
 """.format(corpus=corpus_dir)

@@ -107,7 +107,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'conv_first_tool', 'conv_pack_manifest',
                   'fk_integrity_audit', 'table_profile',
                   'conv_near_dup', 'embedding_label_centroids',
-                  'conv_context_growth', 'training_manifest']
+                  'conv_context_growth', 'training_manifest',
+                  'tool_transition_matrix', 'conv_role_token_stats']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
