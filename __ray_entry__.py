@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'table_profile': quality.table_profile,
         'embedding_label_centroids': similarity.embedding_label_centroids,
         'training_manifest': clusters.training_manifest,
+        'source_quality_funnel': clusters.source_quality_funnel,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -400,6 +401,7 @@ def oracle_sql() -> dict[str, str]:
         'dedup_clusters': oracles.clusters_oracle_sql(),
         'corpus_clean': oracles.corpus_clean_oracle_sql(),
         'training_manifest': oracles.training_manifest_oracle_sql(),
+        'source_quality_funnel': oracles.source_funnel_oracle_sql(),
         'embedding_dedup_clusters': oracles.embedding_clusters_oracle_sql(),
         'multimodal_resize_stats': oracles.multimodal_resized_oracle_sql(),
         'multimodal_frame_stats': oracles.multimodal_frames_oracle_sql(),

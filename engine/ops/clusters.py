@@ -44,7 +44,7 @@ __all__ = ['dedup_clusters', 'corpus_clean', 'components_from_pairs',
            'embedding_dedup_clusters', 'dedup_cluster_sizes',
            'cluster_sizes_oracle_sql', 'clean_token_budget',
            'token_budget_oracle_sql', 'dedup_keep_best',
-           'training_manifest']
+           'training_manifest', 'source_quality_funnel']
 
 
 def _bucket(ids, nb):
@@ -684,3 +684,131 @@ def training_manifest(sf_dir, threshold=0.8, k=3, train_mod=10,
     return clean.map_batches(partial, batch_format='pyarrow',
                              zero_copy_batch=True) \
                 .groupby('split').map_groups(fold, batch_format='pyarrow')
+
+
+def source_quality_funnel(sf_dir, threshold=0.8, k=3, num_buckets=64):
+    """PER-SOURCE CLEANING FUNNEL: raw docs → quality-gate passes →
+    end-to-end survivors (quality ∩ near-dup representative, the
+    corpus_clean membership) — the per-source health read that decides
+    which crawl gets re-scoped.  Output: (source, n_docs, n_quality,
+    n_clean, keep_rate r6 = n_clean / n_docs).
+
+    Shape: ONE read of documents emits BOTH row kinds — per-block
+    (source, n_docs, n_quality) combiners keyed by source hash, and
+    quality-PASSING (doc_id, source) rows keyed by doc_id — unioned
+    with the cluster-survivor rows (map-side filtered, the
+    corpus_clean plan); per bucket one C++ hash join resolves the
+    clean intersection; a tiny source-keyed fold finishes.  The only
+    doc-cardinality exchange is the quality-passing side, the same
+    width corpus_clean already pays."""
+    from .common import round_half_up
+    from .textstats import quality_signals, _string_bucket
+
+    nb = num_buckets
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        n_tokens, _ns, _ratio, keep = quality_signals(batch.column('text'))
+        src = batch.column('source')
+        ids = batch.column('doc_id').to_numpy(zero_copy_only=False)
+        # kind 0: per-source combiner rows
+        comb = pa.table({
+            'source': src,
+            'q': pa.array(keep.astype(np.int64), pa.int64()),
+        }).group_by('source').aggregate([('q', 'sum'), ([], 'count_all')])
+        comb = comb.rename_columns(['source', 'n_quality', 'n_docs'])
+        # kind 1: quality-passing per-doc rows for the clean join
+        passing = pa.table({
+            'doc_id': pa.array(ids[keep], pa.int64()),
+            'source': src.filter(pa.array(keep, pa.bool_())),
+        })
+        return pa.table({
+            'kind': pa.array([0] * comb.num_rows
+                             + [1] * passing.num_rows, pa.int64()),
+            'source': pa.concat_arrays([
+                comb.column('source').combine_chunks(),
+                passing.column('source').combine_chunks()]),
+            'doc_id': pa.concat_arrays([
+                pa.nulls(comb.num_rows, pa.int64()),
+                passing.column('doc_id').combine_chunks()]),
+            'n_docs': pa.concat_arrays([
+                comb.column('n_docs').cast(pa.int64()).combine_chunks(),
+                pa.nulls(passing.num_rows, pa.int64())]),
+            'n_quality': pa.concat_arrays([
+                comb.column('n_quality').cast(pa.int64()).combine_chunks(),
+                pa.nulls(passing.num_rows, pa.int64())]),
+            'bucket': pa.concat_arrays([
+                pa.array(_string_bucket(comb.column('source'), nb)),
+                pa.array(_bucket(passing.column('doc_id').to_numpy(
+                    zero_copy_only=False), nb), pa.int64())]),
+        })
+
+    def survivor_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column('is_survivor')).select(['doc_id'])
+        ids = t.column('doc_id').to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        return pa.table({
+            'kind': pa.array(np.full(n, 2, np.int64)),
+            'source': pa.nulls(n, pa.string()),
+            'doc_id': t.column('doc_id'),
+            'n_docs': pa.nulls(n, pa.int64()),
+            'n_quality': pa.nulls(n, pa.int64()),
+            'bucket': pa.array(_bucket(ids, nb), pa.int64()),
+        })
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        kinds = group.column('kind')
+        comb = group.filter(pc.equal(kinds, 0)) \
+                    .group_by('source').aggregate(
+                        [('n_docs', 'sum'), ('n_quality', 'sum')])
+        passing = group.filter(pc.equal(kinds, 1)) \
+                       .select(['doc_id', 'source'])
+        surv = group.filter(pc.equal(kinds, 2)).select(['doc_id'])
+        clean = passing.join(surv, keys='doc_id', join_type='inner') \
+                       .group_by('source').aggregate([([], 'count_all')])
+        return pa.table({
+            'source': pa.concat_arrays([
+                comb.column('source').combine_chunks(),
+                clean.column('source').combine_chunks()]),
+            'n_docs': pa.concat_arrays([
+                comb.column('n_docs_sum').cast(pa.int64())
+                    .combine_chunks(),
+                pa.array(np.zeros(clean.num_rows, np.int64))]),
+            'n_quality': pa.concat_arrays([
+                comb.column('n_quality_sum').cast(pa.int64())
+                    .combine_chunks(),
+                pa.array(np.zeros(clean.num_rows, np.int64))]),
+            'n_clean': pa.concat_arrays([
+                pa.array(np.zeros(comb.num_rows, np.int64)),
+                clean.column('count_all').cast(pa.int64())
+                     .combine_chunks()]),
+        })
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by('source').aggregate(
+            [('n_docs', 'sum'), ('n_quality', 'sum'), ('n_clean', 'sum')])
+        nd = g.column('n_docs_sum').to_numpy(zero_copy_only=False) \
+              .astype(np.int64)
+        nc = g.column('n_clean_sum').to_numpy(zero_copy_only=False) \
+              .astype(np.int64)
+        return pa.table({
+            'source': g.column('source'),
+            'n_docs': pa.array(nd, pa.int64()),
+            'n_quality': g.column('n_quality_sum').cast(pa.int64()),
+            'n_clean': pa.array(nc, pa.int64()),
+            'keep_rate': pa.array(round_half_up(
+                nc.astype(np.float64) / nd.astype(np.float64), 6),
+                pa.float64()),
+        })
+
+    clusters = dedup_clusters(sf_dir, threshold, k, num_buckets)
+    docs = read_table(sf_dir, 'documents',
+                      columns=['doc_id', 'source', 'text'],
+                      min_blocks=pool()[1])
+    both = docs.map_batches(doc_rows, batch_format='pyarrow',
+                            zero_copy_batch=True) \
+        .union(clusters.map_batches(survivor_rows, batch_format='pyarrow',
+                                    zero_copy_batch=True))
+    return both.groupby('bucket').map_groups(bucket_fold,
+                                             batch_format='pyarrow') \
+               .groupby('source').map_groups(final,
+                                             batch_format='pyarrow')

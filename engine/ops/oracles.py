@@ -882,3 +882,37 @@ SELECT CASE WHEN m < {lt} THEN 'train'
 FROM d GROUP BY 1, 2
 """.format(clean=clean, mod=train_mod, lt=train_lt, veq=val_eq,
            ns=n_shards)
+
+
+def source_funnel_oracle_sql(threshold=0.8, k=3):
+    """Oracle for :func:`engine.ops.clusters.source_quality_funnel`:
+    the clusters oracle as a CTE (one row per doc, is_survivor flag),
+    the doc_quality gate replicated with the identical integer/half-up
+    math, folded per source."""
+    cl = clusters_oracle_sql(threshold=threshold, k=k)
+    return r"""
+WITH cl AS ({cl}
+), q0 AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+         len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is|it|that|for|on|as|with|by)\b'))::BIGINT AS n_stop
+  FROM documents
+), q AS (
+  SELECT doc_id, source,
+         (n_tokens >= 5 AND n_tokens <= 2000 AND
+          CASE WHEN n_tokens > 0
+               THEN floor(n_stop::DOUBLE / n_tokens * 1000000 + 0.5)
+                    / 1000000
+               ELSE 0.0 END > 0.01) AS is_q
+  FROM q0
+), j AS (
+  SELECT q.source, q.is_q, (q.is_q AND cl.is_survivor) AS is_clean
+  FROM q JOIN cl ON cl.doc_id = q.doc_id
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       count(*) FILTER (WHERE is_q)::BIGINT AS n_quality,
+       count(*) FILTER (WHERE is_clean)::BIGINT AS n_clean,
+       floor(count(*) FILTER (WHERE is_clean)::DOUBLE
+             / count(*)::DOUBLE * 1000000 + 0.5) / 1000000 AS keep_rate
+FROM j GROUP BY source
+""".format(cl=cl)

@@ -108,7 +108,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'fk_integrity_audit', 'table_profile',
                   'conv_near_dup', 'embedding_label_centroids',
                   'conv_context_growth', 'training_manifest',
-                  'tool_transition_matrix', 'conv_role_token_stats']
+                  'tool_transition_matrix', 'conv_role_token_stats',
+                  'source_quality_funnel']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
