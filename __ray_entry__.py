@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'fk_integrity_audit': quality.fk_integrity_audit,
         'table_profile': quality.table_profile,
         'embedding_label_centroids': similarity.embedding_label_centroids,
+        'embedding_label_outliers': similarity.embedding_label_outliers,
         'training_manifest': clusters.training_manifest,
         'source_quality_funnel': clusters.source_quality_funnel,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
@@ -498,6 +499,8 @@ def oracle_sql() -> dict[str, str]:
     from engine.ops import similarity as _similarity_mod
     generated['embedding_label_centroids'] = \
         _similarity_mod.LABEL_CENTROIDS_SQL
+    generated['embedding_label_outliers'] = \
+        _similarity_mod.LABEL_OUTLIERS_SQL
     generated['embedding_kmeans'] = _similarity_mod.kmeans_oracle_sql()
     from engine.ops import modelscore as _modelscore_mod
     generated['score_calibration'] = _modelscore_mod.calibration_oracle_sql()

@@ -32,7 +32,8 @@ __all__ = ['embedding_dup_pairs', 'embedding_dup_pairs_blocked',
            'embedding_norm_stats', 'EMBEDDING_NORM_STATS_SQL',
            'embedding_project2d', 'project2d_oracle_sql',
            'embedding_kmeans', 'kmeans_oracle_sql',
-           'embedding_label_centroids', 'LABEL_CENTROIDS_SQL']
+           'embedding_label_centroids', 'LABEL_CENTROIDS_SQL',
+           'embedding_label_outliers', 'LABEL_OUTLIERS_SQL']
 
 
 def _read_embeddings(sf_dir):
@@ -1007,4 +1008,142 @@ SELECT label, dim, count(*)::BIGINT AS n,
        floor(sum(micro)::DOUBLE / (count(*) * 1000000)::DOUBLE
              * 1000000 + 0.5) / 1000000 AS centroid
 FROM m GROUP BY label, dim
+"""
+
+
+def embedding_label_outliers(sf_dir, k=5):
+    """LABEL-OUTLIER screen: per label, the k vectors with the LOWEST
+    dot against their own label's centroid — the mislabel/anomaly QC
+    read over a labeled embedding export (a vector far from its class
+    mass is a labeling error or an embedding-version straggler).
+    Output: (vec_id, label, dot r6, rank 1..k).
+
+    Exactness: the centroid is the r6 micro-unit mean per dim (the
+    :func:`embedding_label_centroids` quantity — order-free integer
+    sums, one exact division), so both sides hold bit-identical
+    centroid floats; the score is a :func:`_seq_dot` sequential fold
+    = DuckDB's ``list_dot_product`` left-to-right order; ranking uses
+    the RAW dot (ties → vec_id), rounding applies only to the output.
+
+    Shape: pass 1 is the centroid combiner (labels × d rows, tiny
+    driver materialization — bounded state, the kmeans-training
+    precedent); pass 2 is a pure map with per-block bottom-k-per-label
+    combiners, so the final exchange carries ≤ blocks × labels × k
+    rows into one tiny fold."""
+    from .common import round_half_up, pool, read_table
+
+    # ---- pass 1: exact centroids (bounded: labels × d) --------------
+    def cent_partial(batch: pa.Table) -> pa.Table:
+        emb = batch.column('embedding')
+        arr = emb.chunk(0) if emb.num_chunks == 1 else emb.combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False) \
+                  .astype(np.float64)
+        mat = flat.reshape(batch.num_rows, -1)
+        micro = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        lab = batch.column('label').to_numpy(zero_copy_only=False) \
+                   .astype(np.int64)
+        codes, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(codes), mat.shape[1]), np.int64)
+        np.add.at(sums, inv, micro)
+        cnt = np.bincount(inv, minlength=len(codes)).astype(np.int64)
+        return pa.table({
+            'label': pa.array(codes, pa.int64()),
+            'n': pa.array(cnt, pa.int64()),
+            'sums': pa.array(list(sums), pa.list_(pa.int64())),
+        })
+
+    parts = read_table(sf_dir, 'embeddings',
+                       columns=['embedding', 'label'],
+                       min_blocks=pool()[1]) \
+        .map_batches(cent_partial, batch_format='pyarrow',
+                     zero_copy_batch=True).take_all()
+    agg = {}
+    for row in parts:
+        lab = int(row['label'])
+        s = np.asarray(row['sums'], np.int64)
+        if lab in agg:
+            agg[lab] = (agg[lab][0] + int(row['n']), agg[lab][1] + s)
+        else:
+            agg[lab] = (int(row['n']), s)
+    labels = sorted(agg)
+    cents = np.stack([
+        round_half_up(agg[l][1].astype(np.float64)
+                      / (float(agg[l][0]) * 1e6), 6) for l in labels])
+    lab_pos = {l: i for i, l in enumerate(labels)}
+    ref = ray.put((labels, lab_pos, cents))
+
+    # ---- pass 2: score + per-block bottom-k combiner ----------------
+    def score(batch: pa.Table) -> pa.Table:
+        labs, pos, c = _fetch_broadcast(ref)
+        ids, mat = _raw_matrix(batch)
+        lab = batch.column('label').to_numpy(zero_copy_only=False) \
+                   .astype(np.int64)
+        dots = np.empty(len(ids), np.float64)
+        for l in labs:
+            sel = lab == l
+            if sel.any():
+                dots[sel] = _seq_dot(mat[sel], c[pos[l]])
+        order = np.lexsort((ids, dots, lab))
+        lab_s, ids_s, dots_s = lab[order], ids[order], dots[order]
+        starts = np.flatnonzero(np.r_[True, lab_s[1:] != lab_s[:-1]])
+        lens = np.diff(np.r_[starts, len(lab_s)])
+        within = np.arange(len(lab_s)) - np.repeat(starts, lens)
+        keep = within < k
+        return pa.table({
+            'vec_id': pa.array(ids_s[keep], pa.int64()),
+            'label': pa.array(lab_s[keep], pa.int64()),
+            'dot_raw': pa.array(dots_s[keep], pa.float64()),
+            'fbucket': pa.array(np.zeros(int(keep.sum()), np.int64)),
+        })
+
+    def fold(group: pa.Table) -> pa.Table:
+        lab = group.column('label').to_numpy(zero_copy_only=False)
+        ids = group.column('vec_id').to_numpy(zero_copy_only=False)
+        dots = group.column('dot_raw').to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, dots, lab))
+        lab, ids, dots = lab[order], ids[order], dots[order]
+        starts = np.flatnonzero(np.r_[True, lab[1:] != lab[:-1]])
+        lens = np.diff(np.r_[starts, len(lab)])
+        within = np.arange(len(lab)) - np.repeat(starts, lens)
+        keep = within < k
+        return pa.table({
+            'vec_id': pa.array(ids[keep], pa.int64()),
+            'label': pa.array(lab[keep], pa.int64()),
+            'dot': pa.array(round_half_up(dots[keep], 6), pa.float64()),
+            'rank': pa.array(within[keep] + 1, pa.int64()),
+        })
+
+    return read_table(sf_dir, 'embeddings',
+                      columns=['vec_id', 'embedding', 'label'],
+                      min_blocks=pool()[1]) \
+        .map_batches(score, batch_format='pyarrow', zero_copy_batch=True) \
+        .groupby('fbucket').map_groups(fold, batch_format='pyarrow')
+
+
+LABEL_OUTLIERS_SQL = """
+WITH m AS (
+  SELECT label::BIGINT AS label, i AS dim,
+         CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT)
+           AS micro
+  FROM embeddings, generate_series(1, 64) t(i)
+), c AS (
+  SELECT label, dim,
+         floor(sum(micro)::DOUBLE / (count(*) * 1000000)::DOUBLE
+               * 1000000 + 0.5) / 1000000 AS cv
+  FROM m GROUP BY label, dim
+), cl AS (
+  SELECT label, list(cv ORDER BY dim) AS cvec FROM c GROUP BY label
+), d AS (
+  SELECT e.vec_id, e.label::BIGINT AS label,
+         list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+                          cl.cvec) AS dot
+  FROM embeddings e JOIN cl ON cl.label = e.label::BIGINT
+), r AS (
+  SELECT vec_id, label, dot,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY dot ASC, vec_id ASC)::BIGINT AS rank
+  FROM d
+)
+SELECT vec_id, label, floor(dot * 1000000 + 0.5) / 1000000 AS dot, rank
+FROM r WHERE rank <= 5
 """

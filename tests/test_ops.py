@@ -109,7 +109,7 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'conv_near_dup', 'embedding_label_centroids',
                   'conv_context_growth', 'training_manifest',
                   'tool_transition_matrix', 'conv_role_token_stats',
-                  'source_quality_funnel']
+                  'source_quality_funnel', 'embedding_label_outliers']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
