@@ -204,78 +204,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             evals, sharding, quality)
 
     # ORDERING CONTRACT: the driver's correctness check caps at the
-    # FIRST 50 entries, so the dict front-loads (a) every query with no
+    # FIRST 50 entries, so the dict front-loads (a) queries with no
     # green row in any CORRECTNESS_r*.json yet, (b) queries whose code
-    # changed this round, (c) the flagship.  Long-green entries (r1-r3
-    # hash-green on unchanged code) sit at the back.
-    # ROUND-5 TODO (first action next round): move the "late round-4"
-    # block below (everything from 'part_assoc_rules' through
-    # 'embedding_label_centroids', i.e. up to the long-green comment —
-    # none have a driver CORRECTNESS row yet; all are
-    # tools/verify_queries.py + pytest green) to the TOP of this dict,
-    # and push the entries CORRECTNESS_r04 covers to the back.  46
-    # entries — they fit one 50-row driver window with the flagship.
+    # changed this round, (c) the flagship.  Round 5 executes the
+    # ROUND-5 TODO left at this spot in round 4: the 46 "r4-late"
+    # entries ('part_assoc_rules' … 'source_quality_funnel' — none have
+    # a driver CORRECTNESS row; all are tools/verify_queries.py +
+    # pytest green, and most round-5 code changes land inside them)
+    # plus the 4 flagship entries fill the 50-row window exactly.  The
+    # r4-front block (also never driver-checked, r04 came back empty)
+    # follows immediately after, then the long-green r1-r3 entries.
     return {
-        # -- never driver-checked before round 4 ----------------------
-        'user_event_pivot': relational.user_event_pivot,
-        'events_user_rolling': relational.events_user_rolling,
-        'customer_order_counts': relational.customer_order_counts,
-        'events_latest_per_user': relational.events_latest_per_user,
-        'returnflag_priority_counts': relational.returnflag_priority_counts,
-        'events_rollup': relational.events_rollup,
-        'events_funnel': relational.events_funnel,
-        'users_view_and_purchase': relational.users_view_and_purchase,
-        'users_purchase_not_view': relational.users_purchase_not_view,
-        'urgent_order_lineitems': bloomjoin.urgent_order_lineitems,
-        'doc_repetition': textstats.doc_repetition,
-        'doc_chunks': textstats.doc_chunks,
-        'conv_stats': _conv_stats,
-        'events_time_rolling': relational.events_time_rolling,
-        'events_value_zscore': relational.events_value_zscore,
-        'events_value_deciles': relational.events_value_deciles,
-        'events_hour_value_corr': relational.events_hour_value_corr,
-        'events_debounced': relational.events_debounced,
-        'user_event_paths': relational.user_event_paths,
-        'orders_price_percentile': relational.orders_price_percentile,
-        'daily_activity': relational.daily_activity,
-        'conv_text_md5': _conv_text_md5,
-        'lineitem_checksum': checksum.lineitem_checksum,
-        'distinct_users_kmv': sketches.distinct_users_kmv,
-        'docs_from_jsonl': ingest.docs_from_jsonl,
-        'docs_from_csv': ingest.docs_from_csv,
-        'multimodal_resize_blobs': multimodal.resized_blob_md5,
-        'multimodal_frame_blobs': multimodal.frame_blob_md5,
-        # -- new in round 4 -------------------------------------------
-        'events_value_tdigest': relational.events_value_tdigest,
-        'distinct_users_hll': sketches.distinct_users_hll,
-        'token_heavy_hitters': textstats.token_heavy_hitters,
-        'token_postings': textstats.token_postings,
-        'events_windowed_distinct_users':
-            relational.events_windowed_distinct_users,
-        'events_value_mad_outliers': relational.events_value_mad_outliers,
-        'orders_cohort_retention': relational.orders_cohort_retention,
-        'embedding_dedup_clusters': clusters.embedding_dedup_clusters,
-        'part_pagerank': graph.part_pagerank,
-        'token_cooccur_topk': textstats.token_cooccur_topk,
-        'source_token_topk': textstats.source_token_topk,
-        'user_decay_score': relational.user_decay_score,
-        'doc_model_score': modelscore.doc_model_score,
-        'ann_topk_pq': similarity.ann_topk_pq,
-        'events_user_gini': relational.events_user_gini,
-        # -- code changed in round 4 (re-check) -----------------------
-        'embedding_norms': similarity.embedding_norms,
-        'minhash_near_dup': dedup.minhash_near_dup,
-        'corpus_clean': clusters.corpus_clean,
-        # -- flagship extraction — oracle-checked via the
-        # reference-derived expected tables (oracles.extract_oracle_sqls)
-        'extract_fulltext': _extract_fulltext,
-        'extract_spans': _extract_spans,
-        'extract_metrics': _extract_metrics,
-        'extract_to_parquet': _extract_to_parquet,   # rows-only (sink)
-        # -- r4-late additions (past the driver's 50-entry window by
-        # design — the first 50 are exactly never-checked + new + changed
-        # + flagship; these are tool/pytest-verified now and will be
-        # front-loaded for the r5 driver check) -----------------------
+        # -- r4-late block, front-loaded per the ROUND-5 TODO ----------
         'part_assoc_rules': graph.part_assoc_rules,
         'events_funnel_windowed': relational.events_funnel_windowed,
         'lang_confusion': textstats.lang_confusion,
@@ -326,7 +266,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'embedding_label_centroids': similarity.embedding_label_centroids,
         'embedding_label_outliers': similarity.embedding_label_outliers,
         'training_manifest': clusters.training_manifest,
+        # ---- 50-entry driver window ends here: the r4-late block is 51
+        # entries (the TODO's count of 46 was off), so exactly the 50
+        # never-driver-checked entries above fill the window; the one
+        # spillover plus the flagship (green in CORRECTNESS_r1-r3 on
+        # unchanged code) sit immediately after -----------------------
         'source_quality_funnel': clusters.source_quality_funnel,
+        # -- flagship extraction — oracle-checked via the
+        # reference-derived expected tables (oracles.extract_oracle_sqls)
+        'extract_fulltext': _extract_fulltext,
+        'extract_spans': _extract_spans,
+        'extract_metrics': _extract_metrics,
+        'extract_to_parquet': _extract_to_parquet,   # rows-only (sink)
+        # -- r4-front block (never driver-checked: CORRECTNESS_r04 came
+        # back empty; all tools/verify_queries.py + pytest green) ------
+        'user_event_pivot': relational.user_event_pivot,
+        'events_user_rolling': relational.events_user_rolling,
+        'customer_order_counts': relational.customer_order_counts,
+        'events_latest_per_user': relational.events_latest_per_user,
+        'returnflag_priority_counts': relational.returnflag_priority_counts,
+        'events_rollup': relational.events_rollup,
+        'events_funnel': relational.events_funnel,
+        'users_view_and_purchase': relational.users_view_and_purchase,
+        'users_purchase_not_view': relational.users_purchase_not_view,
+        'urgent_order_lineitems': bloomjoin.urgent_order_lineitems,
+        'doc_repetition': textstats.doc_repetition,
+        'doc_chunks': textstats.doc_chunks,
+        'conv_stats': _conv_stats,
+        'events_time_rolling': relational.events_time_rolling,
+        'events_value_zscore': relational.events_value_zscore,
+        'events_value_deciles': relational.events_value_deciles,
+        'events_hour_value_corr': relational.events_hour_value_corr,
+        'events_debounced': relational.events_debounced,
+        'user_event_paths': relational.user_event_paths,
+        'orders_price_percentile': relational.orders_price_percentile,
+        'daily_activity': relational.daily_activity,
+        'conv_text_md5': _conv_text_md5,
+        'lineitem_checksum': checksum.lineitem_checksum,
+        'distinct_users_kmv': sketches.distinct_users_kmv,
+        'docs_from_jsonl': ingest.docs_from_jsonl,
+        'docs_from_csv': ingest.docs_from_csv,
+        'multimodal_resize_blobs': multimodal.resized_blob_md5,
+        'multimodal_frame_blobs': multimodal.frame_blob_md5,
+        'events_value_tdigest': relational.events_value_tdigest,
+        'distinct_users_hll': sketches.distinct_users_hll,
+        'token_heavy_hitters': textstats.token_heavy_hitters,
+        'token_postings': textstats.token_postings,
+        'events_windowed_distinct_users':
+            relational.events_windowed_distinct_users,
+        'events_value_mad_outliers': relational.events_value_mad_outliers,
+        'orders_cohort_retention': relational.orders_cohort_retention,
+        'embedding_dedup_clusters': clusters.embedding_dedup_clusters,
+        'part_pagerank': graph.part_pagerank,
+        'token_cooccur_topk': textstats.token_cooccur_topk,
+        'source_token_topk': textstats.source_token_topk,
+        'user_decay_score': relational.user_decay_score,
+        'doc_model_score': modelscore.doc_model_score,
+        'ann_topk_pq': similarity.ann_topk_pq,
+        'events_user_gini': relational.events_user_gini,
+        'embedding_norms': similarity.embedding_norms,
+        'minhash_near_dup': dedup.minhash_near_dup,
+        'corpus_clean': clusters.corpus_clean,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -408,55 +408,70 @@ def oracle_sql() -> dict[str, str]:
         'multimodal_frame_stats': oracles.multimodal_frames_oracle_sql(),
         'events_value_tdigest': oracles.tdigest_oracle_sql(),
     }
+    # Data-dependent oracles (trained centroids/codebooks, corpus-derived
+    # constants) are generated with PER-ORACLE isolation: one failing
+    # generator drops only ITS entry to rows-only and logs loudly —
+    # round 4's bare try/except around this whole block could silently
+    # strip ~40 oracles on a single failure (VERDICT r4 item 3).
+    import logging
+    _olog = logging.getLogger('graft.oracles')
+
+    def _gen(name, fn):
+        try:
+            generated[name] = fn()
+        except Exception:
+            _olog.warning('oracle generator for %r failed; the query '
+                          'falls back to a rows-only check', name,
+                          exc_info=True)
+
+    def _gen_multi(label, fn):
+        try:
+            generated.update(fn())
+        except Exception:
+            _olog.warning('oracle generator batch %r failed; those '
+                          'queries fall back to rows-only checks', label,
+                          exc_info=True)
+
+    _gen('ann_topk_lsh', lambda: oracles.lsh_oracle_sql(oracles.embedding_dim()))
+    from engine.ops.similarity import project2d_oracle_sql
+    _gen('embedding_project2d',
+         lambda: project2d_oracle_sql(oracles.embedding_dim()))
+    _gen('ann_topk_ivf', oracles.ivf_oracle_sql)
+    _gen('ann_topk_pq', oracles.pq_oracle_sql)
+    _gen('embedding_dup_lsh', oracles.dup_lsh_oracle_sql)
+    _gen('dedup_exact_payloads', oracles.payload_dedup_oracle_sql)
+    from engine.ops import ingest
+    _gen('docs_from_jsonl', ingest.jsonl_oracle_sql)
+    _gen('docs_from_csv', ingest.csv_oracle_sql)
     try:
-        generated['ann_topk_lsh'] = oracles.lsh_oracle_sql(oracles.embedding_dim())
-        from engine.ops.similarity import project2d_oracle_sql
-        generated['embedding_project2d'] = \
-            project2d_oracle_sql(oracles.embedding_dim())
-        generated['ann_topk_ivf'] = oracles.ivf_oracle_sql()
-        generated['ann_topk_pq'] = oracles.pq_oracle_sql()
-        generated['embedding_dup_lsh'] = oracles.dup_lsh_oracle_sql()
-        generated['dedup_exact_payloads'] = oracles.payload_dedup_oracle_sql()
-        from engine.ops import ingest
-        generated['docs_from_jsonl'] = ingest.jsonl_oracle_sql()
-        generated['docs_from_csv'] = ingest.csv_oracle_sql()
-        from engine.ops.convstats import (conv_stats_oracle_sql,
-                                          conv_text_oracle_sql)
         from engine.ops.common import sf_from_dir as _sfd
         from engine.rayjob.transcripts import ensure_corpus as _ec
         _corpus = _ec(_sfd(oracles._oracle_sf_dir()))
-        generated['conv_stats'] = conv_stats_oracle_sql(_corpus)
-        generated['conv_text_md5'] = conv_text_oracle_sql(_corpus)
-        from engine.ops.convstats import (conv_role_transitions_oracle_sql,
-                                          conv_tool_usage_oracle_sql)
-        generated['conv_role_transitions'] = \
-            conv_role_transitions_oracle_sql(_corpus)
-        generated['conv_tool_usage'] = conv_tool_usage_oracle_sql(_corpus)
-        from engine.ops.convstats import (conv_context_growth_oracle_sql,
-                                          conv_first_tool_oracle_sql,
-                                          conv_near_dup_oracle_sql,
-                                          conv_role_token_oracle_sql,
-                                          tool_transition_oracle_sql,
-                                          conv_pack_oracle_sql,
-                                          conv_split_oracle_sql,
-                                          conv_turn_gaps_oracle_sql)
-        generated['conv_turn_gaps'] = conv_turn_gaps_oracle_sql(_corpus)
-        generated['conv_split_manifest'] = conv_split_oracle_sql(_corpus)
-        generated['conv_first_tool'] = conv_first_tool_oracle_sql(_corpus)
-        generated['conv_pack_manifest'] = conv_pack_oracle_sql(_corpus)
-        generated['conv_near_dup'] = conv_near_dup_oracle_sql(_corpus)
-        generated['conv_context_growth'] = \
-            conv_context_growth_oracle_sql(_corpus)
-        generated['tool_transition_matrix'] = \
-            tool_transition_oracle_sql(_corpus)
-        generated['conv_role_token_stats'] = \
-            conv_role_token_oracle_sql(_corpus)
-        # flagship extraction: reference-derived expected tables → SQL joins
-        generated.update(oracles.extract_oracle_sqls())
-        # multimodal blob md5s vs fixture-time independent recompute
-        generated.update(oracles.mm_blob_oracle_sqls())
     except Exception:
-        pass   # oracle sf dir absent: those stay rows-only
+        _corpus = None
+        _olog.warning('transcripts corpus synthesis failed; every conv_* '
+                      'and extraction oracle falls back to rows-only',
+                      exc_info=True)
+    if _corpus is not None:
+        from engine.ops import convstats as _cs
+        for _name, _fn in (
+                ('conv_stats', _cs.conv_stats_oracle_sql),
+                ('conv_text_md5', _cs.conv_text_oracle_sql),
+                ('conv_role_transitions', _cs.conv_role_transitions_oracle_sql),
+                ('conv_tool_usage', _cs.conv_tool_usage_oracle_sql),
+                ('conv_turn_gaps', _cs.conv_turn_gaps_oracle_sql),
+                ('conv_split_manifest', _cs.conv_split_oracle_sql),
+                ('conv_first_tool', _cs.conv_first_tool_oracle_sql),
+                ('conv_pack_manifest', _cs.conv_pack_oracle_sql),
+                ('conv_near_dup', _cs.conv_near_dup_oracle_sql),
+                ('conv_context_growth', _cs.conv_context_growth_oracle_sql),
+                ('tool_transition_matrix', _cs.tool_transition_oracle_sql),
+                ('conv_role_token_stats', _cs.conv_role_token_oracle_sql)):
+            _gen(_name, (lambda f=_fn: f(_corpus)))
+        # flagship extraction: reference-derived expected tables → SQL joins
+        _gen_multi('extract', oracles.extract_oracle_sqls)
+        # multimodal blob md5s vs fixture-time independent recompute
+        _gen_multi('mm_blobs', oracles.mm_blob_oracle_sqls)
     from engine.ops import sampling as _sampling
     from engine.ops import relational as _relational_mod
     from engine.ops import checksum as _checksum

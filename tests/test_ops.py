@@ -1160,3 +1160,28 @@ def test_fk_orphans_true_branch(ray_session, tmp_path):
     assert int(got.n_orphan_rows.iloc[0]) > 0
     pd.testing.assert_frame_equal(_canon(got), _canon(want),
                                   check_dtype=False)
+
+
+def test_oracle_sql_poisoned_generator_isolated(monkeypatch, caplog):
+    """VERDICT r4 item 3: one failing data-dependent oracle generator must
+    drop only ITS entry (to rows-only) and log a warning — never strip the
+    whole generated batch the way round 4's bare try/except could."""
+    import logging
+
+    import __ray_entry__ as entrymod
+    from engine.ops import oracles
+
+    baseline = set(entrymod.oracle_sql())
+    assert 'ann_topk_ivf' in baseline and 'conv_stats' in baseline
+
+    def boom(*a, **k):
+        raise RuntimeError('poisoned generator')
+
+    monkeypatch.setattr(oracles, 'ivf_oracle_sql', boom)
+    with caplog.at_level(logging.WARNING, logger='graft.oracles'):
+        got = entrymod.oracle_sql()
+    assert 'ann_topk_ivf' not in got
+    # ann_recall_eval COMPOSES the ivf oracle, so it degrades with it —
+    # everything else survives
+    assert baseline - set(got) == {'ann_topk_ivf', 'ann_recall_eval'}
+    assert any('ann_topk_ivf' in r.message for r in caplog.records)
