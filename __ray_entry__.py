@@ -512,10 +512,10 @@ def oracle_sql() -> dict[str, str]:
     generated['fk_integrity_audit'] = _quality_mod.FK_INTEGRITY_SQL
     generated['table_profile'] = _quality_mod.TABLE_PROFILE_SQL
     from engine.ops import similarity as _similarity_mod
-    generated['embedding_label_centroids'] = \
-        _similarity_mod.LABEL_CENTROIDS_SQL
-    generated['embedding_label_outliers'] = \
-        _similarity_mod.LABEL_OUTLIERS_SQL
+    _gen('embedding_label_centroids',
+         _similarity_mod.label_centroids_oracle_sql)
+    _gen('embedding_label_outliers',
+         _similarity_mod.label_outliers_oracle_sql)
     generated['embedding_kmeans'] = _similarity_mod.kmeans_oracle_sql()
     from engine.ops import modelscore as _modelscore_mod
     generated['score_calibration'] = _modelscore_mod.calibration_oracle_sql()

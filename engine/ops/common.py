@@ -14,7 +14,19 @@ import pyarrow as pa
 
 __all__ = ['round_half_up', 'sql_round', 'sf_from_dir', 'table_path',
            'read_small_table', 'read_table', 'BroadcastLookup', 'pool',
-           'hash63_keys', 'hash63_strings', 'run_pairs']
+           'hash63_keys', 'hash63_strings', 'run_pairs',
+           'concat_tables_or_empty']
+
+
+def concat_tables_or_empty(parts, schema):
+    """``pa.concat_tables`` that tolerates an all-empty part list
+    (plain ``concat_tables([])`` raises ValueError): returns an empty
+    table of ``schema``.  Driver-side folds of per-bucket partials hit
+    the empty case on degenerate inputs — a corpus with zero tool
+    turns, a graph with zero edges — and must degrade to an empty
+    result of the documented schema, not a crash."""
+    parts = [t for t in parts if t.num_rows]
+    return pa.concat_tables(parts) if parts else schema.empty_table()
 
 
 def pool(frac=0.75, floor=2):

@@ -280,8 +280,11 @@ def conv_tool_usage(corpus_dir, num_buckets=64):
     # total tool turns: fold the tiny per-tool table driver-side for the
     # share column (rows = distinct tools, bounded by the tool registry)
     import ray as _ray
-    tbl = pa.concat_tables([t for t in _ray.get(per_tool.to_arrow_refs())
-                            if t.num_rows])
+    from .common import concat_tables_or_empty
+    tbl = concat_tables_or_empty(
+        _ray.get(per_tool.to_arrow_refs()),
+        pa.schema([('tool', pa.string()), ('n_turns', pa.int64()),
+                   ('n_convs', pa.int64())]))
     nt = tbl.column('n_turns').to_numpy(zero_copy_only=False) \
             .astype(np.int64)
     total = int(nt.sum())

@@ -84,7 +84,10 @@ def dedup_simhash_eval(sf_dir, num_buckets=16):
         truth.union(pred).groupby('bucket')
              .map_groups(bucket_counts, batch_format='pyarrow')
              .to_arrow_refs()) if t.num_rows]
-    tbl = pa.concat_tables(parts)
+    from .common import concat_tables_or_empty
+    tbl = concat_tables_or_empty(
+        parts, pa.schema([('n_truth', pa.int64()), ('n_pred', pa.int64()),
+                          ('tp', pa.int64())]))
     n_truth = int(np.sum(tbl.column('n_truth').to_numpy()))
     n_pred = int(np.sum(tbl.column('n_pred').to_numpy()))
     tp = int(np.sum(tbl.column('tp').to_numpy()))
@@ -131,12 +134,14 @@ def ann_recall_eval(sf_dir):
     """Per-query recall@k of ann_topk_ivf vs exact ann_topk: (query_id,
     n_exact, n_hit, recall).  Both sides are (n_queries × k)-row tables
     by the ann contract, so the join is driver-side by design."""
-    exact = pa.concat_tables(
-        [t for t in ray.get(_similarity.ann_topk(sf_dir).to_arrow_refs())
-         if t.num_rows])
-    approx = pa.concat_tables(
-        [t for t in ray.get(_similarity.ann_topk_ivf(sf_dir)
-                            .to_arrow_refs()) if t.num_rows])
+    from .common import concat_tables_or_empty
+    _ann_schema = pa.schema([('query_id', pa.int64()),
+                             ('neighbor_id', pa.int64())])
+    exact = concat_tables_or_empty(
+        ray.get(_similarity.ann_topk(sf_dir).to_arrow_refs()), _ann_schema)
+    approx = concat_tables_or_empty(
+        ray.get(_similarity.ann_topk_ivf(sf_dir).to_arrow_refs()),
+        _ann_schema)
     eq = exact.column('query_id').to_numpy(zero_copy_only=False)
     en = exact.column('neighbor_id').to_numpy(zero_copy_only=False)
     ak = _pair_keys(approx.column('query_id').to_numpy(zero_copy_only=False),
@@ -198,9 +203,12 @@ def tdigest_error_eval(sf_dir, eps_pct=5):
     contract), shipped inside the task closure; the raw pass is a
     per-block vectorized count fold — the exchange carries
     (type, qpct, n_le) partials, never events."""
-    td = pa.concat_tables(
-        [t for t in ray.get(_relational.events_value_tdigest(sf_dir)
-                            .to_arrow_refs()) if t.num_rows])
+    from .common import concat_tables_or_empty
+    td = concat_tables_or_empty(
+        ray.get(_relational.events_value_tdigest(sf_dir).to_arrow_refs()),
+        pa.schema([('event_type', pa.string()), ('n_events', pa.int64()),
+                   ('p50_est', pa.float64()), ('p90_est', pa.float64()),
+                   ('p99_est', pa.float64())]))
     ests = []   # (event_type, qpct, est, n_events)
     for i in range(td.num_rows):
         typ = td.column('event_type')[i].as_py()

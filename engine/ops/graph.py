@@ -231,8 +231,11 @@ def part_pagerank(sf_dir, iters=PR_ITERS, topk=PR_TOPK, num_buckets=64,
         # MEASURED gate (clusters.py precedent): below ~32 MB of edges
         # the K-round loop is pure per-round scheduling overhead; the
         # integer math is identical, so results are bit-equal.
-        tbl = pa.concat_tables(ray.get(edges.to_arrow_refs())) \
-                .combine_chunks()
+        from .common import concat_tables_or_empty
+        tbl = concat_tables_or_empty(
+            ray.get(edges.to_arrow_refs()),
+            pa.schema([('src', pa.int64()), ('dst', pa.int64())])) \
+            .combine_chunks()
         nodes, r = _local_pagerank(
             tbl.column('src').to_numpy(zero_copy_only=False),
             tbl.column('dst').to_numpy(zero_copy_only=False), iters)
@@ -627,10 +630,13 @@ def part_triangles(sf_dir, num_buckets=64):
         .groupby('bucket').map_groups(deg_fold, batch_format='pyarrow') \
         .groupby('nbucket').map_groups(wedge_sum, batch_format='pyarrow')
 
-    et = pa.concat_tables([t for t in ray.get(edge_side.to_arrow_refs())
-                           if t.num_rows])
-    wt = pa.concat_tables([t for t in ray.get(deg_side.to_arrow_refs())
-                           if t.num_rows])
+    from .common import concat_tables_or_empty
+    et = concat_tables_or_empty(
+        ray.get(edge_side.to_arrow_refs()),
+        pa.schema([('n_edges', pa.int64()), ('n_tri', pa.int64())]))
+    wt = concat_tables_or_empty(
+        ray.get(deg_side.to_arrow_refs()),
+        pa.schema([('wedges', pa.int64())]))
     n_edges = int(np.sum(et.column('n_edges').to_numpy()))
     n_tri = int(np.sum(et.column('n_tri').to_numpy()))
     n_wedges = int(np.sum(wt.column('wedges').to_numpy()))

@@ -2880,7 +2880,12 @@ def events_anomaly_days(sf_dir, z=2):
                                                batch_format='pyarrow')
 
 
-EVENTS_ANOMALY_SQL = """
+def events_anomaly_oracle_sql(z=2):
+    """Oracle as a FUNCTION of the z knob (zz = z²) so a non-default z
+    in :func:`events_anomaly_days` stays in lockstep with the
+    registered SQL instead of silently diverging (the kmeans/keep_best
+    oracles' parameterization discipline)."""
+    return """
 WITH d AS (
   SELECT event_type, epoch_us(ts) // {us_day} AS day,
          count(*)::BIGINT AS n
@@ -2894,7 +2899,10 @@ SELECT d.event_type, d.day::BIGINT AS day, d.n,
        (d.n::HUGEINT * s.nd - s.sm) * (d.n::HUGEINT * s.nd - s.sm)
          > {zz}::HUGEINT * (s.nd * s.s2 - s.sm * s.sm) AS is_anomaly
 FROM d JOIN s USING (event_type)
-""".format(us_day=_US_PER_DAY, zz=4)
+""".format(us_day=_US_PER_DAY, zz=int(z) * int(z))
+
+
+EVENTS_ANOMALY_SQL = events_anomaly_oracle_sql()
 
 
 def events_late_arrivals(sf_dir, range_size=4096, max_rbuckets=1 << 20):

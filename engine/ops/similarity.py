@@ -32,8 +32,8 @@ __all__ = ['embedding_dup_pairs', 'embedding_dup_pairs_blocked',
            'embedding_norm_stats', 'EMBEDDING_NORM_STATS_SQL',
            'embedding_project2d', 'project2d_oracle_sql',
            'embedding_kmeans', 'kmeans_oracle_sql',
-           'embedding_label_centroids', 'LABEL_CENTROIDS_SQL',
-           'embedding_label_outliers', 'LABEL_OUTLIERS_SQL']
+           'embedding_label_centroids', 'label_centroids_oracle_sql',
+           'embedding_label_outliers', 'label_outliers_oracle_sql']
 
 
 def _read_embeddings(sf_dir):
@@ -997,18 +997,26 @@ def embedding_label_centroids(sf_dir, num_buckets=None):
         .groupby('label').map_groups(final, batch_format='pyarrow')
 
 
-LABEL_CENTROIDS_SQL = """
+def label_centroids_oracle_sql(dim=None):
+    """Oracle generated from the DATA's embedding dim (the
+    project2d_oracle_sql discipline) — a hardcoded series bound would
+    silently check a truncated/padded centroid if the fixture dim ever
+    changed."""
+    if dim is None:
+        from . import oracles
+        dim = oracles.embedding_dim()
+    return """
 WITH m AS (
   SELECT label::BIGINT AS label, i AS dim,
          CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT)
            AS micro
-  FROM embeddings, generate_series(1, 64) t(i)
+  FROM embeddings, generate_series(1, {dim}) t(i)
 )
 SELECT label, dim, count(*)::BIGINT AS n,
        floor(sum(micro)::DOUBLE / (count(*) * 1000000)::DOUBLE
              * 1000000 + 0.5) / 1000000 AS centroid
 FROM m GROUP BY label, dim
-"""
+""".format(dim=int(dim))
 
 
 def embedding_label_outliers(sf_dir, k=5):
@@ -1120,12 +1128,17 @@ def embedding_label_outliers(sf_dir, k=5):
         .groupby('fbucket').map_groups(fold, batch_format='pyarrow')
 
 
-LABEL_OUTLIERS_SQL = """
+def label_outliers_oracle_sql(dim=None):
+    """Dim-derived like :func:`label_centroids_oracle_sql`."""
+    if dim is None:
+        from . import oracles
+        dim = oracles.embedding_dim()
+    return """
 WITH m AS (
   SELECT label::BIGINT AS label, i AS dim,
          CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT)
            AS micro
-  FROM embeddings, generate_series(1, 64) t(i)
+  FROM embeddings, generate_series(1, {dim}) t(i)
 ), c AS (
   SELECT label, dim,
          floor(sum(micro)::DOUBLE / (count(*) * 1000000)::DOUBLE
@@ -1146,4 +1159,4 @@ WITH m AS (
 )
 SELECT vec_id, label, floor(dot * 1000000 + 0.5) / 1000000 AS dot, rank
 FROM r WHERE rank <= 5
-"""
+""".format(dim=int(dim))

@@ -1403,7 +1403,7 @@ GROUP BY ks.k, tot.s
 """.format(values=values)
 
 
-def source_token_drift(sf_dir, num_buckets=64):
+def source_token_drift(sf_dir, num_buckets=64, max_fold_rows=1 << 20):
     """DOMAIN-MIX drift audit: per ``source``, the L1 distance between
     the source's token distribution and the CORPUS-WIDE token
     distribution — the number a mixture owner reads to see which crawl
@@ -1425,18 +1425,35 @@ def source_token_drift(sf_dir, num_buckets=64):
     a tiny sum over combiner rows; the drift fold resolves each
     token's corpus count g_t INSIDE its bucket — a token lives in one
     bucket, so per-(bucket, source) partials sum exactly); driver folds
-    ≤ buckets × sources partial rows."""
+    ≤ buckets × sources partial rows, LOUDLY guarded by
+    ``max_fold_rows`` (the max_rbuckets discipline — take_batch would
+    silently truncate past its cap and compute wrong totals)."""
+    import ray as _ray
+
+    from .common import concat_tables_or_empty
     nb = num_buckets
+
+    def _gather(ds, schema, label):
+        tbl = concat_tables_or_empty(_ray.get(ds.to_arrow_refs()), schema)
+        if tbl.num_rows > max_fold_rows:
+            raise RuntimeError(
+                'source_token_drift: %s fold has %d rows, over '
+                'max_fold_rows=%d — raise the cap or add a groupby '
+                'pre-fold stage (rows scale with blocks x sources)'
+                % (label, tbl.num_rows, max_fold_rows))
+        return tbl
 
     combined = _read_docs(sf_dir, ['source', 'text']) \
         .map_batches(_source_token_partial(nb), batch_format='pyarrow',
                      zero_copy_batch=True).materialize()
 
-    totals = combined.map_batches(
-        lambda t: t.group_by('source').aggregate([('cnt', 'sum')])
-                   .rename_columns(['source', 'n']),
-        batch_format='pyarrow', zero_copy_batch=True) \
-        .take_batch(1 << 20, batch_format='pyarrow') \
+    totals = _gather(
+        combined.map_batches(
+            lambda t: t.group_by('source').aggregate([('cnt', 'sum')])
+                       .rename_columns(['source', 'n']),
+            batch_format='pyarrow', zero_copy_batch=True),
+        pa.schema([('source', pa.string()), ('n', pa.int64())]),
+        'per-source totals') \
         .group_by('source').aggregate([('n', 'sum')])
     ns = {s: int(v) for s, v in zip(totals.column('source').to_pylist(),
                                     totals.column('n_sum').to_pylist())}
@@ -1464,9 +1481,12 @@ def source_token_drift(sf_dir, num_buckets=64):
                                 pa.decimal128(38, 0)),
         })
 
-    parts = combined.groupby('bucket').map_groups(
-        fold, batch_format='pyarrow') \
-        .take_batch(1 << 20, batch_format='pyarrow')
+    parts = _gather(
+        combined.groupby('bucket').map_groups(fold,
+                                              batch_format='pyarrow'),
+        pa.schema([('source', pa.string()),
+                   ('partial', pa.decimal128(38, 0))]),
+        'drift partials')
     acc = {}
     for s, p in zip(parts.column('source').to_pylist(),
                     parts.column('partial').to_pylist()):
