@@ -161,7 +161,7 @@ def table_profile(sf_dir, table=PROFILE_TABLE, columns=None,
     (col, hash & (nb-1)) bucket, so per-bucket unique counts sum to
     the exact global distinct.  Profiling inherently reads every
     column — there is nothing to prune."""
-    import hashlib
+    import pandas as pd
 
     cols = columns if columns is not None else PROFILE_COLS
     nb = num_buckets
@@ -174,11 +174,13 @@ def table_profile(sf_dir, table=PROFILE_TABLE, columns=None,
             n = len(arr)
             nulls = arr.null_count
             u = pc.unique(pc.cast(arr.drop_null(), pa.string()))
-            hs = np.fromiter(
-                (int.from_bytes(
-                    hashlib.md5(s.encode('utf-8')).digest()[:8],
-                    'little') >> 1 for s in u.to_pylist()),
-                dtype=np.int64, count=len(u))
+            # ENGINE-INTERNAL hash (never compared to the oracle, which
+            # counts distinct natively), so a vectorized cython siphash
+            # replaces the per-value Python md5 loop; the fixed pandas
+            # hash key keeps it deterministic across worker processes
+            hs = (pd.util.hash_array(
+                u.to_numpy(zero_copy_only=False), categorize=False)
+                >> np.uint64(1)).astype(np.int64)
             out_col.append(pa.array([c] * len(hs), pa.string()))
             out_h.append(pa.array(hs, pa.int64()))
             out_rows.append(pa.array(np.zeros(len(hs), np.int64)))

@@ -20,6 +20,7 @@ use the shared half-up rounding so the DuckDB oracle hashes identically.
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -1033,11 +1034,13 @@ def embedding_label_outliers(sf_dir, k=5):
     = DuckDB's ``list_dot_product`` left-to-right order; ranking uses
     the RAW dot (ties → vec_id), rounding applies only to the output.
 
-    Shape: pass 1 is the centroid combiner (labels × d rows, tiny
-    driver materialization — bounded state, the kmeans-training
-    precedent); pass 2 is a pure map with per-block bottom-k-per-label
-    combiners, so the final exchange carries ≤ blocks × labels × k
-    rows into one tiny fold."""
+    Shape: pass 1 is the centroid combiner folded through a
+    label-keyed exchange (per-block partials → one row per label), so
+    the driver materializes O(labels × d) — NOT labels × blocks × d
+    (the r4 take_all carried every block's partial to the driver;
+    unbounded for wide clusters); pass 2 is a pure map with per-block
+    bottom-k-per-label combiners, so the final exchange carries
+    ≤ blocks × labels × k rows into one tiny fold."""
     from .common import round_half_up, pool, read_table
 
     # ---- pass 1: exact centroids (bounded: labels × d) --------------
@@ -1060,19 +1063,30 @@ def embedding_label_outliers(sf_dir, k=5):
             'sums': pa.array(list(sums), pa.list_(pa.int64())),
         })
 
+    def cent_fold(group: pa.Table) -> pa.Table:
+        # per-label fold of the block partials: runs distributed, so
+        # only labels rows (each d wide) ever reach the driver
+        arr = group.column('sums')
+        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        flat = a.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = flat.reshape(group.num_rows, -1).sum(axis=0)
+        n = int(pc.sum(group.column('n')).as_py())
+        return pa.table({
+            'label': group.column('label')[:1],
+            'n': pa.array([n], pa.int64()),
+            'sums': pa.array([sums], pa.list_(pa.int64())),
+        })
+
     parts = read_table(sf_dir, 'embeddings',
                        columns=['embedding', 'label'],
                        min_blocks=pool()[1]) \
         .map_batches(cent_partial, batch_format='pyarrow',
-                     zero_copy_batch=True).take_all()
-    agg = {}
-    for row in parts:
-        lab = int(row['label'])
-        s = np.asarray(row['sums'], np.int64)
-        if lab in agg:
-            agg[lab] = (agg[lab][0] + int(row['n']), agg[lab][1] + s)
-        else:
-            agg[lab] = (int(row['n']), s)
+                     zero_copy_batch=True) \
+        .groupby('label').map_groups(cent_fold, batch_format='pyarrow') \
+        .take_all()
+    agg = {int(row['label']): (int(row['n']),
+                               np.asarray(row['sums'], np.int64))
+           for row in parts}
     labels = sorted(agg)
     cents = np.stack([
         round_half_up(agg[l][1].astype(np.float64)
