@@ -99,6 +99,11 @@ def _conv_near_dup(sf_dir: str) -> Any:
     return conv_near_dup(_transcripts_dir(sf_dir))
 
 
+def _conv_near_dup_lsh(sf_dir: str) -> Any:
+    from engine.ops.convstats import conv_near_dup_lsh
+    return conv_near_dup_lsh(_transcripts_dir(sf_dir))
+
+
 def _conv_context_growth(sf_dir: str) -> Any:
     from engine.ops.convstats import conv_context_growth
     return conv_context_growth(_transcripts_dir(sf_dir))
@@ -258,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'conv_first_tool': _conv_first_tool,
         'conv_pack_manifest': _conv_pack_manifest,
         'conv_near_dup': _conv_near_dup,
+        'conv_near_dup_lsh': _conv_near_dup_lsh,
         'conv_context_growth': _conv_context_growth,
         'tool_transition_matrix': _tool_transition_matrix,
         'conv_role_token_stats': _conv_role_token_stats,
@@ -464,6 +470,7 @@ def oracle_sql() -> dict[str, str]:
                 ('conv_first_tool', _cs.conv_first_tool_oracle_sql),
                 ('conv_pack_manifest', _cs.conv_pack_oracle_sql),
                 ('conv_near_dup', _cs.conv_near_dup_oracle_sql),
+                ('conv_near_dup_lsh', _cs.conv_near_dup_lsh_oracle_sql),
                 ('conv_context_growth', _cs.conv_context_growth_oracle_sql),
                 ('tool_transition_matrix', _cs.tool_transition_oracle_sql),
                 ('conv_role_token_stats', _cs.conv_role_token_oracle_sql)):

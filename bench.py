@@ -45,7 +45,7 @@ BENCH_QUERIES = ['q1_pricing', 'events_by_type', 'dedup_exact',
                  # round-4d additions
                  'events_type_drift', 'doc_ngram_novelty',
                  # round-4e additions (one per new family)
-                 'conv_near_dup', 'conv_pack_manifest',
+                 'conv_near_dup', 'conv_near_dup_lsh', 'conv_pack_manifest',
                  'fk_integrity_audit', 'embedding_label_centroids']
 
 

@@ -25,6 +25,7 @@ __all__ = ['conv_stats', 'conv_stats_oracle_sql',
            'conv_first_tool', 'conv_first_tool_oracle_sql',
            'conv_pack_manifest', 'conv_pack_oracle_sql',
            'conv_near_dup', 'conv_near_dup_oracle_sql',
+           'conv_near_dup_lsh', 'conv_near_dup_lsh_oracle_sql',
            'conv_context_growth', 'conv_context_growth_oracle_sql',
            'tool_transition_matrix', 'tool_transition_oracle_sql',
            'conv_role_token_stats', 'conv_role_token_oracle_sql']
@@ -714,7 +715,8 @@ FROM g GROUP BY conv_id, chunk_idx
 """.format(corpus=corpus_dir, b=int(budget))
 
 
-def conv_near_dup(corpus_dir, threshold=0.5, num_buckets=64):
+def conv_near_dup(corpus_dir, threshold=0.5, num_buckets=64,
+                  max_run=None):
     """NEAR-DUPLICATE CONVERSATIONS by turn-set Jaccard: two
     conversations are near-dups when they share most of their DISTINCT
     turn texts — the transcript-granular dedup tier (re-run sessions,
@@ -730,6 +732,14 @@ def conv_near_dup(corpus_dir, threshold=0.5, num_buckets=64):
        set-size partials fold per bucket.  The expansion is quadratic
        in a fp's run length — the shared_span_pairs contract:
        boilerplate-heavy corpora should run exact payload dedup first.
+       The contract is now OBSERVED AND ENFORCEABLE (the minhash
+       ``max_band_docs`` discipline, dedup.py:288): hot-fp telemetry is
+       logged per bucket, and ``max_run`` skips fingerprints shared by
+       more runs than the cap with a LOUD logged drop count — dropped
+       fps undercount ``inter`` (pairs may be missed or their Jaccard
+       biased down), so the default ``None`` drops nothing, preserving
+       oracle parity.  For boilerplate-heavy corpora at scale prefer
+       :func:`conv_near_dup_lsh`, the subquadratic discovery tier.
     2. conv-bucketed: each pair row rides TWICE (keyed by a, keyed by
        b) alongside the size partials, so inter fully folds and each
        side's set size attaches in ONE exchange with no dataset reuse.
@@ -781,10 +791,33 @@ def conv_near_dup(corpus_dir, threshold=0.5, num_buckets=64):
         fp, code = fp[order], code[order]
         starts = np.flatnonzero(np.r_[True, fp[1:] != fp[:-1]])
         lens = np.diff(np.r_[starts, len(fp)])
+        pair_code = code
+        if lens.size:
+            import logging
+            log = logging.getLogger('engine.ops.convstats')
+            max_len = int(lens.max())
+            if max_len >= 1000:
+                log.warning(
+                    'conv_near_dup hot-fp telemetry: bucket max run %d '
+                    '(%d fps >= 1000 convs) — O(m^2) pair expansion; run '
+                    'exact payload dedup first or use conv_near_dup_lsh',
+                    max_len, int((lens >= 1000).sum()))
+            if max_run is not None and max_len > max_run:
+                over = lens > max_run
+                dropped = int((lens[over] * (lens[over] - 1) // 2).sum())
+                log.error(
+                    'conv_near_dup: SKIPPING %d fingerprints over '
+                    'max_run=%d (~%d pair partials dropped; inter counts '
+                    'UNDERCOUNT — pairs may be missed or biased down; '
+                    'raise the cap or run exact payload dedup first)',
+                    int(over.sum()), max_run, dropped)
+                keep_elems = np.repeat(~over, lens)
+                pair_code = code[keep_elems]
+                lens = lens[~over]
         ai, bi = run_pairs(lens, upper=True)
         # per-bucket pair partial counts, folded on int codes (C++)
-        pg = pa.table({'a': pa.array(code[ai], pa.int64()),
-                       'b': pa.array(code[bi], pa.int64())}) \
+        pg = pa.table({'a': pa.array(pair_code[ai], pa.int64()),
+                       'b': pa.array(pair_code[bi], pa.int64())}) \
                .group_by(['a', 'b']).aggregate([([], 'count_all')])
         a = pg.column('a').to_numpy(zero_copy_only=False)
         b = pg.column('b').to_numpy(zero_copy_only=False)
@@ -902,6 +935,348 @@ SELECT ca AS conv_a, cb AS conv_b, inter,
 FROM p JOIN sz sa ON sa.conv_id = ca JOIN sz sb ON sb.conv_id = cb
 WHERE inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE >= {thr}
 """.format(corpus=corpus_dir, thr=repr(float(threshold)))
+
+
+def conv_near_dup_lsh(corpus_dir, threshold=0.5, num_buckets=64,
+                      max_band_convs=None):
+    """SUBQUADRATIC discovery tier for transcript-level near-dup — the
+    minhash-over-turn-fp-sets companion to :func:`conv_near_dup`, the
+    same tiering the document family already has (minhash_near_dup ←
+    ngram_jaccard_pairs).  Output schema and verify math are identical
+    to the exact op: (conv_a, conv_b, inter, jac) for candidate pairs
+    whose EXACT turn-set Jaccard >= threshold — only candidate
+    GENERATION is approximate (128-perm minhash over each
+    conversation's distinct turn fingerprints, 32×4 banding), so cost
+    scales with conversations × BANDS instead of Σ run², and a
+    boilerplate turn shared by 10⁶ conversations never expands —
+    band keys derive from whole-SIGNATURE minima, not per-turn fps.
+
+    Permutation modulus: (a·h+b) mod 2³¹−1 with h reduced mod 2³¹−1 —
+    NOT the 2⁶¹−1 the document minhash uses.  With 32-bit inputs and
+    a < 2³¹, a map mod 2⁶¹−1 wraps at most ⌈a·2³²/2⁶¹⌉ ≤ 4 times, so
+    it is piecewise ORDER-PRESERVING and the argmin collapses onto the
+    few globally-smallest hashes (measured on this corpus: 58/128
+    perm agreement for a true-Jaccard-0.91 pair, 0 matching bands —
+    min-wise independence gone).  Mod 2³¹−1 the map wraps ~a times
+    (same pair: 120/128 agreement, 24 matching bands).
+
+    Shape — five stages, every exchange hash-bucketed, no joins, no
+    driver state:
+    1. map: distinct (conv, fp63) per block, bucketed by conv hash;
+    2. conv-bucketed fold: exact per-conv distinct; 128 permuted
+       minima via chunked ``np.minimum.reduceat`` (vectorized over the
+       whole bucket); emits 32 band rows per conv (bucketed by band
+       key) + one fp-set row per conv (sorted fp63 list, bucketed by
+       conv hash) for the verify tier;
+    3. band-bucketed fold: multi-conv bands expand to candidate pairs
+       (``run_pairs``) with the minhash ``max_band_convs`` cap — loud
+       logged drop count, default None drops nothing; pairs become two
+       side rows keyed by each member conv; fp-set rows pass through;
+    4. conv-bucketed attach: each side row picks up its key conv's
+       fp-set (distinct fold dedupes a pair found by several bands);
+       emits pair-hash-bucketed attached sides;
+    5. pair-bucketed verify: exact |∩| via sorted-array searchsorted,
+       uni = na + nb − inter, threshold filter, half-up r6 — float
+       expression identical to the exact op and the oracle.
+
+    Recall contract (the LSH tradeoff, documented not hidden): a pair
+    at Jaccard j is caught with P = 1−(1−j⁴)³², ≈ 0.874 at j = 0.5,
+    → 1 as j → 1; the ORACLE mirrors the same banding (inlined perm
+    params, minima-list equality), so correctness is oracle-checked
+    end-to-end, not assumed."""
+    import zlib
+
+    import numpy as np
+
+    from .common import (concat_tables_or_empty, hash63_strings,
+                         round_half_up, run_pairs)
+    from .dedup import _perms, BANDS, NUM_PERM, ROWS_PER_BAND
+    nb = num_buckets
+    thr = float(threshold)
+    _M31 = np.uint64((1 << 31) - 1)
+
+    _MID_SCHEMA = pa.schema([
+        ('bucket', pa.int64()), ('kind', pa.int64()),
+        ('band_key', pa.int64()), ('conv', pa.string()),
+        ('other', pa.string()), ('fps', pa.list_(pa.int64())),
+        ('n', pa.int64())])
+
+    def _conv_hash(strs):
+        return np.asarray(hash63_strings(strs), np.int64) & (nb - 1)
+
+    def _scatter_hash(col):
+        enc = pc.dictionary_encode(col).combine_chunks()
+        vals = _conv_hash(enc.dictionary.to_pylist())
+        return vals[enc.indices.to_numpy(zero_copy_only=False)]
+
+    def explode(batch: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(batch.column('text')).combine_chunks()
+        dict_fps = np.asarray(
+            hash63_strings(enc.dictionary.to_pylist()), np.int64)
+        fps = dict_fps[enc.indices.to_numpy(zero_copy_only=False)]
+        t = pa.table({'conv_id': batch.column('conv_id'),
+                      'fp': pa.array(fps, pa.int64())})
+        g = t.group_by(['conv_id', 'fp']).aggregate([])
+        return g.append_column(
+            'bucket', pa.array(_scatter_hash(g.column('conv_id')),
+                               pa.int64()))
+
+    def sig_fold(group: pa.Table) -> pa.Table:
+        g = group.group_by(['conv_id', 'fp']).aggregate([])
+        enc = pc.dictionary_encode(g.column('conv_id')).combine_chunks()
+        convs = enc.dictionary.to_pylist()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        fp = g.column('fp').to_numpy(zero_copy_only=False)
+        order = np.lexsort((fp, code))
+        fp_s, code_s = fp[order], code[order]
+        starts = np.flatnonzero(np.r_[True, code_s[1:] != code_s[:-1]])
+        lens = np.diff(np.r_[starts, len(code_s)])
+        # dictionary codes are first-appearance order and every code
+        # occurs, so segment i of the sorted array IS convs[code_s[starts[i]]]
+        seg_conv = [convs[c] for c in code_s[starts]]
+        n_convs = len(seg_conv)
+        # 128 permuted minima, vectorized across the bucket in 32-perm
+        # chunks so the (P_chunk, N) intermediate stays bounded
+        a, b = _perms()
+        h32 = (fp_s.astype(np.uint64) & np.uint64(0xFFFFFFFF)) % _M31
+        mins = np.empty((NUM_PERM, n_convs), np.uint64)
+        for i in range(0, NUM_PERM, 32):
+            pm = (a[i:i + 32, None] * h32[None, :]
+                  + b[i:i + 32, None]) % _M31
+            mins[i:i + 32] = np.minimum.reduceat(pm, starts, axis=1)
+        minsT = np.ascontiguousarray(mins.T)            # (n_convs, 128)
+        band_keys = np.empty(n_convs * BANDS, np.int64)
+        for ci in range(n_convs):
+            rows = minsT[ci].reshape(BANDS, ROWS_PER_BAND)
+            base = ci * BANDS
+            for bi in range(BANDS):
+                band_keys[base + bi] = (bi << 32) | zlib.crc32(
+                    rows[bi].tobytes())
+        conv_rep = pa.array(np.repeat(np.asarray(seg_conv, object), BANDS),
+                            pa.string())
+        band_tbl = pa.table({
+            'bucket': pa.array(band_keys & (nb - 1), pa.int64()),
+            'kind': pa.array(np.zeros(n_convs * BANDS, np.int64)),
+            'band_key': pa.array(band_keys, pa.int64()),
+            'conv': conv_rep,
+            'other': pa.nulls(n_convs * BANDS, pa.string()),
+            'fps': pa.nulls(n_convs * BANDS, pa.list_(pa.int64())),
+            'n': pa.nulls(n_convs * BANDS, pa.int64()),
+        })
+        offsets = np.r_[0, np.cumsum(lens)].astype(np.int64)
+        fps_list = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(fp_s, pa.int64()))
+        fpset_tbl = pa.table({
+            'bucket': pa.array(_conv_hash(seg_conv), pa.int64()),
+            'kind': pa.array(np.ones(n_convs, np.int64)),
+            'band_key': pa.nulls(n_convs, pa.int64()),
+            'conv': pa.array(seg_conv, pa.string()),
+            'other': pa.nulls(n_convs, pa.string()),
+            'fps': fps_list,
+            'n': pa.array(lens, pa.int64()),
+        })
+        return concat_tables_or_empty([band_tbl, fpset_tbl], _MID_SCHEMA)
+
+    def pairs_fold(group: pa.Table) -> pa.Table:
+        kinds = group.column('kind')
+        parts = []
+        fpset = group.filter(pc.equal(kinds, 1))
+        if fpset.num_rows:
+            parts.append(fpset.select(_MID_SCHEMA.names))
+        band = group.filter(pc.equal(kinds, 0))
+        if band.num_rows:
+            t = band.sort_by([('band_key', 'ascending'),
+                              ('conv', 'ascending')])
+            keys = t.column('band_key').to_numpy(zero_copy_only=False)
+            convs = np.asarray(t.column('conv').to_pylist(), object)
+            starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+            lens = np.diff(np.r_[starts, len(keys)])
+            if lens.size:
+                import logging
+                log = logging.getLogger('engine.ops.convstats')
+                max_band = int(lens.max())
+                if max_band >= 1000:
+                    log.warning(
+                        'conv_near_dup_lsh band telemetry: bucket max '
+                        'band size %d (%d bands >= 1000) — O(m^2) pair '
+                        'emission; run exact payload dedup first',
+                        max_band, int((lens >= 1000).sum()))
+                if max_band_convs is not None and max_band > max_band_convs:
+                    over = lens > max_band_convs
+                    dropped = int((lens[over] * (lens[over] - 1) // 2).sum())
+                    log.error(
+                        'conv_near_dup_lsh: SKIPPING %d bands over '
+                        'max_band_convs=%d (~%d candidate pairs dropped; '
+                        'near-dups may be missed — run exact payload '
+                        'dedup first or raise the cap)',
+                        int(over.sum()), max_band_convs, dropped)
+                    keep = np.repeat(~over, lens)
+                    convs = convs[keep]
+                    lens = lens[~over]
+                ai, bi = run_pairs(lens, upper=True)
+                if ai.size:
+                    pg = pa.table({'a': pa.array(convs[ai], pa.string()),
+                                   'b': pa.array(convs[bi], pa.string())}) \
+                           .group_by(['a', 'b']).aggregate([])
+                    av, bv = pg.column('a'), pg.column('b')
+                    m = pg.num_rows
+                    for kind_val, key_col, other_col in ((2, av, bv),
+                                                         (3, bv, av)):
+                        parts.append(pa.table({
+                            'bucket': pa.array(_scatter_hash(key_col),
+                                               pa.int64()),
+                            'kind': pa.array(np.full(m, kind_val, np.int64)),
+                            'band_key': pa.nulls(m, pa.int64()),
+                            'conv': key_col,
+                            'other': other_col,
+                            'fps': pa.nulls(m, pa.list_(pa.int64())),
+                            'n': pa.nulls(m, pa.int64()),
+                        }))
+        return concat_tables_or_empty(parts, _MID_SCHEMA)
+
+    _ATT_SCHEMA = pa.schema([
+        ('pbucket', pa.int64()), ('conv_a', pa.string()),
+        ('conv_b', pa.string()), ('kind', pa.int64()),
+        ('fps', pa.list_(pa.int64())), ('n', pa.int64())])
+
+    def attach_fold(group: pa.Table) -> pa.Table:
+        kinds = group.column('kind')
+        fp_rows = group.filter(pc.equal(kinds, 1))
+        sides = group.filter(pc.greater(kinds, 1))
+        if sides.num_rows == 0 or fp_rows.num_rows == 0:
+            return concat_tables_or_empty([], _ATT_SCHEMA)
+        # a pair surfaces once per matching band: the distinct fold here
+        # IS the global candidate dedup (each side row lives in exactly
+        # one conv bucket)
+        d = sides.group_by(['conv', 'other', 'kind']).aggregate([])
+        pos = {c: i for i, c in enumerate(
+            fp_rows.column('conv').to_pylist())}
+        idx = pa.array([pos[c] for c in d.column('conv').to_pylist()],
+                       pa.int64())
+        fps_sel = fp_rows.column('fps').combine_chunks().take(idx)
+        n_sel = fp_rows.column('n').take(idx)
+        kind = d.column('kind').to_numpy(zero_copy_only=False)
+        is_a = pc.equal(d.column('kind'), 2)
+        ca = pc.if_else(is_a, d.column('conv'), d.column('other'))
+        cb = pc.if_else(is_a, d.column('other'), d.column('conv'))
+        ha = np.asarray(hash63_strings(ca.to_pylist()), np.int64)
+        hb = np.asarray(hash63_strings(cb.to_pylist()), np.int64)
+        pb = (ha * 1_000_003 + hb) & (nb - 1)
+        return pa.table({
+            'pbucket': pa.array(pb, pa.int64()),
+            'conv_a': ca,
+            'conv_b': cb,
+            'kind': pa.array(kind, pa.int64()),
+            'fps': fps_sel,
+            'n': n_sel,
+        }).cast(_ATT_SCHEMA)
+
+    _OUT_SCHEMA = pa.schema([
+        ('conv_a', pa.string()), ('conv_b', pa.string()),
+        ('inter', pa.int64()), ('jac', pa.float64())])
+
+    def verify_fold(group: pa.Table) -> pa.Table:
+        t = group.sort_by([('conv_a', 'ascending'),
+                           ('conv_b', 'ascending'),
+                           ('kind', 'ascending')])
+        m = t.num_rows
+        if m % 2:
+            raise ValueError('unpaired candidate side row')
+        lst = t.column('fps').combine_chunks()
+        offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = lst.values.to_numpy(zero_copy_only=False)
+        ns = t.column('n').to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = t.column('conv_a').to_pylist()
+        cb = t.column('conv_b').to_pylist()
+        out_a, out_b, out_i, out_j = [], [], [], []
+        for i in range(0, m, 2):
+            if ca[i] != ca[i + 1] or cb[i] != cb[i + 1]:
+                raise ValueError('unpaired candidate side row')
+            A = vals[offs[i]:offs[i + 1]]
+            B = vals[offs[i + 1]:offs[i + 2]]
+            # both sorted distinct: one searchsorted membership sweep
+            j = np.searchsorted(B, A)
+            j[j == len(B)] = max(len(B) - 1, 0)
+            inter = int((B[j] == A).sum()) if len(B) else 0
+            uni = int(ns[i] + ns[i + 1] - inter)
+            jac = inter / uni if uni else 0.0
+            if jac >= thr:
+                out_a.append(ca[i])
+                out_b.append(cb[i])
+                out_i.append(inter)
+                out_j.append(jac)
+        if not out_a:
+            return concat_tables_or_empty([], _OUT_SCHEMA)
+        return pa.table({
+            'conv_a': pa.array(out_a, pa.string()),
+            'conv_b': pa.array(out_b, pa.string()),
+            'inter': pa.array(out_i, pa.int64()),
+            'jac': pa.array(round_half_up(out_j, 6), pa.float64()),
+        })
+
+    ds = ray.data.read_parquet(corpus_dir, columns=['conv_id', 'text'])
+    return ds.map_batches(explode, batch_format='pyarrow',
+                          zero_copy_batch=True) \
+             .groupby('bucket').map_groups(sig_fold,
+                                           batch_format='pyarrow') \
+             .groupby('bucket').map_groups(pairs_fold,
+                                           batch_format='pyarrow') \
+             .groupby('bucket').map_groups(attach_fold,
+                                           batch_format='pyarrow') \
+             .groupby('pbucket').map_groups(verify_fold,
+                                            batch_format='pyarrow')
+
+
+def conv_near_dup_lsh_oracle_sql(corpus_dir, threshold=0.5):
+    """Full SQL re-derivation of conv_near_dup_lsh (the
+    minhash_oracle_sql discipline, oracles.py:296): the hash input is
+    the low 32 bits of the engine's 63-bit md5 fingerprints (identical
+    byte rule) reduced mod 2³¹−1, the SAME 128 seeded permutations
+    inlined as VALUES rows, (a*h+b) % (2³¹−1) in BIGINT (a, h < 2³¹ —
+    the product is < 2⁶², exact in both engines), banding by equality
+    of the 4-minimum list (the engine keys band buckets by crc32 of
+    those minima — list equality IS key equality, modulo crc
+    collisions the engine exact-verifies away), then the exact
+    turn-set verify with the shared |∩|/|∪| math and half-up r6."""
+    from .dedup import _perm_params, NUM_PERM, ROWS_PER_BAND
+    a, b = _perm_params()
+    perm_rows = ',\n    '.join('(%d, %d, %d)' % (p, int(a[p]), int(b[p]))
+                               for p in range(NUM_PERM))
+    return """
+WITH t AS (
+  SELECT DISTINCT conv_id, text FROM read_parquet('{corpus}/*.parquet')
+), hs AS (
+  SELECT conv_id,
+         ((md5_number_lower(text) & 4294967295) % 2147483647)::BIGINT AS h
+  FROM t
+), perms(p, a, b) AS (VALUES
+    {perm_rows}
+), pm AS (
+  SELECT conv_id, p, min((a::BIGINT * h + b) % 2147483647)::BIGINT AS m
+  FROM hs CROSS JOIN perms GROUP BY conv_id, p
+), band AS (
+  SELECT conv_id, p // {rpb} AS bi, list(m ORDER BY p) AS mins
+  FROM pm GROUP BY conv_id, p // {rpb}
+), cand AS (
+  SELECT DISTINCT a.conv_id AS ca, b.conv_id AS cb
+  FROM band a JOIN band b
+    ON a.bi = b.bi AND a.mins = b.mins AND a.conv_id < b.conv_id
+), sz AS (
+  SELECT conv_id, count(*)::BIGINT AS n FROM t GROUP BY conv_id
+), i AS (
+  SELECT c.ca, c.cb, count(*)::BIGINT AS inter
+  FROM cand c
+  JOIN t a ON a.conv_id = c.ca
+  JOIN t b ON b.conv_id = c.cb AND b.text = a.text
+  GROUP BY 1, 2
+)
+SELECT i.ca AS conv_a, i.cb AS conv_b, i.inter,
+       floor(i.inter::DOUBLE / (sa.n + sb.n - i.inter)::DOUBLE
+             * 1000000 + 0.5) / 1000000 AS jac
+FROM i JOIN sz sa ON sa.conv_id = i.ca JOIN sz sb ON sb.conv_id = i.cb
+WHERE i.inter::DOUBLE / (sa.n + sb.n - i.inter)::DOUBLE >= {thr}
+""".format(corpus=corpus_dir, perm_rows=perm_rows,
+           rpb=ROWS_PER_BAND, thr=repr(float(threshold)))
 
 
 def conv_context_growth(corpus_dir, num_buckets=64):

@@ -109,7 +109,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'conv_near_dup', 'embedding_label_centroids',
                   'conv_context_growth', 'training_manifest',
                   'tool_transition_matrix', 'conv_role_token_stats',
-                  'source_quality_funnel', 'embedding_label_outliers']
+                  'source_quality_funnel', 'embedding_label_outliers',
+                  'conv_near_dup_lsh']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
@@ -1121,6 +1122,53 @@ def test_conv_pack_invariants(ray_session):
     for cid, g in per_conv:
         idx = sorted(g.chunk_idx)
         assert idx == list(range(len(idx)))
+
+
+def test_conv_near_dup_capped(ray_session):
+    """max_run cap contract: a capped run yields a SUBSET of the exact
+    pairs (dropped hot fps only ever undercount inter), and a cap above
+    every run length is a no-op (bit-identical output)."""
+    from engine.ops.common import sf_from_dir
+    from engine.ops.convstats import conv_near_dup
+    from engine.rayjob.transcripts import ensure_corpus
+
+    corpus = ensure_corpus(sf_from_dir(SF_DIR))
+    exact = conv_near_dup(corpus).to_pandas()
+    exact_pairs = set(zip(exact.conv_a, exact.conv_b))
+
+    capped = conv_near_dup(corpus, max_run=3).to_pandas()
+    capped_pairs = (set(zip(capped.conv_a, capped.conv_b))
+                    if len(capped) else set())
+    assert capped_pairs <= exact_pairs
+
+    noop = conv_near_dup(corpus, max_run=1 << 40).to_pandas()
+    assert set(zip(noop.conv_a, noop.conv_b)) == exact_pairs
+    assert len(noop) == len(exact)
+
+
+def test_conv_near_dup_lsh_recall(ray_session):
+    """LSH tier contract: every emitted pair is a TRUE pair (exact
+    verify), and recall is total for clearly-above-threshold pairs
+    (P(miss | jac >= 0.6) = (1 - jac^4)^32 <= 4e-2 per pair; the fixed
+    seed makes the fixture outcome deterministic — measured 0 missed
+    at jac >= 0.6 on both sf0.001 and sf0.01 corpora)."""
+    from engine.ops.common import sf_from_dir
+    from engine.ops.convstats import conv_near_dup, conv_near_dup_lsh
+    from engine.rayjob.transcripts import ensure_corpus
+
+    corpus = ensure_corpus(sf_from_dir(SF_DIR))
+    exact = conv_near_dup(corpus).to_pandas()
+    lsh = conv_near_dup_lsh(corpus).to_pandas()
+    exact_pairs = set(zip(exact.conv_a, exact.conv_b))
+    lsh_pairs = set(zip(lsh.conv_a, lsh.conv_b))
+    assert lsh_pairs <= exact_pairs
+    hi = exact[exact.jac >= 0.6]
+    assert set(zip(hi.conv_a, hi.conv_b)) <= lsh_pairs
+    # jac values agree exactly on the common pairs (same verify math)
+    merged = lsh.merge(exact, on=['conv_a', 'conv_b'],
+                       suffixes=('_l', '_e'))
+    assert (merged.jac_l == merged.jac_e).all()
+    assert (merged.inter_l == merged.inter_e).all()
 
 
 def test_fk_orphans_true_branch(ray_session, tmp_path):
