@@ -1,9 +1,14 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata.
 
-The container has no image/audio codecs, so the *decode* kernels are
-stubbed — either a clearly-marked ``NotImplementedError`` (real-codec mode)
-or a deterministic fake decoder — while everything Ray-side is real and
-tested: the binary-column schema, actor-pool ``map_batches`` stage shape,
+Two decode seams, both real and tested: ``fake=True`` parses the
+deterministic MMV1 container below; ``fake=False`` decodes actual
+IMAGE FILES — via Pillow when installed, else the bundled pure-Python
+PNG codec (:mod:`engine.ops.pngcodec` — 8-bit non-interlaced
+gray/LA/RGB/RGBA; payloads outside that profile decode_ok=False, never
+fabricated).  Only the VIDEO frame-sampling real path stays an honest
+``NotImplementedError`` (it needs ffmpeg, which no pure fallback can
+replace).  Everything Ray-side is identical across seams: the
+binary-column schema, actor-pool ``map_batches`` stage shape,
 small-batch sizing for large payloads, and the output layout.
 
 Payload convention (deterministic synthetic "images" derived from the
@@ -24,18 +29,24 @@ from .common import round_half_up, table_path, read_table, pool
 
 def real_codecs_requested():
     """Env knob for real-codec mode: ``GRAFT_MM_REAL_CODECS=1`` flips
-    the pipeline entry points to ``fake=False`` (PIL decode/resize; the
-    video frame path additionally needs ffmpeg).  Off by default — this
-    container ships no codecs."""
+    the pipeline entry points to ``fake=False`` (Pillow, or the pure
+    PNG codec when Pillow is absent; the video frame path additionally
+    needs ffmpeg and stays stubbed).  Off by default — the synthetic
+    corpus payloads are MMV1 containers, not encoded images."""
     return os.environ.get('GRAFT_MM_REAL_CODECS') == '1'
 
 
 def _try_pil():
+    """Pillow's Image module when installed, else the pure-Python PNG
+    shim (same ``open`` / ``fromarray`` / ``Resampling.NEAREST``
+    surface) — the real-codec seam always has a REAL decoder behind it
+    in this container."""
     try:
         from PIL import Image
         return Image
     except ImportError:
-        return None
+        from .pngcodec import PURE_PIL
+        return PURE_PIL
 
 __all__ = ['synthesize_media', 'DecodeMedia', 'decode_media_features',
            'ResizeMedia', 'resize_media', 'resized_features',
@@ -86,17 +97,26 @@ def _fake_payload(doc_id, text):
     return head + body, w, h, ch
 
 
-def synthesize_media(sf_dir):
+def synthesize_media(sf_dir, encoding='mmv1'):
     """Dataset in MEDIA_SCHEMA synthesized from the documents table
-    (stand-in for a real multimodal corpus; deterministic per doc_id)."""
+    (stand-in for a real multimodal corpus; deterministic per doc_id).
+    ``encoding='png'`` emits the same deterministic pixels as REAL PNG
+    files (pure codec) instead of MMV1 containers — the fixture for
+    exercising the ``fake=False`` decode path end-to-end."""
     kinds = ('image', 'audio', 'video')
+    if encoding not in ('mmv1', 'png'):
+        raise ValueError('encoding must be mmv1 or png')
 
     def make(batch: pa.Table) -> pa.Table:
+        from .pngcodec import encode_png
         ids = batch.column('doc_id').to_pylist()
         texts = batch.column('text').to_pylist()
         payloads, ws, hs, cs, kind = [], [], [], [], []
         for did, text in zip(ids, texts):
             p, w, h, ch = _fake_payload(did, text)
+            if encoding == 'png':
+                body = np.frombuffer(p[16:], np.uint8).reshape(h, w, ch)
+                p = encode_png(body[:, :, 0] if ch == 1 else body)
             payloads.append(p)
             ws.append(w)
             hs.append(h)
@@ -121,22 +141,16 @@ class DecodeMedia:
 
     ``fake=True`` (default in this container) parses the MMV1 header and
     computes cheap numpy features.  ``fake=False`` is the real-codec
-    path: PIL decodes the payload as an encoded image (imported ONCE per
-    actor in ``__init__``); if PIL is absent it raises a
-    ``NotImplementedError`` naming the ``GRAFT_MM_REAL_CODECS`` knob.
-    Use a SMALL ``batch_size`` (payload bytes × batch_size × concurrency
-    must fit worker heap).
+    path: the payload is decoded as an encoded image file — Pillow when
+    installed, else the pure PNG codec (resolved ONCE per actor in
+    ``__init__``); undecodable payloads report decode_ok=False.  Use a
+    SMALL ``batch_size`` (payload bytes × batch_size × concurrency must
+    fit worker heap).
     """
 
     def __init__(self, fake=True):
         self.fake = fake
         self._pil = None if fake else _try_pil()
-        if not fake and self._pil is None:
-            raise NotImplementedError(
-                'GRAFT_MM_REAL_CODECS=1 requested real codecs, but PIL is '
-                'not installed in this container; unset the knob (fake '
-                'MMV1 mode) or install Pillow (plus libsndfile/ffmpeg for '
-                'audio/video kinds)')
 
     def _decode(self, payload):
         if not self.fake:
@@ -202,22 +216,17 @@ def decode_media_features(sf_dir, batch_size=64, fake=None):
 
 class ResizeMedia:
     """Actor-pool resize stage: decode → nearest-neighbor resample →
-    re-encode.  ``fake=False`` is the real-codec path (PIL decode →
-    ``Image.resize(NEAREST)`` → PNG re-encode); the fake path does a REAL
-    nearest-neighbor resample on the MMV1 pixel buffer so the plumbing
-    (payload in, payload out, metadata update) is fully exercised either
-    way."""
+    re-encode.  ``fake=False`` is the real-codec path (Pillow or the
+    pure PNG codec: decode → ``resize(NEAREST)`` → PNG re-encode); the
+    fake path does a REAL nearest-neighbor resample on the MMV1 pixel
+    buffer so the plumbing (payload in, payload out, metadata update)
+    is fully exercised either way."""
 
     def __init__(self, target_w, target_h, fake=True):
         self.tw = int(target_w)
         self.th = int(target_h)
         self.fake = fake
         self._pil = None if fake else _try_pil()
-        if not fake and self._pil is None:
-            raise NotImplementedError(
-                'GRAFT_MM_REAL_CODECS=1 requested real codecs, but PIL is '
-                'not installed in this container; unset the knob or '
-                'install Pillow')
 
     def _resize(self, payload):
         if not self.fake:

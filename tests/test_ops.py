@@ -212,9 +212,11 @@ def test_multimodal_frame_sample(ray_session):
 
 
 def test_multimodal_real_codec_seam():
+    """fake=False always has a REAL decoder behind it now (Pillow or the
+    pure PNG codec); a payload that is not an encoded image decodes to
+    None (→ decode_ok=False downstream), never to fabricated values."""
     from engine.ops.multimodal import DecodeMedia
-    with pytest.raises(NotImplementedError):
-        DecodeMedia(fake=False)._decode(b'MMV1' + b'\x00' * 20)
+    assert DecodeMedia(fake=False)._decode(b'MMV1' + b'\x00' * 20) is None
 
 
 def test_winnow_deterministic():
@@ -706,22 +708,17 @@ def test_tdigest_query_brackets_exact_tier(ray_session, oracle_con):
 
 
 def test_multimodal_real_codec_decode():
-    """Real-codec branch (skip-if-unavailable): when Pillow is present,
-    DecodeMedia(fake=False) must decode an actual PNG payload to its true
-    dims/mean and ResizeMedia(fake=False) must emit a decodable resized
-    PNG.  In the codec-less container this skips; the fake=False seam is
-    separately pinned to raise a NotImplementedError naming the
-    GRAFT_MM_REAL_CODECS knob (test_multimodal_real_codec_seam_honest)."""
-    PIL = pytest.importorskip('PIL')
+    """fake=False decode/resize runs in THIS container: Pillow when
+    installed, else the bundled pure-Python PNG codec — DecodeMedia must
+    decode an actual PNG payload to its true dims/mean and ResizeMedia
+    must emit a decodable resized PNG."""
     import io
     import numpy as np
     import pyarrow as pa
-    from PIL import Image
     from engine.ops.multimodal import DecodeMedia, ResizeMedia
+    from engine.ops.pngcodec import encode_png, decode_png
     arr = (np.arange(12 * 9 * 3) % 251).astype(np.uint8).reshape(9, 12, 3)
-    buf = io.BytesIO()
-    Image.fromarray(arr).save(buf, format='PNG')
-    payload = buf.getvalue()
+    payload = encode_png(arr)
     batch = pa.table({
         'media_id': pa.array([1], pa.int64()),
         'kind': pa.array(['image'], pa.string()),
@@ -740,25 +737,133 @@ def test_multimodal_real_codec_decode():
     resized = ResizeMedia(4, 3, fake=False)(batch)
     assert resized.column('meta_width').to_pylist() == [4]
     assert resized.column('meta_height').to_pylist() == [3]
-    out = Image.open(io.BytesIO(resized.column('payload')[0].as_py()))
-    assert out.size == (4, 3)
+    out = decode_png(resized.column('payload')[0].as_py())
+    assert out.shape == (3, 4, 3)
+    try:
+        from PIL import Image
+        pil_out = np.asarray(Image.open(
+            io.BytesIO(resized.column('payload')[0].as_py())))
+        assert pil_out.shape == (3, 4, 3)
+    except ImportError:
+        pass
+
+
+def test_pngcodec_roundtrip_and_filters():
+    """The pure codec is a real PNG implementation: encode→decode
+    round-trips every supported channel count, decode recovers scanlines
+    under ALL FIVE filter types (hand-filtered IDAT vectors), the
+    signature/CRC/profile guards reject junk, and Pillow (when present)
+    reads our bytes and we read Pillow's."""
+    import io
+    import struct
+    import zlib
+    import numpy as np
+    import pytest as _pytest
+    from engine.ops.pngcodec import encode_png, decode_png, _chunk, _SIG
+
+    rng = np.random.RandomState(7)
+    for ch in (1, 2, 3, 4):
+        arr = rng.randint(0, 256, size=(11, 7, ch)).astype(np.uint8)
+        arr_in = arr[:, :, 0] if ch == 1 else arr
+        got = decode_png(encode_png(arr_in))
+        assert np.array_equal(got, arr_in)
+
+    # all five filters: forward-filter known pixels by hand, rebuild the
+    # IDAT, and require exact recovery
+    def filt_rows(img, f):
+        h, w, ch = img.shape
+        prev = np.zeros(w * ch, np.int64)
+        out = b''
+        for y in range(h):
+            rec = img[y].reshape(-1).astype(np.int64)
+            row = np.empty_like(rec)
+            for i in range(len(rec)):
+                a = rec[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc) else \
+                        (b if pb <= pc else c)
+                row[i] = (rec[i] - pred) & 0xFF
+            out += bytes([f]) + row.astype(np.uint8).tobytes()
+            prev = rec
+        return out
+
+    img = rng.randint(0, 256, size=(6, 5, 3)).astype(np.uint8)
+    for f in range(5):
+        ihdr = struct.pack('>IIBBBBB', 5, 6, 8, 2, 0, 0, 0)
+        data = (_SIG + _chunk(b'IHDR', ihdr)
+                + _chunk(b'IDAT', zlib.compress(filt_rows(img, f)))
+                + _chunk(b'IEND', b''))
+        assert np.array_equal(decode_png(data), img), 'filter %d' % f
+
+    for junk in (b'', b'notapng', b'\x89PNG\r\n\x1a\nrest'):
+        with _pytest.raises(ValueError):
+            decode_png(junk)
+
+    try:
+        from PIL import Image
+    except ImportError:
+        return
+    arr = rng.randint(0, 256, size=(9, 13, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format='PNG')
+    assert np.array_equal(decode_png(buf.getvalue()), arr)
+    assert np.array_equal(np.asarray(Image.open(
+        io.BytesIO(encode_png(arr)))), arr)
+
+
+def test_multimodal_real_codec_e2e_ray(ray_session):
+    """End-to-end fake=False through the actor-pool Ray stage: PNG
+    payload synthesis → DecodeMedia(fake=False) — every row decodes and
+    the recovered dims match the metadata columns."""
+    from engine.ops.multimodal import DecodeMedia, synthesize_media
+    from engine.ops.common import pool
+    ds = synthesize_media(SF_DIR, encoding='png').map_batches(
+        DecodeMedia, fn_constructor_kwargs={'fake': False},
+        batch_format='pyarrow', batch_size=64,
+        concurrency=pool(), zero_copy_batch=True)
+    df = ds.to_pandas()
+    assert len(df) > 0
+    assert df.decode_ok.all()
+    mmv1 = synthesize_media(SF_DIR).to_pandas()
+    meta = mmv1.set_index('media_id')
+    assert (df.set_index('media_id').width
+            == meta.meta_width.astype('int64')).all()
+    assert (df.set_index('media_id').height
+            == meta.meta_height.astype('int64')).all()
 
 
 def test_multimodal_real_codec_seam_honest():
-    """Without Pillow the fake=False constructors must raise a
-    NotImplementedError that names the GRAFT_MM_REAL_CODECS knob (the
-    honest-stub contract).  With Pillow present this skips — the real
-    branch is covered above."""
-    try:
-        import PIL  # noqa: F401
-        pytest.skip('Pillow installed: real branch covered elsewhere')
-    except ImportError:
-        pass
-    from engine.ops.multimodal import DecodeMedia, ResizeMedia
-    for ctor in (lambda: DecodeMedia(fake=False),
-                 lambda: ResizeMedia(4, 3, fake=False)):
-        with pytest.raises(NotImplementedError, match='GRAFT_MM_REAL_CODECS'):
-            ctor()
+    """The one seam no pure fallback can fill — video frame sampling
+    (ffmpeg) — must still raise a NotImplementedError naming the
+    GRAFT_MM_REAL_CODECS knob; and the fake=False image path must report
+    decode_ok=False for undecodable payloads (never fabricate values)."""
+    import pyarrow as pa
+    from engine.ops.multimodal import DecodeMedia, FrameSample
+    batch = pa.table({
+        'media_id': pa.array([1], pa.int64()),
+        'kind': pa.array(['video'], pa.string()),
+        'payload': pa.array([b'MMV1-not-a-png-payload'], pa.large_binary()),
+        'meta_width': pa.array([4], pa.int32()),
+        'meta_height': pa.array([4], pa.int32()),
+        'meta_channels': pa.array([1], pa.int32()),
+    })
+    with pytest.raises(NotImplementedError, match='GRAFT_MM_REAL_CODECS'):
+        FrameSample(fake=False)(batch)
+    feats = DecodeMedia(fake=False)(batch)
+    assert feats.column('decode_ok').to_pylist() == [False]
+    assert feats.column('mean_value').to_pylist() == [0.0]
 
 
 def test_spill_exchange_matches_groupby(ray_session):
