@@ -206,7 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from engine.ops import (dedup, relational, similarity, textstats,
                             multimodal, sampling, clusters, sketches, ingest,
                             bloomjoin, checksum, graph, modelscore, decontam,
-                            evals, sharding, quality)
+                            evals, sharding, quality, tpch)
 
     # ORDERING CONTRACT: the driver's correctness check caps at the
     # FIRST 50 entries, so the dict front-loads (a) queries with no
@@ -333,6 +333,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'embedding_norms': similarity.embedding_norms,
         'minhash_near_dup': dedup.minhash_near_dup,
         'corpus_clean': clusters.corpus_clean,
+        # -- r5 additions (after the driver window by design: the 50
+        # never-driver-checked r4-late entries keep the window; these
+        # are tools/verify_queries.py + pytest green) ------------------
+        'q5_local_supplier_volume': tpch.q5_local_supplier_volume,
+        'q6_forecast_revenue': tpch.q6_forecast_revenue,
+        'q9_product_profit': tpch.q9_product_profit,
+        'q10_returned_item': tpch.q10_returned_item,
+        'q14_promo_revenue': tpch.q14_promo_revenue,
+        'q17_small_quantity_revenue': tpch.q17_small_quantity_revenue,
+        'q18_large_volume_customer': tpch.q18_large_volume_customer,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -966,6 +976,83 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY l.l_orderkey
 ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, l.l_orderkey ASC
 LIMIT 10
+""",
+        'q5_local_supplier_volume': """
+SELECT n.n_name,
+       sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND s.s_nationkey = c.c_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+        'q6_forecast_revenue': """
+SELECT coalesce(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)), 0) / 100.0 AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 - 1e-9 AND 0.07 + 1e-9
+  AND l_quantity < 24
+""",
+        'q9_product_profit': """
+SELECT n.n_name, year(l.l_shipdate)::BIGINT AS o_year,
+       sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_type = 'PROMO'
+GROUP BY n.n_name, year(l.l_shipdate)
+""",
+        'q10_returned_item': """
+SELECT c.c_custkey, c.c_name,
+       sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) DESC, c.c_custkey
+LIMIT 20
+""",
+        'q14_promo_revenue': """
+SELECT floor(100.0 * coalesce(sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) END), 0)
+       / sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) * 1000000 + 0.5) / 1000000
+       AS promo_revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01'
+""",
+        'q17_small_quantity_revenue': """
+SELECT floor(coalesce(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)), 0)
+             / 100.0 / 7.0 * 100 + 0.5) / 100 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13'
+  AND l.l_quantity < 0.2 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = l.l_partkey)
+""",
+        'q18_large_volume_customer': """
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       floor(o.o_totalprice * 100 + 0.5) / 100 AS o_totalprice,
+       o.o_orderdate,
+       floor(sum(l.l_quantity) * 100 + 0.5) / 100 AS sum_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice, o.o_orderdate
+HAVING sum(l.l_quantity) > 250
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
 """,
         'customers_per_region': """
 SELECT r.r_name, count(*)::BIGINT AS n_customers

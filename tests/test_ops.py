@@ -110,7 +110,11 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'conv_context_growth', 'training_manifest',
                   'tool_transition_matrix', 'conv_role_token_stats',
                   'source_quality_funnel', 'embedding_label_outliers',
-                  'conv_near_dup_lsh']
+                  'conv_near_dup_lsh',
+                  'q5_local_supplier_volume', 'q6_forecast_revenue',
+                  'q9_product_profit', 'q10_returned_item',
+                  'q14_promo_revenue', 'q17_small_quantity_revenue',
+                  'q18_large_volume_customer']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
