@@ -119,6 +119,11 @@ def _conv_role_token_stats(sf_dir: str) -> Any:
     return conv_role_token_stats(_transcripts_dir(sf_dir))
 
 
+def _conv_boilerplate_turns(sf_dir: str) -> Any:
+    from engine.ops.convstats import conv_boilerplate_turns
+    return conv_boilerplate_turns(_transcripts_dir(sf_dir))
+
+
 def _engine_fingerprint() -> str:
     """md5 over the extraction-relevant source files: a resume dir is
     only trusted for output produced by the SAME engine code, so a code
@@ -343,6 +348,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'q14_promo_revenue': tpch.q14_promo_revenue,
         'q17_small_quantity_revenue': tpch.q17_small_quantity_revenue,
         'q18_large_volume_customer': tpch.q18_large_volume_customer,
+        'conv_boilerplate_turns': _conv_boilerplate_turns,
+        'doc_length_outliers': textstats.doc_length_outliers,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
         'doc_token_stats': textstats.doc_token_stats,
@@ -483,7 +490,8 @@ def oracle_sql() -> dict[str, str]:
                 ('conv_near_dup_lsh', _cs.conv_near_dup_lsh_oracle_sql),
                 ('conv_context_growth', _cs.conv_context_growth_oracle_sql),
                 ('tool_transition_matrix', _cs.tool_transition_oracle_sql),
-                ('conv_role_token_stats', _cs.conv_role_token_oracle_sql)):
+                ('conv_role_token_stats', _cs.conv_role_token_oracle_sql),
+                ('conv_boilerplate_turns', _cs.conv_boilerplate_oracle_sql)):
             _gen(_name, (lambda f=_fn: f(_corpus)))
         # flagship extraction: reference-derived expected tables → SQL joins
         _gen_multi('extract', oracles.extract_oracle_sqls)
@@ -522,6 +530,7 @@ def oracle_sql() -> dict[str, str]:
     generated['vocab_coverage'] = _textstats.vocab_coverage_oracle_sql()
     generated['source_token_drift'] = _textstats.SOURCE_TOKEN_DRIFT_SQL
     generated['doc_ttr'] = _textstats.DOC_TTR_SQL
+    generated['doc_length_outliers'] = _textstats.DOC_LENGTH_OUTLIERS_SQL
     generated['source_dup_rate'] = _dedup_mod.SOURCE_DUP_RATE_SQL
     generated['events_hourly_profile'] = \
         _relational_mod.EVENTS_HOURLY_PROFILE_SQL

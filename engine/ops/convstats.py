@@ -28,7 +28,8 @@ __all__ = ['conv_stats', 'conv_stats_oracle_sql',
            'conv_near_dup_lsh', 'conv_near_dup_lsh_oracle_sql',
            'conv_context_growth', 'conv_context_growth_oracle_sql',
            'tool_transition_matrix', 'tool_transition_oracle_sql',
-           'conv_role_token_stats', 'conv_role_token_oracle_sql']
+           'conv_role_token_stats', 'conv_role_token_oracle_sql',
+           'conv_boilerplate_turns', 'conv_boilerplate_oracle_sql']
 
 
 def conv_stats(corpus_dir, num_buckets=64):
@@ -1489,3 +1490,74 @@ SELECT role, n_turns, n_tokens,
              * 1000000 + 0.5) / 1000000 AS token_share
 FROM r
 """.format(corpus=corpus_dir)
+
+
+def conv_boilerplate_turns(corpus_dir, min_convs=3, topk=50, num_buckets=64):
+    """Boilerplate-turn detector: turn texts shared by ≥ ``min_convs``
+    DISTINCT conversations ("ok", tool acks, canned prompts) — the very
+    hot-fingerprint mass that conv_near_dup's cap guards against, surfaced
+    as its own audit so a corpus owner can scrub it BEFORE pair discovery.
+
+    Combiner-first: each block groups (text, conv_id) locally and emits one
+    (text_md5, conv_id, n_occ) row per distinct pair — the exchange carries
+    distinct-pairs-per-block, never turns, and never the text payloads
+    (md5 happens map-side, once per distinct text per block).  Per md5
+    bucket: fold pairs → n_convs = distinct convs, n_turns = Σ occ; apply
+    the HAVING filter and a per-bucket top-k (n_convs desc, n_turns desc,
+    md5 asc — the global order restricted to the bucket) so the final sort
+    sees ≤ buckets × k rows.
+    """
+    import hashlib
+
+    nb = num_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({'text': batch.column('text'),
+                      'conv_id': batch.column('conv_id')}) \
+            .group_by(['text', 'conv_id']).aggregate([([], 'count_all')])
+        g = g.rename_columns(['text', 'conv_id', 'n_occ'])
+        md5s = [hashlib.md5(s.encode('utf-8')).hexdigest()
+                for s in g.column('text').to_pylist()]
+        t = pa.table({
+            'text_md5': pa.array(md5s, pa.string()),
+            'conv_id': g.column('conv_id'),
+            'n_occ': pc.cast(g.column('n_occ'), pa.int64()),
+        })
+        return t.append_column('bucket',
+                               _string_bucket(t.column('text_md5'), nb))
+
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        pairs = group.group_by(['text_md5', 'conv_id']).aggregate(
+            [('n_occ', 'sum')]).rename_columns(
+            ['text_md5', 'conv_id', 'n_occ'])
+        g = pairs.group_by('text_md5').aggregate(
+            [([], 'count_all'), ('n_occ', 'sum')])
+        g = g.rename_columns(['text_md5', 'n_convs', 'n_turns'])
+        g = pa.table({'text_md5': g.column('text_md5'),
+                      'n_convs': pc.cast(g.column('n_convs'), pa.int64()),
+                      'n_turns': pc.cast(g.column('n_turns'), pa.int64())})
+        g = g.filter(pc.greater_equal(g.column('n_convs'),
+                                      pa.scalar(min_convs)))
+        return g.sort_by([('n_convs', 'descending'),
+                          ('n_turns', 'descending'),
+                          ('text_md5', 'ascending')]).slice(0, topk)
+
+    ds = ray.data.read_parquet(corpus_dir, columns=['conv_id', 'text'])
+    return (ds.map_batches(partial, batch_format='pyarrow',
+                           zero_copy_batch=True)
+            .groupby('bucket').map_groups(bucket_topk,
+                                          batch_format='pyarrow')
+            .sort(['n_convs', 'n_turns', 'text_md5'],
+                  descending=[True, True, False]).limit(topk))
+
+
+def conv_boilerplate_oracle_sql(corpus_dir, min_convs=3, topk=50):
+    return """
+SELECT md5(text) AS text_md5, count(DISTINCT conv_id)::BIGINT AS n_convs,
+       count(*)::BIGINT AS n_turns
+FROM read_parquet('{corpus}/*.parquet')
+GROUP BY text
+HAVING count(DISTINCT conv_id) >= {k}
+ORDER BY n_convs DESC, n_turns DESC, text_md5 ASC
+LIMIT {topk}
+""".format(corpus=corpus_dir, k=min_convs, topk=topk)

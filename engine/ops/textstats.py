@@ -29,6 +29,7 @@ __all__ = ['doc_token_stats', 'doc_quality', 'lang_id', 'fingerprint_md5',
            'vocab_coverage', 'vocab_coverage_oracle_sql',
            'source_token_drift', 'SOURCE_TOKEN_DRIFT_SQL',
            'doc_ttr', 'DOC_TTR_SQL',
+           'doc_length_outliers', 'DOC_LENGTH_OUTLIERS_SQL',
            'TOKEN_RE', 'BPE_RE',
            'STOPWORD_RE', 'PUNCT_RE', 'DIGIT_RE', 'LANG_MARKERS']
 
@@ -1588,4 +1589,96 @@ SELECT doc_id, len(t)::BIGINT AS n_tokens,
                        * 1000000 + 0.5) / 1000000
             ELSE 0.0 END AS ttr
 FROM tk
+"""
+
+
+def _weighted_median(values, counts):
+    """Exact interpolated median of a run-length-encoded multiset:
+    ``values`` sorted ascending, positive ``counts``; even totals average
+    the two middle elements (DuckDB ``median`` semantics).  All-integer
+    cumsum arithmetic; the only float is the final half-sum, exact for
+    integer/half-integer inputs < 2^52."""
+    values = np.asarray(values, dtype=np.float64)
+    counts = np.asarray(counts, dtype=np.int64)
+    n = int(counts.sum())
+    cum = np.cumsum(counts)
+    lo = float(values[np.searchsorted(cum, (n - 1) // 2, side='right')])
+    hi = float(values[np.searchsorted(cum, n // 2, side='right')])
+    return (lo + hi) / 2.0
+
+
+def doc_length_outliers(sf_dir, z=2.5, num_buckets=64):
+    """Per-source robust length outliers: docs with ``|n_chars − median| >
+    z·MAD`` of their source (median absolute deviation, interpolated
+    DuckDB semantics on both sides).
+
+    Exact at 100 TB without sorting raw rows: pass 1 compresses each block
+    to a per-(source, n_chars) HISTOGRAM combiner (n_chars is a bounded
+    integer domain, so combiner cardinality is sources × distinct lengths,
+    never rows), one groupby('source') folds histograms, and the median
+    and the MAD (a second weighted median over |x − med| with the SAME
+    counts) come exactly off the histogram — integer arithmetic, no
+    quantile approximation.  The per-source (med, mad) table is O(sources);
+    pass 2 re-scans documents and filters map-side against the broadcast
+    map (``ray.put`` once, fetched once per actor).
+    """
+    import ray
+
+    from .common import BroadcastLookup, pool
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({'source': batch.column('source'),
+                      'n_chars': batch.column('n_chars')}) \
+            .group_by(['source', 'n_chars']).aggregate([([], 'count_all')])
+        return g.rename_columns(['source', 'n_chars', 'cnt'])
+
+    def fold_stats(group: pa.Table) -> pa.Table:
+        g = group.group_by(['source', 'n_chars']).aggregate([('cnt', 'sum')])
+        g = g.sort_by([('n_chars', 'ascending')])
+        vals = g.column('n_chars').to_numpy(zero_copy_only=False)
+        cnts = g.column('cnt_sum').to_numpy(zero_copy_only=False)
+        med = _weighted_median(vals, cnts)
+        dev = np.abs(vals.astype(np.float64) - med)
+        order = np.argsort(dev, kind='stable')
+        mad = _weighted_median(dev[order], cnts[order])
+        return pa.table({
+            'source': group.column('source').slice(0, 1),
+            'med': pa.array([med], pa.float64()),
+            'mad': pa.array([mad], pa.float64()),
+        })
+
+    stats = read_table(sf_dir, 'documents', columns=['source', 'n_chars']) \
+        .map_batches(hist_partial, batch_format='pyarrow',
+                     zero_copy_batch=True) \
+        .groupby('source').map_groups(fold_stats, batch_format='pyarrow') \
+        .take_all()   # O(distinct sources) rows by construction
+    lut = {r['source']: (r['med'], r['mad']) for r in stats}
+    ref = ray.put(lut)
+
+    class Filter(BroadcastLookup):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lut = self.state
+            src = batch.column('source').to_pylist()
+            med = np.array([lut[s][0] for s in src], np.float64)
+            mad = np.array([lut[s][1] for s in src], np.float64)
+            x = batch.column('n_chars').to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            keep = np.abs(x - med) > z * mad
+            return batch.filter(pa.array(keep))
+
+    return read_table(sf_dir, 'documents',
+                      columns=['doc_id', 'source', 'n_chars']) \
+        .map_batches(Filter, fn_constructor_args=(ref,),
+                     batch_format='pyarrow', zero_copy_batch=True,
+                     concurrency=pool())
+
+
+DOC_LENGTH_OUTLIERS_SQL = """
+WITH s AS (
+  SELECT source, median(n_chars) AS med, mad(n_chars) AS mad
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN s USING (source)
+WHERE abs(d.n_chars - s.med) > 2.5 * s.mad
 """

@@ -114,7 +114,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'q5_local_supplier_volume', 'q6_forecast_revenue',
                   'q9_product_profit', 'q10_returned_item',
                   'q14_promo_revenue', 'q17_small_quantity_revenue',
-                  'q18_large_volume_customer']
+                  'q18_large_volume_customer',
+                  'conv_boilerplate_turns', 'doc_length_outliers']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
@@ -1342,3 +1343,22 @@ def test_oracle_sql_poisoned_generator_isolated(monkeypatch, caplog):
     # everything else survives
     assert baseline - set(got) == {'ann_topk_ivf', 'ann_recall_eval'}
     assert any('ann_topk_ivf' in r.message for r in caplog.records)
+
+
+def test_weighted_median_matches_numpy():
+    """Histogram (weighted) median must equal numpy's interpolated median
+    of the expanded multiset — DuckDB ``median``/``mad`` semantics."""
+    import numpy as np
+
+    from engine.ops.textstats import _weighted_median
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        vals = np.unique(rng.integers(0, 40, size=rng.integers(1, 12)))
+        cnts = rng.integers(1, 5, size=len(vals))
+        expanded = np.repeat(vals, cnts)
+        assert _weighted_median(vals, cnts) == float(np.median(expanded))
+        med = float(np.median(expanded))
+        dev = np.abs(vals.astype(float) - med)
+        order = np.argsort(dev, kind='stable')
+        mad = _weighted_median(dev[order], cnts[order])
+        assert mad == float(np.median(np.abs(expanded - med)))
