@@ -348,6 +348,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'q14_promo_revenue': tpch.q14_promo_revenue,
         'q17_small_quantity_revenue': tpch.q17_small_quantity_revenue,
         'q18_large_volume_customer': tpch.q18_large_volume_customer,
+        'q4_order_priority': tpch.q4_order_priority,
+        'q7_volume_shipping': tpch.q7_volume_shipping,
+        'q8_market_share': tpch.q8_market_share,
+        'q13_order_count_distribution': tpch.q13_order_count_distribution,
+        'q15_top_supplier': tpch.q15_top_supplier,
+        'q19_discounted_revenue': tpch.q19_discounted_revenue,
+        'q22_global_sales_opportunity': tpch.q22_global_sales_opportunity,
         'conv_boilerplate_turns': _conv_boilerplate_turns,
         'doc_length_outliers': textstats.doc_length_outliers,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
@@ -985,6 +992,97 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY l.l_orderkey
 ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, l.l_orderkey ASC
 LIMIT 10
+""",
+        'q4_order_priority': """
+SELECT o.o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+""",
+        'q7_volume_shipping': """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate)::BIGINT AS l_year,
+       sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_name IN ('NATION_13', 'NATION_19')
+  AND n2.n_name IN ('NATION_13', 'NATION_19')
+  AND n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+""",
+        'q8_market_share': """
+WITH base AS (
+  SELECT year(o.o_orderdate)::BIGINT AS o_year,
+         CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS cents,
+         n.n_name AS supp_nation
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = nc.n_regionkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'AMERICA'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       floor(sum(CASE WHEN supp_nation = 'NATION_6' THEN cents ELSE 0 END)::DOUBLE
+             / sum(cents)::DOUBLE * 1000000 + 0.5) / 1000000 AS mkt_share
+FROM base GROUP BY o_year
+""",
+        'q13_order_count_distribution': """
+SELECT c_count, count(*)::BIGINT AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey)
+GROUP BY c_count
+""",
+        'q15_top_supplier': """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_cents / 100.0 AS total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_cents = (SELECT max(total_cents) FROM rev)
+""",
+        'q19_discounted_revenue': """
+SELECT coalesce(sum(cents), 0) / 100.0 AS revenue, count(*)::BIGINT AS n_items
+FROM (
+  SELECT CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11
+         AND p.p_size BETWEEN 1 AND 5)
+     OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20
+         AND p.p_size BETWEEN 1 AND 10)
+     OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30
+         AND p.p_size BETWEEN 1 AND 15))
+""",
+        'q22_global_sales_opportunity': """
+WITH t AS (
+  SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS s,
+         count(*)::BIGINT AS c
+  FROM customer WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) > 0)
+SELECT n.n_name, count(*)::BIGINT AS numcust,
+       sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0 AS totacctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) * (SELECT c FROM t)
+        > (SELECT s FROM t)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n.n_name
 """,
         'q5_local_supplier_volume': """
 SELECT n.n_name,

@@ -115,7 +115,11 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'q9_product_profit', 'q10_returned_item',
                   'q14_promo_revenue', 'q17_small_quantity_revenue',
                   'q18_large_volume_customer',
-                  'conv_boilerplate_turns', 'doc_length_outliers']
+                  'conv_boilerplate_turns', 'doc_length_outliers',
+                  'q4_order_priority', 'q7_volume_shipping',
+                  'q8_market_share', 'q13_order_count_distribution',
+                  'q15_top_supplier', 'q19_discounted_revenue',
+                  'q22_global_sales_opportunity']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
