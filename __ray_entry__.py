@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'dedup_exact': dedup.dedup_exact,
         'dedup_exact_payloads': _dedup_payloads,      # rows-only (transcripts)
         'ngram_jaccard_pairs': dedup.ngram_jaccard_pairs,
+        'ngram_containment_pairs': dedup.ngram_containment_pairs,
         'simhash_near_dup': dedup.simhash_near_dup,
         'shared_span_pairs': dedup.shared_span_pairs,
         'dedup_clusters': clusters.dedup_clusters,
@@ -922,6 +923,22 @@ SELECT token, n_occurrences, rank FROM r WHERE rank <= 100
         'dedup_exact': """
 SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
 FROM documents GROUP BY md5(text)
+""",
+        'ngram_containment_pairs': r"""
+WITH toks AS (
+  SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS tk FROM documents
+), g AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+                                      i -> array_to_string(tk[i:i+2], ' '))) AS s
+  FROM toks
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       floor(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)
+             * 1000000 + 0.5) / 1000000 AS containment
+FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+WHERE len(a.s) > 0 AND len(b.s) > 0
+  AND len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.5
 """,
         'ngram_jaccard_pairs': r"""
 WITH toks AS (

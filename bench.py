@@ -46,7 +46,13 @@ BENCH_QUERIES = ['q1_pricing', 'events_by_type', 'dedup_exact',
                  'events_type_drift', 'doc_ngram_novelty',
                  # round-4e additions (one per new family)
                  'conv_near_dup', 'conv_near_dup_lsh', 'conv_pack_manifest',
-                 'fk_integrity_audit', 'embedding_label_centroids']
+                 'fk_integrity_audit', 'embedding_label_centroids',
+                 # round-5 additions (one per new family: deep join chain,
+                 # per-bucket top-k chain, row-vs-group-aggregate shuffle,
+                 # boilerplate audit, histogram median/MAD)
+                 'q5_local_supplier_volume', 'q18_large_volume_customer',
+                 'q17_small_quantity_revenue', 'conv_boilerplate_turns',
+                 'doc_length_outliers']
 
 
 def _init_ray(num_cpus):

@@ -37,7 +37,7 @@ import ray.data
 
 from .common import round_half_up, table_path, read_table, pool
 
-__all__ = ['dedup_exact', 'dedup_exact_payloads', 'ngram_jaccard_pairs',
+__all__ = ['dedup_exact', 'dedup_exact_payloads', 'ngram_jaccard_pairs', 'ngram_containment_pairs',
            'minhash_near_dup', 'simhash_near_dup', 'shingle_set',
            'shared_span_pairs', 'dedup_normalized', 'source_dup_rate']
 
@@ -220,6 +220,60 @@ def ngram_jaccard_pairs(sf_dir, threshold=0.8, k=3, block_col='lang',
             'doc_id_a': pa.array(out_a, pa.int64()),
             'doc_id_b': pa.array(out_b, pa.int64()),
             'jac': pa.array(round_half_up(out_j, 6) if out_j else [], pa.float64()),
+        })
+
+    ds = read_table(sf_dir, 'documents', columns=['doc_id', 'text', block_col],
+                    min_blocks=pool()[1])
+    return ds.groupby(block_col).map_groups(pairs, batch_format='pyarrow')
+
+
+def ngram_containment_pairs(sf_dir, threshold=0.5, k=3, block_col='lang',
+                            max_block_rows=200_000):
+    """Ordered pairs where doc A's word-k-gram set is ≥ ``threshold``
+    CONTAINED in doc B's (Broder containment |A∩B| / |A|) — the asymmetric
+    sibling of ngram_jaccard_pairs that catches SUB-document duplication:
+    a snippet pasted into a larger page has low Jaccard (the union is
+    dominated by B) but high containment, so symmetric dedup misses it.
+
+    Same enforced block contract as the Jaccard tier (this is the exact
+    VERIFY tier; discovery at scale goes through minhash/simhash): a block
+    over ``max_block_rows`` raises loudly rather than going quadratic.
+    Emits both directions when both clear the threshold (containment is
+    not symmetric).
+    """
+    def pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows > max_block_rows:
+            key = group.column(block_col)[0].as_py()
+            raise ValueError(
+                "ngram_containment_pairs: block %s=%r has %d rows "
+                "(> max_block_rows=%d); the exact O(n^2) verify tier only "
+                "handles worker-sized blocks — use minhash_near_dup as the "
+                "discovery tier for blocks this large, or raise "
+                "max_block_rows explicitly."
+                % (block_col, key, group.num_rows, max_block_rows))
+        ids = group.column('doc_id').to_pylist()
+        texts = group.column('text').to_pylist()
+        sets = [shingle_set(t, k) for t in texts]
+        order = sorted(range(len(ids)), key=lambda i: ids[i])
+        out_a, out_b, out_c = [], [], []
+        for ii in range(len(order)):
+            i = order[ii]
+            if not sets[i]:
+                continue
+            for jj in range(len(order)):
+                j = order[jj]
+                if jj == ii or not sets[j]:
+                    continue
+                cont = len(sets[i] & sets[j]) / len(sets[i])
+                if cont >= threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_c.append(cont)
+        return pa.table({
+            'doc_id_a': pa.array(out_a, pa.int64()),
+            'doc_id_b': pa.array(out_b, pa.int64()),
+            'containment': pa.array(
+                round_half_up(out_c, 6) if out_c else [], pa.float64()),
         })
 
     ds = read_table(sf_dir, 'documents', columns=['doc_id', 'text', block_col],

@@ -119,7 +119,7 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'q4_order_priority', 'q7_volume_shipping',
                   'q8_market_share', 'q13_order_count_distribution',
                   'q15_top_supplier', 'q19_discounted_revenue',
-                  'q22_global_sales_opportunity']
+                  'q22_global_sales_opportunity', 'ngram_containment_pairs']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
@@ -1366,3 +1366,15 @@ def test_weighted_median_matches_numpy():
         order = np.argsort(dev, kind='stable')
         mad = _weighted_median(dev[order], cnts[order])
         assert mad == float(np.median(np.abs(expanded - med)))
+
+
+def test_containment_superset_of_jaccard(ray_session):
+    """containment(A in B) = |A∩B|/|A| ≥ |A∩B|/|A∪B| = jaccard, so every
+    jaccard-threshold pair must appear in BOTH directions of the
+    containment output at any threshold ≤ the jaccard threshold."""
+    from engine.ops.dedup import ngram_containment_pairs, ngram_jaccard_pairs
+    jac = ngram_jaccard_pairs(SF_DIR, threshold=0.8).to_pandas()
+    cont = ngram_containment_pairs(SF_DIR, threshold=0.5).to_pandas()
+    have = set(zip(cont['doc_id_a'], cont['doc_id_b']))
+    for a, b in zip(jac['doc_id_a'], jac['doc_id_b']):
+        assert (a, b) in have and (b, a) in have
