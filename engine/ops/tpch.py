@@ -78,6 +78,16 @@ def _rev_cents(batch, price='l_extendedprice', disc='l_discount'):
                                           batch.column(disc))))
 
 
+def _seed_row(**cols):
+    """One all-zero combiner row unioned into every constant-key scalar
+    fold: SQL aggregates without GROUP BY return exactly ONE row even on
+    empty input, so the Ray side must too (otherwise a degenerate filter
+    window yields 0 rows vs the oracle's 1)."""
+    import ray.data
+    return ray.data.from_arrow(pa.table(
+        {k: pa.array([v], pa.int64()) for k, v in cols.items()}))
+
+
 def _bucket(int_col, nb):
     return pa.array(int_col.to_numpy(zero_copy_only=False) & (nb - 1),
                     pa.int64())
@@ -328,6 +338,7 @@ def q6_forecast_revenue(sf_dir, date_from='1996-01-01', date_to='1997-01-01',
                              'l_extendedprice'])
     return (ds.map_batches(partial, batch_format='pyarrow',
                            zero_copy_batch=True)
+            .union(_seed_row(k=0, rev=0, n=0))
             .groupby('k').map_groups(final, batch_format='pyarrow'))
 
 
@@ -648,12 +659,14 @@ def q14_promo_revenue(sf_dir, date_from='1996-03-01', date_to='1996-04-01',
     def final(group: pa.Table) -> pa.Table:
         promo = pc.sum(group.column('promo')).as_py() or 0
         total = pc.sum(group.column('total')).as_py() or 0
-        share = 100.0 * promo / total if total else 0.0
-        return pa.table({
-            'promo_revenue': pa.array(round_half_up([share], 6), pa.float64()),
-        })
+        if total == 0:      # SQL: sum() over empty is NULL, x/NULL is NULL
+            share = [None]
+        else:
+            share = round_half_up([100.0 * promo / total], 6)
+        return pa.table({'promo_revenue': pa.array(share, pa.float64())})
 
-    return per_bucket.groupby('k').map_groups(final, batch_format='pyarrow')
+    return per_bucket.union(_seed_row(k=0, promo=0, total=0)) \
+        .groupby('k').map_groups(final, batch_format='pyarrow')
 
 
 def q17_small_quantity_revenue(sf_dir, brand='Brand#13', frac=0.2,
@@ -724,7 +737,8 @@ def q17_small_quantity_revenue(sf_dir, brand='Brand#13', frac=0.2,
                                    pa.float64()),
         })
 
-    return per_bucket.groupby('k').map_groups(final, batch_format='pyarrow')
+    return per_bucket.union(_seed_row(k=0, loss=0)) \
+        .groupby('k').map_groups(final, batch_format='pyarrow')
 
 
 def q18_large_volume_customer(sf_dir, min_qty=250.0, topk=100,
@@ -1481,6 +1495,14 @@ def q15_top_supplier(sf_dir, date_from='1996-01-01', date_to='1996-04-01',
                          zero_copy_batch=True)
     ).groupby('sbucket').map_groups(bucket_fold, batch_format='pyarrow') \
         .materialize()   # supplier-cardinality by construction (see docstring)
+    # empty window → the rev CTE is empty → SQL's WHERE x = NULL matches
+    # nothing; mirror that with an explicit empty result
+    if totals.count() == 0:
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            's_suppkey': pa.array([], pa.int64()),
+            's_name': pa.array([], pa.string()),
+            'total_revenue': pa.array([], pa.float64())}))
     gmax = totals.max('total_cents')
 
     def winners(batch: pa.Table) -> pa.Table:
@@ -1593,7 +1615,8 @@ def q19_discounted_revenue(sf_dir, num_buckets=64):
             'n_items': pa.array([n], pa.int64()),
         })
 
-    return per_bucket.groupby('k').map_groups(final, batch_format='pyarrow')
+    return per_bucket.union(_seed_row(k=0, rev=0, n=0)) \
+        .groupby('k').map_groups(final, batch_format='pyarrow')
 
 
 def q22_global_sales_opportunity(sf_dir, cutoff='2000-01-01',
