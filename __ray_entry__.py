@@ -124,6 +124,11 @@ def _conv_boilerplate_turns(sf_dir: str) -> Any:
     return conv_boilerplate_turns(_transcripts_dir(sf_dir))
 
 
+def _conv_dedup_clusters(sf_dir: str) -> Any:
+    from engine.ops.convstats import conv_dedup_clusters
+    return conv_dedup_clusters(_transcripts_dir(sf_dir))
+
+
 def _engine_fingerprint() -> str:
     """md5 over the extraction-relevant source files: a resume dir is
     only trusted for output produced by the SAME engine code, so a code
@@ -356,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'q19_discounted_revenue': tpch.q19_discounted_revenue,
         'q22_global_sales_opportunity': tpch.q22_global_sales_opportunity,
         'conv_boilerplate_turns': _conv_boilerplate_turns,
+        'conv_dedup_clusters': _conv_dedup_clusters,
         'doc_length_outliers': textstats.doc_length_outliers,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
@@ -499,7 +505,8 @@ def oracle_sql() -> dict[str, str]:
                 ('conv_context_growth', _cs.conv_context_growth_oracle_sql),
                 ('tool_transition_matrix', _cs.tool_transition_oracle_sql),
                 ('conv_role_token_stats', _cs.conv_role_token_oracle_sql),
-                ('conv_boilerplate_turns', _cs.conv_boilerplate_oracle_sql)):
+                ('conv_boilerplate_turns', _cs.conv_boilerplate_oracle_sql),
+                ('conv_dedup_clusters', _cs.conv_dedup_clusters_oracle_sql)):
             _gen(_name, (lambda f=_fn: f(_corpus)))
         # flagship extraction: reference-derived expected tables → SQL joins
         _gen_multi('extract', oracles.extract_oracle_sqls)

@@ -29,7 +29,8 @@ __all__ = ['conv_stats', 'conv_stats_oracle_sql',
            'conv_context_growth', 'conv_context_growth_oracle_sql',
            'tool_transition_matrix', 'tool_transition_oracle_sql',
            'conv_role_token_stats', 'conv_role_token_oracle_sql',
-           'conv_boilerplate_turns', 'conv_boilerplate_oracle_sql']
+           'conv_boilerplate_turns', 'conv_boilerplate_oracle_sql',
+           'conv_dedup_clusters', 'conv_dedup_clusters_oracle_sql']
 
 
 def conv_stats(corpus_dir, num_buckets=64):
@@ -1561,3 +1562,146 @@ HAVING count(DISTINCT conv_id) >= {k}
 ORDER BY n_convs DESC, n_turns DESC, text_md5 ASC
 LIMIT {topk}
 """.format(corpus=corpus_dir, k=min_convs, topk=topk)
+
+
+def conv_dedup_clusters(corpus_dir, threshold=0.5, num_buckets=64,
+                        max_iters=50):
+    """Conversation-level near-dup cluster collapse — the COLLAPSE tier
+    completing the transcript dedup family (conv_near_dup_lsh discovers,
+    conv_near_dup verifies, this folds verified pairs into connected
+    components and elects survivors), exactly mirroring the document
+    family's minhash → jaccard → dedup_clusters stack.
+
+    Conversations are keyed by ``hash63(conv_id)`` so the SHARED int64
+    min-label solver (:func:`engine.ops.clusters.components_from_pairs`
+    — one solver, one measured small-graph gate, one convergence
+    contract) runs unchanged; the oracle hashes with the identical
+    ``md5_number_lower & (2^63−1)`` expression, so engine and oracle
+    agree bit-for-bit even under a (2⁻⁶³-improbable) collision.  One
+    extra conv-cardinality co-partition attaches the string conv_id
+    back to the solver's hashed output.
+
+    Returns one row per conversation: (conv_id, cluster_id, is_survivor)
+    with cluster_id = min hash63 in the component and the survivor the
+    conversation whose own hash equals it.
+    """
+    from .clusters import components_from_pairs
+    from .common import hash63_strings
+
+    nb = num_buckets
+
+    def pair_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'doc_id_a': pa.array(hash63_strings(
+                batch.column('conv_a').to_pylist()), pa.int64()),
+            'doc_id_b': pa.array(hash63_strings(
+                batch.column('conv_b').to_pylist()), pa.int64()),
+        })
+
+    pairs = conv_near_dup(corpus_dir, threshold, num_buckets).map_batches(
+        pair_ids, batch_format='pyarrow', zero_copy_batch=True)
+
+    # distinct conversations: per-block distinct combiner → in-bucket
+    # exact distinct (a conv_id lives in exactly one hash bucket)
+    def block_distinct(batch: pa.Table) -> pa.Table:
+        u = pc.unique(batch.column('conv_id'))
+        h = hash63_strings(u.to_pylist())
+        return pa.table({
+            'conv_id': u,
+            'doc_id': pa.array(h, pa.int64()),
+            'bucket': pa.array(h & (nb - 1), pa.int64()),
+        })
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        return group.group_by(['conv_id', 'doc_id']).aggregate([])
+
+    convs = ray.data.read_parquet(corpus_dir, columns=['conv_id']) \
+        .map_batches(block_distinct, batch_format='pyarrow',
+                     zero_copy_batch=True) \
+        .groupby('bucket').map_groups(bucket_distinct,
+                                      batch_format='pyarrow')
+
+    ents = convs.map_batches(
+        lambda b: pa.table({'doc_id': b.column('doc_id')}),
+        batch_format='pyarrow', zero_copy_batch=True)
+    labeled = components_from_pairs(pairs, ents, num_buckets=nb,
+                                    max_iters=max_iters)
+
+    # attach conv_id back: one conv-cardinality bucketed co-partition
+    def name_rows(batch: pa.Table) -> pa.Table:
+        h = batch.column('doc_id')
+        return pa.table({
+            'doc_id': h,
+            'conv_id': batch.column('conv_id'),
+            'cluster_id': pa.nulls(batch.num_rows, pa.int64()),
+            'is_survivor': pa.nulls(batch.num_rows, pa.bool_()),
+            'jbucket': pa.array(
+                h.to_numpy(zero_copy_only=False) & (nb - 1), pa.int64()),
+        })
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        h = batch.column('doc_id')
+        return pa.table({
+            'doc_id': h,
+            'conv_id': pa.nulls(batch.num_rows, pa.string()),
+            'cluster_id': batch.column('cluster_id'),
+            'is_survivor': batch.column('is_survivor'),
+            'jbucket': pa.array(
+                h.to_numpy(zero_copy_only=False) & (nb - 1), pa.int64()),
+        })
+
+    _OUT_EMPTY = pa.table({'conv_id': pa.array([], pa.string()),
+                           'cluster_id': pa.array([], pa.int64()),
+                           'is_survivor': pa.array([], pa.bool_())})
+
+    def join_names(group: pa.Table) -> pa.Table:
+        is_name = pc.is_valid(group.column('conv_id'))
+        names = group.filter(is_name)
+        labels = group.filter(pc.invert(is_name))
+        if names.num_rows == 0 or labels.num_rows == 0:
+            return _OUT_EMPTY
+        pos = pc.index_in(labels.column('doc_id'),
+                          value_set=names.column('doc_id'))
+        hit = pc.is_valid(pos)
+        labels, pos = labels.filter(hit), pos.filter(hit)
+        return pa.table({
+            'conv_id': pc.take(names.column('conv_id'), pos),
+            'cluster_id': labels.column('cluster_id'),
+            'is_survivor': labels.column('is_survivor'),
+        })
+
+    return convs.map_batches(name_rows, batch_format='pyarrow',
+                             zero_copy_batch=True).union(
+        labeled.map_batches(label_rows, batch_format='pyarrow',
+                            zero_copy_batch=True)
+    ).groupby('jbucket').map_groups(join_names, batch_format='pyarrow')
+
+
+def conv_dedup_clusters_oracle_sql(corpus_dir, threshold=0.5):
+    """Recursive transitive-closure CTE over the conv_near_dup oracle,
+    on the SAME md5 63-bit conv keys the engine solver uses."""
+    h = "(md5_number_lower(%s) & ((1::HUGEINT << 63) - 1))::BIGINT"
+    pairs_sql = conv_near_dup_oracle_sql(corpus_dir, threshold)
+    return """
+WITH RECURSIVE convs AS (
+  SELECT conv_id, {hc} AS h
+  FROM (SELECT DISTINCT conv_id FROM read_parquet('{corpus}/*.parquet'))
+), pairs AS (
+  SELECT {ha} AS pa, {hb} AS pb FROM ({pairs_sql}) src
+), sym AS (
+  SELECT pa AS a, pb AS b FROM pairs
+  UNION ALL
+  SELECT pb AS a, pa AS b FROM pairs
+), reach(n, m) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+), cl AS (
+  SELECT n AS eid, min(m) AS cluster_id FROM reach GROUP BY n
+)
+SELECT c.conv_id,
+       coalesce(cl.cluster_id, c.h) AS cluster_id,
+       (coalesce(cl.cluster_id, c.h) = c.h) AS is_survivor
+FROM convs c LEFT JOIN cl ON cl.eid = c.h
+""".format(corpus=corpus_dir, pairs_sql=pairs_sql,
+           hc=h % 'conv_id', ha=h % 'conv_a', hb=h % 'conv_b')

@@ -119,7 +119,8 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'q4_order_priority', 'q7_volume_shipping',
                   'q8_market_share', 'q13_order_count_distribution',
                   'q15_top_supplier', 'q19_discounted_revenue',
-                  'q22_global_sales_opportunity', 'ngram_containment_pairs']
+                  'q22_global_sales_opportunity', 'ngram_containment_pairs',
+                  'conv_dedup_clusters']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
