@@ -9,6 +9,8 @@ conversations × roles rows per block, never turns — at 10¹² turns the
 shuffle width is the conversation count, not the corpus.
 """
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -753,6 +755,10 @@ def conv_near_dup(corpus_dir, threshold=0.5, num_buckets=64,
     from .common import hash63_strings, round_half_up, run_pairs
     nb = num_buckets
     thr = float(threshold)
+    # resolved DRIVER-side at call time and closed over (workers don't
+    # see env mutations made after the Ray cluster started)
+    pair_budget = int(os.environ.get('GRAFT_NEARDUP_MAX_PAIRS',
+                                     str(1 << 22)))
 
     def explode(batch: pa.Table) -> pa.Table:
         # md5 only the block's DISTINCT texts (dictionary encode), then
@@ -816,6 +822,27 @@ def conv_near_dup(corpus_dir, threshold=0.5, num_buckets=64,
                 keep_elems = np.repeat(~over, lens)
                 pair_code = code[keep_elems]
                 lens = lens[~over]
+            # FAIL-FAST pair budget (enforced contract, not telemetry):
+            # the round-5 crossover measurement showed the uncapped
+            # expansion at 4× bench scale filling a 252 GB disk with
+            # pair spill over ~3 minutes before dying inside a Ray
+            # shuffle — this guard converts that into an immediate,
+            # actionable error.  Per-bucket budget bounds the aggregate
+            # at budget × num_buckets canonical pairs (each bucket sees
+            # only its own fps; a fp lives in exactly one bucket).
+            budget = pair_budget
+            est = int((lens.astype(np.int64) * (lens - 1) // 2).sum())
+            if est > budget:
+                raise ValueError(
+                    'conv_near_dup: this bucket would expand to %d '
+                    'candidate pairs (> GRAFT_NEARDUP_MAX_PAIRS=%d; '
+                    'worst run %d convs share one turn text). The exact '
+                    'tier is the VERIFY tier — for boilerplate-heavy '
+                    'corpora use conv_near_dup_lsh as the discovery '
+                    'tier, run conv_boilerplate_turns + payload dedup '
+                    'first, set max_run to cap hot fingerprints, or '
+                    'raise GRAFT_NEARDUP_MAX_PAIRS explicitly.'
+                    % (est, budget, int(lens.max()) if lens.size else 0))
         ai, bi = run_pairs(lens, upper=True)
         # per-bucket pair partial counts, folded on int codes (C++)
         pg = pa.table({'a': pa.array(pair_code[ai], pa.int64()),

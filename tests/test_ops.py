@@ -1414,3 +1414,20 @@ WHERE l.l_shipdate >= TIMESTAMP '2030-01-01'""").fetchdf()
     r = tpch.q15_top_supplier(SF_DIR, date_from='2030-01-01',
                               date_to='2030-02-01').to_pandas()
     assert len(r) == 0
+
+
+def test_conv_near_dup_pair_budget_guard(ray_session, monkeypatch):
+    """The exact tier fails FAST with an actionable error when a bucket's
+    quadratic expansion would exceed the pair budget (the round-5
+    crossover run showed the uncapped expansion filling the disk at 4x
+    bench scale); the default budget passes the test corpus."""
+    import ray.exceptions
+
+    from engine.ops.convstats import conv_near_dup
+    from engine.rayjob.transcripts import ensure_corpus
+    corpus = ensure_corpus(0.001)
+    assert conv_near_dup(corpus).count() > 0          # default budget: fine
+    monkeypatch.setenv('GRAFT_NEARDUP_MAX_PAIRS', '1')
+    with pytest.raises(Exception) as ei:
+        conv_near_dup(corpus).count()
+    assert 'GRAFT_NEARDUP_MAX_PAIRS' in str(ei.value)
