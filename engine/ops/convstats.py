@@ -1019,6 +1019,8 @@ def conv_near_dup_lsh(corpus_dir, threshold=0.5, num_buckets=64,
 
     from .common import (concat_tables_or_empty, hash63_strings,
                          round_half_up, run_pairs)
+    band_pair_budget = int(os.environ.get('GRAFT_NEARDUP_MAX_PAIRS',
+                                          str(1 << 22)))
     from .dedup import _perms, BANDS, NUM_PERM, ROWS_PER_BAND
     nb = num_buckets
     thr = float(threshold)
@@ -1142,6 +1144,22 @@ def conv_near_dup_lsh(corpus_dir, threshold=0.5, num_buckets=64,
                     keep = np.repeat(~over, lens)
                     convs = convs[keep]
                     lens = lens[~over]
+                # same FAIL-FAST budget as the exact tier: an
+                # all-identical corpus makes every band degenerate and
+                # candidate emission quadratic — raise actionably
+                # instead of spilling the disk (conv_near_dup's guard)
+                est = int((lens.astype(np.int64) * (lens - 1) // 2).sum())
+                if est > band_pair_budget:
+                    raise ValueError(
+                        'conv_near_dup_lsh: this bucket would emit %d '
+                        'candidate pairs (> GRAFT_NEARDUP_MAX_PAIRS=%d; '
+                        'worst band holds %d convs — near-identical '
+                        'conversations collapse into shared bands). Run '
+                        'conv_boilerplate_turns + exact payload dedup '
+                        'first, set max_band_convs to cap degenerate '
+                        'bands, or raise GRAFT_NEARDUP_MAX_PAIRS.'
+                        % (est, band_pair_budget,
+                           int(lens.max()) if lens.size else 0))
                 ai, bi = run_pairs(lens, upper=True)
                 if ai.size:
                     pg = pa.table({'a': pa.array(convs[ai], pa.string()),

@@ -1431,3 +1431,17 @@ def test_conv_near_dup_pair_budget_guard(ray_session, monkeypatch):
     with pytest.raises(Exception) as ei:
         conv_near_dup(corpus).count()
     assert 'GRAFT_NEARDUP_MAX_PAIRS' in str(ei.value)
+
+
+def test_conv_near_dup_lsh_pair_budget_guard(ray_session, monkeypatch):
+    """The LSH discovery tier enforces the same fail-fast candidate-pair
+    budget (degenerate bands on near-identical corpora emit
+    quadratically); default budget passes the test corpus."""
+    from engine.ops.convstats import conv_near_dup_lsh
+    from engine.rayjob.transcripts import ensure_corpus
+    corpus = ensure_corpus(0.001)
+    assert conv_near_dup_lsh(corpus).count() > 0
+    monkeypatch.setenv('GRAFT_NEARDUP_MAX_PAIRS', '1')
+    with pytest.raises(Exception) as ei:
+        conv_near_dup_lsh(corpus).count()
+    assert 'GRAFT_NEARDUP_MAX_PAIRS' in str(ei.value)
