@@ -758,7 +758,7 @@ def conv_near_dup(corpus_dir, threshold=0.5, num_buckets=64,
     # resolved DRIVER-side at call time and closed over (workers don't
     # see env mutations made after the Ray cluster started)
     pair_budget = int(os.environ.get('GRAFT_NEARDUP_MAX_PAIRS',
-                                     str(1 << 22)))
+                                     str(1 << 23)))
 
     def explode(batch: pa.Table) -> pa.Table:
         # md5 only the block's DISTINCT texts (dictionary encode), then
@@ -1020,7 +1020,7 @@ def conv_near_dup_lsh(corpus_dir, threshold=0.5, num_buckets=64,
     from .common import (concat_tables_or_empty, hash63_strings,
                          round_half_up, run_pairs)
     band_pair_budget = int(os.environ.get('GRAFT_NEARDUP_MAX_PAIRS',
-                                          str(1 << 22)))
+                                          str(1 << 23)))
     from .dedup import _perms, BANDS, NUM_PERM, ROWS_PER_BAND
     nb = num_buckets
     thr = float(threshold)
