@@ -362,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'q22_global_sales_opportunity': tpch.q22_global_sales_opportunity,
         'conv_boilerplate_turns': _conv_boilerplate_turns,
         'conv_dedup_clusters': _conv_dedup_clusters,
+        'doc_curriculum': modelscore.doc_curriculum,
         'doc_length_outliers': textstats.doc_length_outliers,
         # -- long-green (hash-green in CORRECTNESS_r1-r3) -------------
         # text analysis
@@ -546,6 +547,8 @@ def oracle_sql() -> dict[str, str]:
     generated['source_token_drift'] = _textstats.SOURCE_TOKEN_DRIFT_SQL
     generated['doc_ttr'] = _textstats.DOC_TTR_SQL
     generated['doc_length_outliers'] = _textstats.DOC_LENGTH_OUTLIERS_SQL
+    from engine.ops import modelscore as _modelscore
+    generated['doc_curriculum'] = _modelscore.curriculum_oracle_sql()
     generated['source_dup_rate'] = _dedup_mod.SOURCE_DUP_RATE_SQL
     generated['events_hourly_profile'] = \
         _relational_mod.EVENTS_HOURLY_PROFILE_SQL

@@ -31,7 +31,8 @@ from .common import BroadcastLookup, pool, read_table
 from .textstats import DIGIT_RE, TOKEN_RE
 
 __all__ = ['doc_model_score', 'model_score_oracle_sql', 'MODEL_WEIGHTS',
-           'score_calibration', 'calibration_oracle_sql']
+           'score_calibration', 'calibration_oracle_sql',
+           'doc_curriculum', 'curriculum_oracle_sql']
 
 # The "trained" model: integer weights over integer features, softsign
 # temperature T.  z = w·x + b;  score = z / (T + |z|);  keep = z > 0.
@@ -206,3 +207,112 @@ FROM g GROUP BY bin
            b=w['bias'], t=w['temp'], stop=STOPWORD_RE,
            mint=QUALITY_MIN_TOKENS, maxt=QUALITY_MAX_TOKENS,
            minr=repr(QUALITY_MIN_STOPWORD_RATIO))
+
+
+def doc_curriculum(sf_dir, n_tiles=10, vrange=256, num_buckets=64,
+                   max_vbuckets=1 << 20):
+    """CURRICULUM ORDERING: every document's global rank and n-tile under
+    (model logit, doc_id) order — the table a curriculum-learning run
+    reads to feed easy→hard (or clean→noisy) phases.  The repo's
+    ordered-prefix-scan shape (customer_ltv_deciles, relational.py) on
+    the INTEGER logit z_num, so rank arithmetic is exact end-to-end:
+
+      1. score every doc (the broadcast model stage, no shuffle) and
+         materialize the doc-cardinality (doc_id, z_num) table — the
+         same bounded-by-entity-count contract LTV's customer fold
+         documents;
+      2. per-logit-range bucket counts → a loudly-guarded driver
+         exclusive scan (state = value range / vrange);
+      3. per-bucket finalize: lexsort (z_num, doc_id), rank = bucket
+         offset + position, tile = rank·n_tiles // n.
+    """
+    import numpy as np
+
+    scores = doc_model_score(sf_dir)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        z = batch.column('z_num').to_numpy(zero_copy_only=False)
+        return pa.table({
+            'doc_id': batch.column('doc_id'),
+            'z_num': batch.column('z_num'),
+            'vbucket': pa.array(z // vrange, pa.int64()),
+        })
+
+    tbl = scores.map_batches(slim, batch_format='pyarrow',
+                             zero_copy_batch=True).materialize()
+
+    def vcounts(batch: pa.Table) -> pa.Table:
+        g = batch.select(['vbucket']).group_by('vbucket') \
+                 .aggregate([([], 'count_all')])
+        return g.rename_columns(['vbucket', 'cnt'])
+
+    parts = [t for t in ray.get(
+        tbl.map_batches(vcounts, batch_format='pyarrow')
+           .groupby('vbucket')
+           .map_groups(lambda g: g.group_by('vbucket')
+                       .aggregate([('cnt', 'sum')])
+                       .rename_columns(['vbucket', 'cnt']),
+                       batch_format='pyarrow')
+           .to_arrow_refs()) if t.num_rows]
+    totals = pa.concat_tables(parts) if parts else \
+        pa.table({'vbucket': pa.array([], pa.int64()),
+                  'cnt': pa.array([], pa.int64())})
+    if totals.num_rows > max_vbuckets:
+        raise RuntimeError(
+            'doc_curriculum: %d logit-range buckets exceeds '
+            'max_vbuckets=%d; raise vrange'
+            % (totals.num_rows, max_vbuckets))
+    vb = totals.column('vbucket').to_numpy(zero_copy_only=False)
+    cn = totals.column('cnt').to_numpy(zero_copy_only=False)
+    order = np.argsort(vb, kind='stable')
+    vb, cn = vb[order], cn[order]
+    offs, acc = [], 0
+    for c in cn:
+        offs.append(acc)
+        acc += int(c)
+    n = acc
+    offsets_ref = ray.put({int(b): o for b, o in zip(vb, offs)})
+
+    def finalize(group: pa.Table) -> pa.Table:
+        ids = group.column('doc_id').to_numpy(zero_copy_only=False)
+        z = group.column('z_num').to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, z))
+        ids, z = ids[order], z[order]
+        off = ray.get(offsets_ref)[int(z[0]) // vrange] if len(ids) else 0
+        rank = off + np.arange(len(ids), dtype=np.int64)   # 0-based
+        return pa.table({
+            'doc_id': pa.array(ids, pa.int64()),
+            'z_num': pa.array(z, pa.int64()),
+            'rank': pa.array(rank + 1, pa.int64()),        # 1-based out
+            'tile': pa.array(rank * n_tiles // n, pa.int64()),
+        })
+
+    return tbl.groupby('vbucket').map_groups(finalize,
+                                             batch_format='pyarrow')
+
+
+def curriculum_oracle_sql(n_tiles=10, weights=None):
+    """LTV_DECILES_SQL's window shape over the model-score oracle's
+    integer logit."""
+    w = weights or MODEL_WEIGHTS
+    return r"""
+WITH f AS (SELECT doc_id,
+                  CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+                      AS n_tokens,
+                  CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+                      AS n_digits,
+                  n_chars
+           FROM documents),
+z AS (SELECT doc_id,
+             {wt} * n_tokens + {wc} * n_chars + {wd} * n_digits + {b}
+                 AS z_num
+      FROM f),
+r AS (SELECT doc_id, z_num,
+             row_number() OVER (ORDER BY z_num, doc_id)::BIGINT AS rank,
+             count(*) OVER ()::BIGINT AS n
+      FROM z)
+SELECT doc_id, z_num, rank,
+       ((rank - 1) * {k} // n)::BIGINT AS tile
+FROM r
+""".format(wt=w['w_tokens'], wc=w['w_chars'], wd=w['w_digits'],
+           b=w['bias'], k=int(n_tiles))

@@ -120,7 +120,7 @@ ORACLE_CHECKED = ['doc_token_stats', 'doc_token_bpe', 'doc_quality', 'lang_id', 
                   'q8_market_share', 'q13_order_count_distribution',
                   'q15_top_supplier', 'q19_discounted_revenue',
                   'q22_global_sales_opportunity', 'ngram_containment_pairs',
-                  'conv_dedup_clusters']
+                  'conv_dedup_clusters', 'doc_curriculum']
 
 
 @pytest.mark.parametrize('name', ORACLE_CHECKED)
